@@ -1,0 +1,180 @@
+"""Kernel orchestration — the reference's ``repair/2`` lifecycle.
+
+Mirrors ``lib/json_remedy.ex:86-447``:
+
+1. strict mode -> validate-only (utils/strict_mode_validator.ex)
+2. fast path  -> ``json.loads`` succeeds => no repairs (ex:118-127)
+3. plain-text gate -> ``""`` (utils/plain_text_detector.ex:5-27)
+4. multi-value detection (utils/multiple_json_detector.ex) — handled
+   inside the tolerant parser's top-level loop
+5. Layer 1 cleaning -> regex pre-passes -> tolerant parse (L2+L3)
+6. Layer 4 validation is implicit: the parser emits a term or SKIP
+7. post-walk: unwrap fully-fenced JSON string values
+   (utils/code_fence_extractor.ex:9-39)
+
+Canonical serialization (our pinned delta vs the BEAM's map order,
+see SURVEY.md §7.4): insertion-ordered compact ``json.dumps``.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+from typing import Any
+
+from . import cleaning, prepass
+from .tolerant import SKIP, TolerantParser
+
+MAX_DOC_BYTES = 8 * 1024 * 1024  # pathological-input cap (skew guard)
+
+_JSON_CHARS = set('{}[]":')
+_FENCED_STRING = re.compile(r"^```(?:json)?\s*(.+?)\s*```$", re.DOTALL)
+
+
+@dataclass
+class RepairResult:
+    ok: bool
+    value: Any = None
+    repaired: str | None = None          # canonical compact JSON text
+    repairs: list = field(default_factory=list)
+    error: str | None = None
+    fast_path: bool = False
+
+
+def to_canonical(value: Any) -> str:
+    return json.dumps(value, ensure_ascii=False, separators=(",", ":"))
+
+
+def is_plain_text(s: str) -> bool:
+    """No JSON structural chars and not a literal/number
+    (plain_text_detector.ex:5-27)."""
+    t = s.strip()
+    if not t:
+        return True
+    if any(c in _JSON_CHARS for c in t):
+        return False
+    if t in ("true", "false", "null"):
+        return False
+    if re.fullmatch(r"-?(?:0|[1-9]\d*)(?:\.\d+)?(?:[eE][+-]?\d+)?", t):
+        return False
+    if "'" in t:  # single-quoted structures still repairable
+        return False
+    return True
+
+
+def _fast_path(s: str) -> Any:
+    try:
+        return json.loads(s)
+    except Exception:
+        return SKIP
+
+
+def _unwrap_fenced_strings(value: Any, log: list) -> Any:
+    """Recursive walk: string values that are fully fenced get re-repaired
+    and inlined (code_fence_extractor.ex:9-39)."""
+    if isinstance(value, dict):
+        return {k: _unwrap_fenced_strings(v, log) for k, v in value.items()}
+    if isinstance(value, list):
+        return [_unwrap_fenced_strings(v, log) for v in value]
+    if isinstance(value, str):
+        m = _FENCED_STRING.match(value)
+        if m and m.group(1)[:1] in "{[":
+            sub = repair(m.group(1))
+            if sub.ok and sub.value not in ("", None):
+                log.append({"layer": "layer1", "action": "unwrapped fenced JSON string", "position": -1})
+                return sub.value
+    return value
+
+
+def strict_validate(s: str) -> RepairResult:
+    """Validate-only strict mode (utils/strict_mode_validator.ex:10-213):
+    rejects malformed input, duplicate keys, empty keys, empty values,
+    multiple top-level values. No repairs."""
+
+    def pairs_hook(pairs):
+        seen = set()
+        for k, _ in pairs:
+            if k == "":
+                raise ValueError("empty key")
+            if k in seen:
+                raise ValueError(f"duplicate key: {k}")
+            seen.add(k)
+        return dict(pairs)
+
+    try:
+        value = json.loads(s, object_pairs_hook=pairs_hook)
+    except Exception as e:  # noqa: BLE001
+        return RepairResult(ok=False, error=f"strict mode: {e}")
+    return RepairResult(ok=True, value=value, repaired=to_canonical(value))
+
+
+def repair(
+    s: str | bytes,
+    *,
+    strict_mode: bool = False,
+    max_bytes: int = MAX_DOC_BYTES,
+) -> RepairResult:
+    """Main entry — mirrors ``JsonRemedy.repair/2`` (lib/json_remedy.ex:86)."""
+    log: list = []
+    if isinstance(s, bytes):
+        s = cleaning.normalize_encoding(s, log)
+    if strict_mode:
+        return strict_validate(s)
+    if len(s) > max_bytes:
+        # pathological-doc guard: route to drop with a reason, keeps a
+        # 1000-executor run free of stragglers (SURVEY.md §7.4)
+        return RepairResult(ok=True, value="", repaired='""',
+                            repairs=[{"layer": "guard", "action": "oversize document dropped", "position": 0}])
+
+    # fast path (lib/json_remedy.ex:118-127)
+    v = _fast_path(s)
+    if v is not SKIP:
+        return RepairResult(ok=True, value=v, repaired=to_canonical(v), fast_path=True)
+
+    if is_plain_text(s):
+        return RepairResult(ok=True, value="", repaired='""',
+                            repairs=[{"layer": "layer1", "action": "plain text replaced with empty string", "position": 0}])
+
+    work = cleaning.clean(s, log)
+    if work != s:
+        v = _fast_path(work)
+        if v is not SKIP:
+            v = _unwrap_fenced_strings(v, log)
+            return RepairResult(ok=True, value=v, repaired=to_canonical(v), repairs=log)
+    work = prepass.apply(work, log)
+
+    parser = TolerantParser(work, log=log)
+    try:
+        value = parser.parse()
+    except RecursionError:
+        return RepairResult(ok=False, error="nesting too deep", repairs=log)
+    if value is SKIP:
+        if is_plain_text(work) or not any(c in _JSON_CHARS or c == "'" for c in work):
+            return RepairResult(ok=True, value="", repaired='""', repairs=log)
+        return RepairResult(ok=False, error="Could not repair JSON", repairs=log)
+    value = _unwrap_fenced_strings(value, log)
+    return RepairResult(ok=True, value=value, repaired=to_canonical(value), repairs=log)
+
+
+def repair_to_string(s: str | bytes, **kw) -> RepairResult:
+    """Repair then re-serialize (lib/json_remedy.ex:152-165); canonical
+    compact form is the byte-identical invariant column."""
+    return repair(s, **kw)
+
+
+def analyze(s: str | bytes) -> list:
+    """Repair-action list only (lib/json_remedy.ex:258-266)."""
+    return repair(s).repairs
+
+
+def can_repair(s: str) -> bool:
+    """Any layer's supports? fires (lib/json_remedy.ex:235-239)."""
+    if cleaning.supports(s):
+        return True
+    t = s.strip()
+    if not t:
+        return False
+    if any(c in t for c in "{}[]'\":"):
+        return True
+    return not is_plain_text(s)

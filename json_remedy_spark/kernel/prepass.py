@@ -1,0 +1,138 @@
+"""Regex pre-passes applied before the tolerant parse.
+
+Mirrors the reference's hardcoded-pattern / regex-pre-pass stages:
+* smart quotes            — layer3/hardcoded_patterns.ex:113-123
+* fenced JSON in strings  — utils/preprocessing.ex:4-17
+* code-fence terminators  — layer3/syntax_normalization.ex:382-387
+* trailing code fences    — utils/repair_pipeline.ex:56-66
+* ellipsis placeholders   — layer3/ellipsis_filter.ex:17-64
+* placeholder keywords    — layer3/keyword_filter.ex:10-65
+
+All are pure regexes in the reference too (same precision trade-off);
+the Spark layer exposes each as a chained ``F.regexp_replace`` column.
+"""
+
+from __future__ import annotations
+
+import re
+
+SMART_QUOTES = {
+    "“": '"',  # “
+    "”": '"',  # ”
+    "‹": '"',  # ‹
+    "›": '"',  # ›
+    "«": '"',  # «
+    "»": '"',  # »
+}
+_SMART_TRANS = str.maketrans(SMART_QUOTES)
+
+# 5 precompiled ellipsis patterns (ellipsis_filter.ex:17-21)
+ELLIPSIS_PATTERNS = [
+    (re.compile(r"\[\s*\.\.\.\s*\]"), "[]"),
+    (re.compile(r",\s*\.\.\.\s*\]"), "]"),
+    (re.compile(r"\[\s*\.\.\.\s*,"), "["),
+    (re.compile(r",\s*\.\.\.\s*,"), ","),
+    (re.compile(r",\s*\.\.\.\s*\}"), "}"),
+]
+
+KEYWORDS = (
+    "COMMENT|SHOULD_NOT_EXIST|DEBUG_INFO|DEBUG|TRACE_END|PLACEHOLDER|"
+    "SEPARATOR|MARKER|HEADER|FOOTER|INVALID|TODO|FIXME|NOTE"
+)
+# 6 structural positions (keyword_filter.ex:20-25)
+KEYWORD_PATTERNS = [
+    (re.compile(rf"([{{,]\s*)(?:{KEYWORDS})\s+(?=\")"), r"\1"),
+    (re.compile(rf"([{{,]\s*)(?:{KEYWORDS})\s+(?=[\d\-tfn{{\[])"), r"\1"),
+    (re.compile(rf"\s+(?:{KEYWORDS})(\s*[,\]\}}])"), r"\1"),
+    (re.compile(rf"(\[\s*)(?:{KEYWORDS})\s+(?=[\d\"\-tfn{{\[])"), r"\1"),
+]
+
+_FENCE_IN_STRING = re.compile(r'(:\s*)"```(?:json)?\s*(.*?)\s*```"', re.DOTALL)
+_FENCE_TERMINATOR = [
+    # `"…}``` ` -> `"…"}` and `"…]``` ` -> `"…"]`
+    (re.compile(r'("(?:[^"\\\n]|\\.)*)\}```\s*$'), r'\1"}'),
+    (re.compile(r'("(?:[^"\\\n]|\\.)*)\]```\s*$'), r'\1"]'),
+    # `"value, value2"``` ` -> drop trailing fence after a closed string
+    (re.compile(r"```+\s*$"), ""),
+]
+
+# `{"key": "value}` -> `{"key": "value"}` — unclosed string before a
+# trailing delimiter, letter-initial content only, anchored at EOF
+# (layer3/syntax_normalization.ex:424-434; lib/json_remedy.ex:645-688)
+_UNCLOSED_BEFORE_DELIM = [
+    (re.compile(r'(:\s*"[A-Za-z][^"\n]*?)\s*([}\]])\s*$'), r'\1"\2'),
+]
+
+
+def normalize_smart_quotes(s: str, log: list) -> str:
+    out = s.translate(_SMART_TRANS)
+    if out != s:
+        log.append({"layer": "layer3", "action": "normalized smart quotes", "position": 0})
+    return out
+
+
+def extract_fenced_json_in_strings(s: str, log: list) -> str:
+    """`: "```json {…}```"` -> `: {…}` (only when inner starts with { or [,
+    so `"```json"`-style literals survive — recent_python_cases:189-219)."""
+
+    def repl(m: re.Match) -> str:
+        inner = m.group(2)
+        if inner[:1] in "{[":
+            log.append({"layer": "layer1", "action": "extracted fenced JSON from string value", "position": m.start()})
+            return m.group(1) + inner
+        return m.group(0)
+
+    return _FENCE_IN_STRING.sub(repl, s)
+
+
+def fix_fence_terminators(s: str, log: list) -> str:
+    before = s
+    for pat, rep in _FENCE_TERMINATOR:
+        s = pat.sub(rep, s)
+    if s != before:
+        log.append({"layer": "layer3", "action": "fixed code-fence terminator", "position": 0})
+    return s
+
+
+def filter_ellipsis(s: str, log: list) -> str:
+    changed = True
+    hit = False
+    while changed:
+        changed = False
+        for pat, rep in ELLIPSIS_PATTERNS:
+            s2 = pat.sub(rep, s)
+            if s2 != s:
+                changed = hit = True
+                s = s2
+    if hit:
+        log.append({"layer": "layer3", "action": "removed ellipsis placeholder", "position": 0})
+    return s
+
+
+def filter_keywords(s: str, log: list) -> str:
+    before = s
+    for pat, rep in KEYWORD_PATTERNS:
+        s = pat.sub(rep, s)
+    if s != before:
+        log.append({"layer": "layer3", "action": "removed placeholder keyword", "position": 0})
+    return s
+
+
+def fix_unclosed_string_before_delimiter(s: str, log: list) -> str:
+    before = s
+    for pat, rep in _UNCLOSED_BEFORE_DELIM:
+        s = pat.sub(rep, s)
+    if s != before:
+        log.append({"layer": "layer3", "action": "added missing closing quote before delimiter", "position": 0})
+    return s
+
+
+def apply(s: str, log: list) -> str:
+    """All pre-passes, reference order (lib/json_remedy.ex:395-414)."""
+    s = normalize_smart_quotes(s, log)
+    s = extract_fenced_json_in_strings(s, log)
+    s = fix_fence_terminators(s, log)
+    s = fix_unclosed_string_before_delimiter(s, log)
+    s = filter_ellipsis(s, log)
+    s = filter_keywords(s, log)
+    return s
