@@ -219,7 +219,10 @@ class TolerantParser:
                 break
             if c == "}":
                 self.i += 1
-                if self._merge_continuation():
+                # boundary merge applies only to the top-level object —
+                # `, "k":` after a *nested* close is the parent's next pair
+                # (object_merger.ex runs on whole documents only)
+                if not self.ctx and self._merge_continuation():
                     continue
                 break
             if c == "]":
@@ -741,10 +744,18 @@ class TolerantParser:
                 continue
             if ch == ",":
                 # thousands separator: `,` + exactly 3 digits not followed
-                # by a 4th (binary_processors.ex:274-290)
+                # by a 4th, and the token so far must itself look like the
+                # head of a grouped integer — `[42000,390]` is two array
+                # elements, not 42000390 (binary_processors.ex:274-290)
                 grp = self.s[self.i + 1 : self.i + 4]
                 nxt = self.s[self.i + 4 : self.i + 5]
-                if len(grp) == 3 and grp.isdigit() and not nxt.isdigit():
+                head = self.s[start : self.i]
+                if (
+                    len(grp) == 3
+                    and grp.isdigit()
+                    and not nxt.isdigit()
+                    and re.fullmatch(r"-?\d{1,3}(?:,\d{3})*", head)
+                ):
                     self.i += 4
                     continue
                 break
