@@ -1,0 +1,105 @@
+"""Multimodal column plumbing: opaque ``binary`` payloads + typed
+metadata, processed via ``mapInPandas``.
+
+The container has no image/audio codecs, so the decode kernels are
+deterministic fakes behind the same Spark-side plumbing a real
+pipeline uses (schema, Arrow batching, partition behavior).  Swap
+``_fake_decode_image`` for a PIL/ffmpeg call and nothing else changes.
+
+* ``extract_media_meta``  — header sniff (magic bytes) as columns.
+* ``image_features``      — mapInPandas: binary -> fixed-size feature
+  vector (deterministic byte-histogram; stands in for a CNN embed).
+* ``frame_sample``        — mapInPandas: binary 'video' -> N frame
+  offsets + digests (stands in for keyframe extraction).
+"""
+
+import hashlib
+
+MEDIA_META_SCHEMA = "url string, media_type string, n_bytes long"
+IMAGE_FEATURES_SCHEMA = "url string, feature vector array<float>, n_bytes long"
+FRAME_SAMPLE_SCHEMA = "url string, frame_idx int, frame_digest string"
+
+_MAGIC = [
+    (b"\x89PNG", "image/png"),
+    (b"\xff\xd8\xff", "image/jpeg"),
+    (b"GIF8", "image/gif"),
+    (b"RIFF", "audio/wav"),
+    (b"\x1aE\xdf\xa3", "video/webm"),
+    (b"<html", "text/html"),
+]
+
+N_FEATURES = 16
+N_FRAMES = 4
+
+
+def sniff_media_type(payload: bytes) -> str:
+    for magic, mt in _MAGIC:
+        if payload[: len(magic)] == magic:
+            return mt
+    return "application/octet-stream"
+
+
+def _fake_decode_image(payload: bytes) -> list:
+    """STUB decode: byte-value histogram folded to N_FEATURES floats.
+    A real deployment raises NotImplementedError without codecs; the
+    fake keeps the pipeline testable and deterministic."""
+    hist = [0] * N_FEATURES
+    for b in payload[:65536]:
+        hist[b % N_FEATURES] += 1
+    total = max(sum(hist), 1)
+    return [round(h / total, 6) for h in hist]
+
+
+def media_meta(docs, url_col: str = "url", bin_col: str = "html"):
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "url": pdf[url_col],
+                    "media_type": [sniff_media_type(bytes(b or b"")) for b in pdf[bin_col]],
+                    "n_bytes": [len(b or b"") for b in pdf[bin_col]],
+                }
+            )
+
+    return docs.mapInPandas(run, schema=MEDIA_META_SCHEMA)
+
+
+def image_features(docs, url_col: str = "url", bin_col: str = "html"):
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "url": pdf[url_col],
+                    "feature": [_fake_decode_image(bytes(b or b"")) for b in pdf[bin_col]],
+                    "n_bytes": [len(b or b"") for b in pdf[bin_col]],
+                }
+            )
+
+    return docs.mapInPandas(
+        run, schema="url string, feature array<float>, n_bytes long"
+    )
+
+
+def frame_sample(docs, url_col: str = "url", bin_col: str = "html", n_frames: int = N_FRAMES):
+    """Deterministic 'keyframe' sampling: split payload into n_frames
+    slices, digest each — one output row per frame (mapInPandas can
+    change cardinality, unlike pandas_udf)."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            urls, idxs, digests = [], [], []
+            for u, b in zip(pdf[url_col], pdf[bin_col]):
+                raw = bytes(b or b"")
+                step = max(len(raw) // n_frames, 1)
+                for i in range(n_frames):
+                    urls.append(u)
+                    idxs.append(i)
+                    digests.append(hashlib.md5(raw[i * step : (i + 1) * step]).hexdigest())
+            yield pd.DataFrame({"url": urls, "frame_idx": idxs, "frame_digest": digests})
+
+    return docs.mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA)

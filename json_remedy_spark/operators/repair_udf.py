@@ -1,0 +1,93 @@
+"""The repair kernel as a vectorized pandas UDF.
+
+One Arrow-batched UDF carries the only non-relational work in the
+engine (reference layers 1-4, SURVEY.md §3.1); everything before and
+after it is JVM-side column algebra.  Returns a struct so one UDF call
+yields all repair outputs (single Python round-trip per batch).
+
+Plan shape (see plans/explain.py):
+  Scan -> Project[codegen: predicates, langid, quality]
+       -> ArrowEvalPython[repair] -> Project[codegen: scrub, keep] -> ...
+"""
+
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    IntegerType,
+    MapType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+REPAIR_SCHEMA = StructType(
+    [
+        StructField("repaired", StringType()),
+        StructField("ok", BooleanType()),
+        StructField("fast_path", BooleanType()),
+        StructField("n_repairs", IntegerType()),
+        StructField("layer_hits", MapType(StringType(), IntegerType())),
+        StructField("actions", ArrayType(StringType())),
+        StructField("error", StringType()),
+    ]
+)
+
+
+def make_repair_udf():
+    """Build the pandas UDF lazily (imports pandas on executors only)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from ..kernel import repair as _repair
+
+    @pandas_udf(REPAIR_SCHEMA)
+    def repair_udf(texts: pd.Series) -> pd.DataFrame:
+        n = len(texts)
+        out = {
+            "repaired": [None] * n,
+            "ok": [False] * n,
+            "fast_path": [False] * n,
+            "n_repairs": [0] * n,
+            "layer_hits": [None] * n,
+            "actions": [None] * n,
+            "error": [None] * n,
+        }
+        vals = texts.fillna("").tolist()
+        for i, s in enumerate(vals):
+            r = _repair(s)
+            out["ok"][i] = r.ok
+            out["fast_path"][i] = r.fast_path
+            out["repaired"][i] = r.repaired
+            out["error"][i] = r.error
+            if r.repairs:
+                out["n_repairs"][i] = len(r.repairs)
+                hits: dict[str, int] = {}
+                for a in r.repairs:
+                    hits[a["layer"]] = hits.get(a["layer"], 0) + 1
+                out["layer_hits"][i] = hits
+                out["actions"][i] = [a["action"] for a in r.repairs]
+        return pd.DataFrame(out)
+
+    return repair_udf
+
+
+def needs_repair_predicate(text: Column) -> Column:
+    """Cheap JVM-side applicability gate (reference supports?/1 set,
+    SURVEY.md §2.2) — used for metrics and to short-circuit clean rows
+    in custom flows.  The main pipeline routes all rows through the UDF
+    because even clean rows need canonical serialization."""
+    return (
+        text.contains("```")
+        | text.contains("//")
+        | text.contains("/*")
+        | text.contains("'")
+        | text.rlike(r",\s*[}\]]")
+        | text.rlike(r"[{,]\s*[A-Za-z_][A-Za-z0-9_]*\s*:")
+        | (
+            F.length(text) - F.length(F.regexp_replace(text, r"\{", ""))
+            != F.length(text) - F.length(F.regexp_replace(text, r"\}", ""))
+        )
+    )

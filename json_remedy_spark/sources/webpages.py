@@ -118,7 +118,9 @@ def _malform(cls: str, value: dict, rng: random.Random):
     if cls == "html_pre":
         return f"<pre>{s}</pre>", value
     if cls == "prose_wrap":
-        return f"Sure! Here is the JSON you asked for: {s} Hope this helps!", value
+        # wrapper kept free of langid stopwords so it doesn't flip the
+        # document's language signal
+        return f"Result >> {s} << done.", value
     if cls == "trailing_dots":
         return s + "." * rng.randrange(10, 16), value
     if cls == "missing_closer":
@@ -236,8 +238,11 @@ def make_row(doc_id: int, seed: int = 42) -> dict:
         text = f"{prose[: rng.randrange(40, len(prose))]}\n{payload}"
         expected = _canon(expected_value)
 
-    # skew knob: a small fraction of docs are 50x median length
-    if rng.random() < 0.005:
+    # skew knob: a small fraction of docs are 50x median length via
+    # repetition — these are ground-truth drops (Gopher repetition rule)
+    # AND processing-skew stressors
+    skewed = rng.random() < 0.005
+    if skewed:
         text = text + "\n" + prose * 50
 
     url = f"https://site{doc_id % 997:04d}.example/{doc_id:08d}"
@@ -245,7 +250,7 @@ def make_row(doc_id: int, seed: int = 42) -> dict:
     html = f"<html><head><title>doc {doc_id}</title></head><body><p>{text}</p></body></html>".encode()
     if rng.random() < 0.01:
         html = b"\xff\xfe" + html  # invalid UTF-8 head: encoding normalization path
-    keep = lang == "en" and cls not in DROP_CLASSES
+    keep = lang == "en" and cls not in DROP_CLASSES and not skewed
     return {
         "url": url,
         "warc_ts": ts,
