@@ -1,38 +1,431 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)``   — flagship quality-filter pipeline over sf0.001.
+``queries()``      — one entry per implemented operator (SURVEY.md §2 +
+                     training-data ops); each (spark, sf_dir) -> DataFrame.
+``oracle_sql()``   — DuckDB-runnable ANSI SQL equivalents for every
+                     SQL-expressible query (identical column aliases).
+Non-SQL-expressible ops (the repair kernel itself, perplexity model,
+multimodal stubs) appear in ``queries()`` only -> rows-only checks.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from json_remedy_spark.functions import dedup, langid, quality, scrub, textstats
+from json_remedy_spark.functions.dedup import MINHASH_K, LSH_BANDS
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _docs_as_webpages(docs: DataFrame) -> DataFrame:
+    """Adapt the driver documents table to the web-page input shape."""
+    return docs.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("warc_ts"),
+        F.encode(F.col("text"), "utf-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full quality-filter DAG over sf0.001 documents."""
+    from json_remedy_spark.operators.pipeline import quality_filter
+
+    docs = _docs_as_webpages(_t(spark, "/root/testdata/sf0.001", "documents"))
+    out = quality_filter(docs)
+    return out.select(
+        "url", "lang_id", "ok", "fast_path", "n_repairs", "keep",
+        F.round("ppl", 4).alias("ppl"), "repaired", "scrubbed",
+    )
+
+
+# --------------------------------------------------------------------------
+# queries — each takes (spark, sf_dir)
+# --------------------------------------------------------------------------
+
+def q_exact_dedup(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.exact_dedup(d).select(
+        "text_hash",
+        F.col("keep_id").cast("long").alias("keep_id"),
+        F.col("n_copies").cast("long").alias("n_copies"),
+    )
+
+
+def q_minhash_signatures(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    sig = dedup.minhash_signatures(d)
+    return sig.select(F.col("doc_id").cast("long").alias("doc_id"), *[f"mh{k}" for k in range(MINHASH_K)])
+
+
+def q_lsh_candidate_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.lsh_candidate_pairs(d).select(
+        F.col("doc_a").cast("long").alias("doc_a"), F.col("doc_b").cast("long").alias("doc_b")
+    )
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(d, threshold=0.5).select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        F.col("jaccard").cast("double").alias("jaccard"),
+    )
+
+
+def q_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash(d).select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.col("simhash").cast("long").alias("simhash")
+    )
+
+
+def q_cosine_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings").withColumn("embedding", F.col("embedding").cast("array<double>"))
+    from json_remedy_spark.functions.similarity import cosine_topk
+
+    queries = e.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
+    return cosine_topk(e, queries, k=5).select(
+        F.col("q_id").cast("long").alias("q_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cos").cast("double").alias("cos"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_langid(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("lang_id", langid.detect_language(F.col("text")))
+        .groupBy("lang_id")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def q_quality_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        quality.n_words(t).cast("long").alias("q_n_words"),
+        F.round(quality.mean_word_len(t), 4).cast("double").alias("q_mean_word_len"),
+        F.round(quality.symbol_ratio(t), 4).cast("double").alias("q_symbol_ratio"),
+        quality.has_stopword(t).alias("q_has_stopword"),
+        F.round(quality.distinct_word_ratio(t), 4).cast("double").alias("q_distinct_ratio"),
+        quality.passes_quality(t).alias("q_pass"),
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    d = _t(spark, sf_dir, "events")
+    return d.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        scrub.scrub(F.col("props")).alias("scrubbed"),
+    )
+
+
+def q_token_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        textstats.token_count(t).cast("long").alias("token_count"),
+        textstats.word_count(t).cast("long").alias("word_count"),
+        textstats.line_count(t).cast("long").alias("line_count"),
+        textstats.fingerprint(t).alias("fingerprint"),
+    )
+
+
+def q_repair_predicates(spark, sf_dir):
+    """Reference supports?/1 detector set (SURVEY.md §2.2) as columns."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        t.contains("```").alias("has_fence"),
+        t.contains("//").alias("has_line_comment"),
+        t.contains("'").alias("has_single_quote"),
+        t.rlike(r",\s*[}\]]").alias("has_trailing_comma"),
+        (
+            (F.length(t) - F.length(F.regexp_replace(t, r"\{", "")))
+            != (F.length(t) - F.length(F.regexp_replace(t, r"\}", "")))
+        ).alias("braces_unbalanced"),
+    )
+
+
+def q_event_metrics(spark, sf_dir):
+    """Metrics-style aggregation (north_rule metrics tables)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.avg("value"), 4).cast("double").alias("avg_value"),
+            F.countDistinct("user_id").cast("long").alias("users"),
+        )
+    )
+
+
+def q_keep_drop(spark, sf_dir):
+    """Langid + quality fusion over driver docs (SQL-expressible part
+    of the keep rule; repair/ppl terms are covered rows-only)."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        ((langid.detect_language(t) == "en") & quality.passes_quality(t)).alias("keep"),
+    )
+
+
+# ---- rows-only (non-SQL-expressible) --------------------------------------
+
+def q_repair_documents(spark, sf_dir):
+    """The repair kernel itself — byte-level state machine, rows-only."""
+    from json_remedy_spark.operators.repair_udf import make_repair_udf
+
+    d = _t(spark, sf_dir, "documents")
+    r = make_repair_udf()(F.col("text"))
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        r["ok"].alias("ok"),
+        r["fast_path"].alias("fast_path"),
+        r["n_repairs"].cast("long").alias("n_repairs"),
+        r["repaired"].alias("repaired"),
+    )
+
+
+def q_perplexity(spark, sf_dir):
+    from json_remedy_spark.functions.perplexity import make_perplexity_udf
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round(make_perplexity_udf()(F.col("text")), 4).alias("ppl"),
+    )
+
+
+def q_media_features(spark, sf_dir):
+    from json_remedy_spark.functions.multimodal import image_features
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.encode(F.col("text"), "utf-8").alias("html"),
+    )
+    return image_features(d)
+
+
+def q_lsh_ann_topk(spark, sf_dir):
+    from json_remedy_spark.functions.similarity import lsh_bucketed_topk
+
+    e = _t(spark, sf_dir, "embeddings").withColumn("embedding", F.col("embedding").cast("array<double>"))
+    queries = e.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
+    return lsh_bucketed_topk(e, queries, k=5).select(
+        F.col("q_id").cast("long").alias("q_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cos").cast("double").alias("cos"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def q_repair_metrics(spark, sf_dir):
+    """Repair-rule frequency table (reference analyze/1) — rows-only."""
+    from json_remedy_spark.operators.metrics import repair_action_frequencies
+    from json_remedy_spark.operators.repair_udf import make_repair_udf
+
+    d = _t(spark, sf_dir, "documents")
+    r = d.select(make_repair_udf()(F.col("text")).alias("r")).select(F.col("r.actions").alias("actions"))
+    return repair_action_frequencies(r)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "exact_dedup": q_exact_dedup,
+        "minhash_signatures": q_minhash_signatures,
+        "lsh_candidate_pairs": q_lsh_candidate_pairs,
+        "jaccard_pairs": q_jaccard_pairs,
+        "simhash": q_simhash,
+        "cosine_topk": q_cosine_topk,
+        "langid": q_langid,
+        "quality_stats": q_quality_stats,
+        "pii_scrub": q_pii_scrub,
+        "token_stats": q_token_stats,
+        "repair_predicates": q_repair_predicates,
+        "event_metrics": q_event_metrics,
+        "keep_drop": q_keep_drop,
+        # rows-only:
+        "repair_documents": q_repair_documents,
+        "perplexity": q_perplexity,
+        "media_features": q_media_features,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "repair_metrics": q_repair_metrics,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
+
+# --------------------------------------------------------------------------
+# oracles
+# --------------------------------------------------------------------------
+
+_NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+_SHINGLES = f"""
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(
+      range(1, greatest(len(regexp_split_to_array({_NORM}, ' ')) - 1, 2)),
+      i -> array_to_string((regexp_split_to_array({_NORM}, ' '))[i : i + 2], ' ')
+    ))) AS shingle
+  FROM documents
+"""
+
+
+def _minhash_select() -> str:
+    aggs = ", ".join(
+        f"min(md5('s{k}:' || shingle)) AS mh{k}" for k in range(MINHASH_K)
+    )
+    return f"SELECT doc_id, {aggs} FROM ({_SHINGLES}) GROUP BY doc_id"
+
+
+def _lsh_pairs_sql() -> str:
+    rows = MINHASH_K // LSH_BANDS
+    band_selects = []
+    for b in range(LSH_BANDS):
+        cols = " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows))
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sig"
+        )
+    banded = " UNION ALL ".join(band_selects)
+    return f"""
+      WITH sig AS ({_minhash_select()}), banded AS ({banded})
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+      WHERE a.doc_id < b.doc_id
     """
-    return {}
+
+
+def _simhash_sql() -> str:
+    # portable hex -> int: 8 nibbles via strpos
+    nib = lambda p: f"(strpos('0123456789abcdef', substr(md5(token), {p + 1}, 1)) - 1)"
+    h = " + ".join(f"{nib(p)} * {16 ** (7 - p)}" for p in range(8))
+    bit_aggs = ", ".join(
+        f"sum(CASE WHEN (h & {1 << j}) != 0 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(dedup.SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(dedup.SIMHASH_BITS)
+    )
+    return f"""
+      WITH tok AS (
+        SELECT doc_id, ({h})::BIGINT AS h
+        FROM (SELECT doc_id, unnest(regexp_split_to_array({_NORM}, ' ')) AS token FROM documents)
+      ), bits AS (SELECT doc_id, {bit_aggs} FROM tok GROUP BY doc_id)
+      SELECT doc_id::BIGINT AS doc_id, ({fp})::BIGINT AS simhash FROM bits
+    """
+
+
+def _cosine_topk_sql() -> str:
+    return """
+      WITH v AS (
+        SELECT vec_id, list_transform(embedding::DOUBLE[], x -> x /
+          greatest(sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y*y))), 1e-12)) AS unit
+        FROM embeddings
+      ),
+      q AS (SELECT vec_id AS q_id, unit AS q_unit FROM v WHERE vec_id < 5),
+      scored AS (
+        SELECT q.q_id, v.vec_id,
+               round(list_sum(list_transform(list_zip(v.unit, q.q_unit), p -> p[1] * p[2])), 6) AS cos
+        FROM v CROSS JOIN q
+      )
+      SELECT q_id::BIGINT AS q_id, vec_id::BIGINT AS vec_id, cos::DOUBLE AS cos, rank::BIGINT AS rank
+      FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank FROM scored)
+      WHERE rank <= 5
+    """
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    qsql = quality.quality_sql("text")
+    ssql = textstats.stats_sql("text")
+    lang_expr = langid.detect_language_sql("text")
+    return {
+        "exact_dedup": f"""
+            SELECT md5({_NORM}) AS text_hash,
+                   min(doc_id)::BIGINT AS keep_id,
+                   count(*)::BIGINT AS n_copies
+            FROM documents GROUP BY 1
+        """,
+        "minhash_signatures": f"SELECT doc_id::BIGINT AS doc_id, * EXCLUDE (doc_id) FROM ({_minhash_select()})",
+        "lsh_candidate_pairs": _lsh_pairs_sql(),
+        "jaccard_pairs": f"""
+            WITH sh AS ({_SHINGLES}),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
+                   round(n_common / (sa.n_sh + sb.n_sh - n_common), 6)::DOUBLE AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+        """,
+        "simhash": _simhash_sql(),
+        "cosine_topk": _cosine_topk_sql(),
+        "langid": f"SELECT {lang_expr} AS lang_id, count(*)::BIGINT AS n FROM documents GROUP BY 1",
+        "quality_stats": f"""
+            SELECT doc_id::BIGINT AS doc_id,
+                   {qsql['q_n_words']}::BIGINT AS q_n_words,
+                   round({qsql['q_mean_word_len']}, 4)::DOUBLE AS q_mean_word_len,
+                   round({qsql['q_symbol_ratio']}, 4)::DOUBLE AS q_symbol_ratio,
+                   {qsql['q_has_stopword']} AS q_has_stopword,
+                   round({qsql['q_distinct_ratio']}, 4)::DOUBLE AS q_distinct_ratio,
+                   {qsql['passes']} AS q_pass
+            FROM documents
+        """,
+        "pii_scrub": f"SELECT event_id::BIGINT AS event_id, {scrub.scrub_sql('props')} AS scrubbed FROM events",
+        "token_stats": f"""
+            SELECT doc_id::BIGINT AS doc_id,
+                   {ssql['token_count']}::BIGINT AS token_count,
+                   {ssql['word_count']}::BIGINT AS word_count,
+                   {ssql['line_count']}::BIGINT AS line_count,
+                   {ssql['fingerprint']} AS fingerprint
+            FROM documents
+        """,
+        "repair_predicates": r"""
+            SELECT doc_id::BIGINT AS doc_id,
+                   contains(text, '```') AS has_fence,
+                   contains(text, '//') AS has_line_comment,
+                   contains(text, '''') AS has_single_quote,
+                   regexp_matches(text, ',\s*[}\]]') AS has_trailing_comma,
+                   (length(text) - length(regexp_replace(text, '\{', '', 'g')))
+                     != (length(text) - length(regexp_replace(text, '\}', '', 'g'))) AS braces_unbalanced
+            FROM documents
+        """,
+        "event_metrics": """
+            SELECT event_type, count(*)::BIGINT AS n,
+                   round(avg(value), 4)::DOUBLE AS avg_value,
+                   count(DISTINCT user_id)::BIGINT AS users
+            FROM events GROUP BY event_type
+        """,
+        "keep_drop": f"""
+            SELECT doc_id::BIGINT AS doc_id,
+                   (({lang_expr}) = 'en' AND {qsql['passes']}) AS keep
+            FROM documents
+        """,
+    }

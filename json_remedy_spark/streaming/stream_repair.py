@@ -1,0 +1,51 @@
+"""Structured Streaming repair — the reference ``repair_stream/2``
+(lib/json_remedy.ex:204-216) re-expressed.
+
+The reference stream is stateless per-item (map + filter-errors).  The
+Spark translation is therefore append-mode with **no stateful
+operators**: readStream -> the same quality_filter column stages ->
+writeStream.  Failed repairs are dropped, matching the reference's
+silent-drop semantics.
+
+``repair_stream_from_files`` tails a directory of text files (one doc
+per line); ``run_once`` drains with trigger=availableNow for tests —
+identical code path to a continuous run.
+"""
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.repair_udf import make_repair_udf
+
+
+def repair_stream(lines: DataFrame, drop_failures: bool = True) -> DataFrame:
+    """text column -> repaired docs (stateless; reference semantics)."""
+    r = make_repair_udf()(F.col("text"))
+    out = lines.withColumn("r", r).select(
+        "text",
+        F.col("r.repaired").alias("repaired"),
+        F.col("r.ok").alias("ok"),
+        F.col("r.n_repairs").alias("n_repairs"),
+    )
+    if drop_failures:
+        out = out.where(F.col("ok") & (F.col("repaired") != F.lit('""')))
+    return out
+
+
+def repair_stream_from_files(spark: SparkSession, in_dir: str) -> DataFrame:
+    lines = spark.readStream.format("text").load(in_dir).withColumnRenamed("value", "text")
+    return repair_stream(lines)
+
+
+def run_once(spark: SparkSession, in_dir: str, out_dir: str, checkpoint_dir: str) -> None:
+    """Drain all available input once (test/batch-catchup mode)."""
+    q = (
+        repair_stream_from_files(spark, in_dir)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()

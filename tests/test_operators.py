@@ -1,0 +1,138 @@
+"""Operator tests: dedup, similarity, multimodal, streaming, checkpoint."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the sleepy dog"),  # near dup
+        (3, "completely different text about spark pipelines and arrow batches"),
+        (4, "The  Quick  Brown  Fox  Jumps  Over  The  Lazy  Dog"),  # ws/case dup of 0
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(spark, docs):
+    from json_remedy_spark.functions.dedup import exact_dedup
+
+    out = exact_dedup(docs).collect()
+    groups = {r["keep_id"]: r["n_copies"] for r in out}
+    assert groups[0] == 3  # 0, 1, 4 normalize identically
+    assert groups[2] == 1 and groups[3] == 1
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    from json_remedy_spark.functions.dedup import lsh_candidate_pairs
+
+    pairs = {(r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(docs).collect()}
+    assert (0, 1) in pairs  # identical docs always collide
+    assert (0, 2) in pairs or (1, 2) in pairs  # near-dup should band-collide
+    assert not any(3 in p for p in pairs)  # unrelated doc stays out
+
+
+def test_jaccard_pairs(spark, docs):
+    from json_remedy_spark.functions.dedup import jaccard_pairs
+
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(0, 1)] == 1.0
+    assert 0.5 <= pairs[(0, 2)] < 1.0
+
+
+def test_simhash_hamming(spark, docs):
+    from json_remedy_spark.functions.dedup import simhash
+
+    fp = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    assert fp[0] == fp[1] == fp[4]
+    ham_near = bin(fp[0] ^ fp[2]).count("1")
+    ham_far = bin(fp[0] ^ fp[3]).count("1")
+    assert ham_near < ham_far
+
+
+def test_cosine_topk_exact(spark):
+    from json_remedy_spark.functions.similarity import cosine_topk
+
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.9, 0.1, 0.0]), (2, [0.0, 1.0, 0.0]), (3, [0.0, 0.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    q = spark.createDataFrame([(100, [1.0, 0.0, 0.0])], ["q_id", "embedding"])
+    top = cosine_topk(vecs, q, k=2).orderBy("rank").collect()
+    assert [r["vec_id"] for r in top] == [0, 1]
+    assert top[0]["cos"] == 1.0
+
+
+def test_lsh_ann_recall(spark):
+    """ANN must return the true top-1 for self-queries (same bucket)."""
+    from json_remedy_spark.functions.similarity import lsh_bucketed_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = emb.where(F.col("vec_id") < 3).select(F.col("vec_id").alias("q_id"), "embedding")
+    top1 = lsh_bucketed_topk(emb, q, k=1).collect()
+    assert all(r["vec_id"] == r["q_id"] and r["cos"] == 1.0 for r in top1)
+
+
+def test_multimodal_plumbing(spark):
+    from json_remedy_spark.functions.multimodal import N_FRAMES, frame_sample, image_features, media_meta
+
+    df = spark.createDataFrame(
+        [("u1", bytearray(b"\x89PNG1234567890")), ("u2", bytearray(b"<html>hi</html>"))],
+        "url string, html binary",
+    )
+    meta = {r["url"]: r["media_type"] for r in media_meta(df).collect()}
+    assert meta == {"u1": "image/png", "u2": "text/html"}
+    feats = image_features(df).collect()
+    assert all(len(r["feature"]) == 16 for r in feats)
+    assert abs(sum(feats[0]["feature"]) - 1.0) < 1e-3
+    frames = frame_sample(df).collect()
+    assert len(frames) == 2 * N_FRAMES
+
+
+def test_streaming_repair(spark, tmp_path):
+    from json_remedy_spark.streaming.stream_repair import run_once
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    (in_dir / "a.txt").write_text(
+        '{"a": 1}\n{bad: "json",}\nplain prose line no json\n{"c": [1,2,]}\n'
+    )
+    out_dir = str(tmp_path / "out")
+    run_once(spark, str(in_dir), out_dir, str(tmp_path / "ckpt"))
+    got = {r["repaired"] for r in spark.read.parquet(out_dir).collect()}
+    assert got == {'{"a":1}', '{"bad":"json"}', '{"c":[1,2]}'}  # prose line dropped
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    from json_remedy_spark.operators.checkpoint import committed_buckets, run_with_checkpoints
+
+    df = spark.range(100).select(
+        F.concat(F.lit("u"), F.col("id").cast("string")).alias("url"), F.col("id")
+    )
+    out = str(tmp_path / "ckout")
+    calls = []
+
+    def fn(part):
+        calls.append(1)
+        return part.withColumn("y", F.col("id") * 2)
+
+    first = run_with_checkpoints(fn, df, out, n_buckets=4)
+    assert len(first) == 4 and committed_buckets(out) == {0, 1, 2, 3}
+    second = run_with_checkpoints(fn, df, out, n_buckets=4)
+    assert second == []  # resume: nothing recomputed
+    total = spark.read.parquet(os.path.join(out, "part_bucket=0")).count()
+    assert total > 0
+
+
+def test_salted_repartition_is_deterministic_data(spark):
+    from json_remedy_spark.operators.pipeline import salted_repartition
+
+    df = spark.range(1000).select(F.concat(F.lit("u"), F.col("id")).alias("url"))
+    out = salted_repartition(df, 8)
+    assert out.count() == 1000
