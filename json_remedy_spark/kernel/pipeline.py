@@ -70,6 +70,44 @@ def _fast_path(s: str) -> Any:
         return SKIP
 
 
+_DECODER = json.JSONDecoder()
+# A value could start here -> the C-speed shortcut is unsafe
+_TAIL_BLOCKERS = re.compile(r'[{\["0-9\']')
+_LITERAL_WORDS = re.compile(r"\b(true|false|null|True|False|None|NULL|Null|TRUE|FALSE|nil)\b")
+
+def _span_fast_path(s: str) -> Any:
+    """C-speed path for wrapped-but-valid JSON (the dominant web case:
+    prose/fence/comment around one valid value).
+
+    Finds the first ``{``/``[``, lets the stdlib C scanner
+    (``JSONDecoder.raw_decode``) parse one value, and accepts only when
+    neither prefix nor tail could change the result under the full
+    kernel (no other value starts, no bare literals).  Equivalence with
+    the tolerant path is covered by the corpus round-trip test.
+    """
+    cands = [i for i in (s.find("{"), s.find("[")) if i != -1]
+    if not cands:
+        return SKIP
+    idx = min(cands)
+    prefix = s[:idx]
+    if _TAIL_BLOCKERS.search(prefix) or _LITERAL_WORDS.search(prefix):
+        return SKIP
+    t = prefix.lstrip()
+    if t[:1] in _QUOTE_STARTS:
+        return SKIP
+    try:
+        value, end = _DECODER.raw_decode(s, idx)
+    except Exception:
+        return SKIP
+    tail = s[end:]
+    if _TAIL_BLOCKERS.search(tail) or _LITERAL_WORDS.search(tail):
+        return SKIP
+    return value
+
+
+_QUOTE_STARTS = {"'", "“", "”", "‘", "’"}
+
+
 def _unwrap_fenced_strings(value: Any, log: list) -> Any:
     """Recursive walk: string values that are fully fenced get re-repaired
     and inlined (code_fence_extractor.ex:9-39)."""
@@ -135,6 +173,12 @@ def repair(
     if is_plain_text(s):
         return RepairResult(ok=True, value="", repaired='""',
                             repairs=[{"layer": "layer1", "action": "plain text replaced with empty string", "position": 0}])
+
+    v = _span_fast_path(s)
+    if v is not SKIP:
+        log.append({"layer": "layer1", "action": "extracted valid JSON value (span fast path)", "position": 0})
+        v = _unwrap_fenced_strings(v, log)
+        return RepairResult(ok=True, value=v, repaired=to_canonical(v), repairs=log, fast_path=True)
 
     work = cleaning.clean(s, log)
     if work != s:
