@@ -171,6 +171,34 @@ def q_repair_predicates(spark, sf_dir):
     )
 
 
+_NUMBER_RE = r"^-?(0|[1-9][0-9]*)(\.[0-9]+)?([eE][+-]?[0-9]+)?$"
+
+
+def q_can_repair(spark, sf_dir):
+    """`can_repair?/1` (lib/json_remedy.ex:235-239): any layer's
+    supports? fires — exact column-expression form."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    trimmed = F.trim(t)
+    supports = (
+        t.contains("```") | t.contains("//") | t.contains("/*")
+        | t.contains("<pre") | t.contains("<code") | t.contains("<json")
+        | ((F.length(trimmed) > 100) & ~F.substring(trimmed, 1, 1).isin("{", "["))
+    )
+    repairable = (
+        (trimmed != "")
+        & (
+            t.rlike(r"[{}\[\]'\":]")
+            | trimmed.isin("true", "false", "null")
+            | trimmed.rlike(_NUMBER_RE)
+        )
+    )
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        (supports | repairable).alias("can_repair"),
+    )
+
+
 def q_event_metrics(spark, sf_dir):
     """Metrics-style aggregation (north_rule metrics tables)."""
     e = _t(spark, sf_dir, "events")
@@ -245,6 +273,18 @@ def q_lsh_ann_topk(spark, sf_dir):
     )
 
 
+def q_layer_hits(spark, sf_dir):
+    """Layer-hit counts (repair_with_debug observability) — rows-only."""
+    from json_remedy_spark.operators.metrics import layer_hit_counts
+    from json_remedy_spark.operators.repair_udf import make_repair_udf
+
+    d = _t(spark, sf_dir, "documents")
+    r = d.select(make_repair_udf()(F.col("text")).alias("r")).select(
+        F.col("r.layer_hits").alias("layer_hits")
+    )
+    return layer_hit_counts(r)
+
+
 def q_repair_metrics(spark, sf_dir):
     """Repair-rule frequency table (reference analyze/1) — rows-only."""
     from json_remedy_spark.operators.metrics import repair_action_frequencies
@@ -268,6 +308,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "token_stats": q_token_stats,
         "repair_predicates": q_repair_predicates,
+        "can_repair": q_can_repair,
         "event_metrics": q_event_metrics,
         "keep_drop": q_keep_drop,
         # rows-only:
@@ -276,6 +317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "lsh_ann_topk": q_lsh_ann_topk,
         "repair_metrics": q_repair_metrics,
+        "layer_hits": q_layer_hits,
     }
 
 
@@ -294,18 +336,32 @@ _SHINGLES = f"""
 """
 
 
+def _hex_to_int(expr: str, start: int, n: int) -> str:
+    """Portable hex->BIGINT (DuckDB has no conv()): nibble-weighted sum."""
+    parts = [
+        f"(strpos('0123456789abcdef', substr({expr}, {start + p}, 1)) - 1) * {16 ** (n - 1 - p)}"
+        for p in range(n)
+    ]
+    return "(" + " + ".join(parts) + ")::BIGINT"
+
+
 def _minhash_select() -> str:
-    aggs = ", ".join(
-        f"min(md5('s{k}:' || shingle)) AS mh{k}" for k in range(MINHASH_K)
-    )
-    return f"SELECT doc_id, {aggs} FROM ({_SHINGLES}) GROUP BY doc_id"
+    h1 = _hex_to_int("hx", 1, 12)
+    h2 = _hex_to_int("hx", 13, 12)
+    aggs = ", ".join(f"min(h1 + {k} * h2) AS mh{k}" for k in range(MINHASH_K))
+    return f"""
+      SELECT doc_id, {aggs} FROM (
+        SELECT doc_id, {h1} AS h1, {h2} AS h2
+        FROM (SELECT doc_id, md5(shingle) AS hx FROM ({_SHINGLES}))
+      ) GROUP BY doc_id
+    """
 
 
 def _lsh_pairs_sql() -> str:
     rows = MINHASH_K // LSH_BANDS
     band_selects = []
     for b in range(LSH_BANDS):
-        cols = " || '|' || ".join(f"mh{b * rows + r}" for r in range(rows))
+        cols = " || '|' || ".join(f"mh{b * rows + r}::VARCHAR" for r in range(rows))
         band_selects.append(
             f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sig"
         )
@@ -415,6 +471,23 @@ def oracle_sql() -> dict[str, str]:
                    regexp_matches(text, ',\s*[}\]]') AS has_trailing_comma,
                    (length(text) - length(regexp_replace(text, '\{', '', 'g')))
                      != (length(text) - length(regexp_replace(text, '\}', '', 'g'))) AS braces_unbalanced
+            FROM documents
+        """,
+        "can_repair": rf"""
+            SELECT doc_id::BIGINT AS doc_id,
+                   (
+                     contains(text, '```') OR contains(text, '//') OR contains(text, '/*')
+                     OR contains(text, '<pre') OR contains(text, '<code') OR contains(text, '<json')
+                     OR (length(trim(text)) > 100 AND substr(trim(text), 1, 1) NOT IN ('{{', '['))
+                     OR (
+                       trim(text) != ''
+                       AND (
+                         regexp_matches(text, '[{{}}\[\]''\":]')
+                         OR trim(text) IN ('true', 'false', 'null')
+                         OR regexp_matches(trim(text), '{_NUMBER_RE}')
+                       )
+                     )
+                   ) AS can_repair
             FROM documents
         """,
         "event_metrics": """

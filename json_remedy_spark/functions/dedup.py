@@ -55,36 +55,40 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
 
 
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """k minhashes per doc: min over shingles of md5(seed || shingle).
+    """k minhashes per doc via Kirsch-Mitzenmacher double hashing:
+    one md5 per shingle -> (h1, h2) 48-bit halves -> h_k = h1 + k*h2.
 
-    Implemented as k aggregate columns over the exploded shingle table —
-    one shuffle (groupBy doc), partial min map-side.
+    12x fewer digest computations than per-seed md5, still portable
+    (the DuckDB oracle reproduces the exact integers from the same hex
+    string).  One shuffle (groupBy doc), partial min map-side.
     """
     sh = shingles(docs, id_col, text_col)
+    hx = F.md5(F.col("shingle"))
+    h1 = F.conv(F.substring(hx, 1, 12), 16, 10).cast("long")
+    h2 = F.conv(F.substring(hx, 13, 12), 16, 10).cast("long")
+    sh = sh.select("doc_id", h1.alias("h1"), h2.alias("h2"))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"s{k}:"), F.col("shingle")))).alias(f"mh{k}")
+        F.min(F.col("h1") + F.lit(k) * F.col("h2")).alias(f"mh{k}")
         for k in range(MINHASH_K)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Banded LSH: docs sharing any band signature are candidates."""
+    """Banded LSH: docs sharing any band signature are candidates.
+
+    Bands come from one ``explode`` over the signature row (not a
+    union of per-band scans — a union would recompute the minhash
+    aggregation once per band per join side)."""
     sig = minhash_signatures(docs, id_col, text_col)
     rows_per_band = MINHASH_K // LSH_BANDS
-    bands = []
+    band_structs = []
     for b in range(LSH_BANDS):
         cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        bands.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("bucket"),
-            )
-        )
-    banded = bands[0]
-    for b in bands[1:]:
-        banded = banded.unionAll(b)
+        band_structs.append(F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bucket")))
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     left = banded.alias("a")
     right = banded.alias("b")
     return (
@@ -100,14 +104,27 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over all shingle-sharing pairs.
 
     |A ∩ B| via shingle self-join; |A ∪ B| = |A| + |B| - |A ∩ B|.
     At scale this runs on LSH candidates only; standalone it is the
     exact (quadratic-in-colliding-docs) verifier.
+
+    ``max_shingle_df`` drops shingles appearing in more than N docs —
+    the standard stop-shingle guard: a boilerplate phrase shared by 1M
+    docs would otherwise produce a 10^12-row join block.
     """
     sh = shingles(docs, id_col, text_col)
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") > max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     inter = (
         sh.alias("a")

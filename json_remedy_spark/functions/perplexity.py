@@ -48,7 +48,7 @@ def score_texts(texts) -> np.ndarray:
         if not s or len(s) < 3:
             out[i] = 20.0
             continue
-        ids = _char_ids(s[:4096])
+        ids = _char_ids(s[:512])
         if len(ids) < 3:
             out[i] = 20.0
             continue

@@ -41,7 +41,6 @@ def quality_filter(docs: DataFrame, with_quality_cols: bool = False) -> DataFram
     ``repaired, ok, fast_path, n_repairs, layer_hits, lang_id, ppl,
     q_pass, scrubbed, keep``."""
     repair_udf = make_repair_udf()
-    ppl_udf = perplexity.make_perplexity_udf()
 
     text = F.col("text")
     out = (
@@ -49,7 +48,6 @@ def quality_filter(docs: DataFrame, with_quality_cols: bool = False) -> DataFram
         # JVM-side stages first: langid + quality fuse into the scan project
         .withColumn("lang_id", langid.detect_language(text))
         .withColumn("q_pass", quality.passes_quality(text))
-        .withColumn("ppl", ppl_udf(text))
         .withColumn("r", repair_udf(text))
         .select(
             "*",
@@ -59,6 +57,7 @@ def quality_filter(docs: DataFrame, with_quality_cols: bool = False) -> DataFram
             F.col("r.n_repairs").alias("n_repairs"),
             F.col("r.layer_hits").alias("layer_hits"),
             F.col("r.actions").alias("actions"),
+            F.col("r.ppl").alias("ppl"),
         )
         .drop("r")
         .withColumn("scrubbed", scrub.scrub(F.col("repaired")))

@@ -23,6 +23,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from pyspark.sql.types import DoubleType
+
 REPAIR_SCHEMA = StructType(
     [
         StructField("repaired", StringType()),
@@ -32,6 +34,10 @@ REPAIR_SCHEMA = StructType(
         StructField("layer_hits", MapType(StringType(), IntegerType())),
         StructField("actions", ArrayType(StringType())),
         StructField("error", StringType()),
+        # perplexity rides in the same struct: one Arrow hop for all
+        # Python-side work instead of two UDF stages (two extra python
+        # worker pools oversubscribe the host at high core counts)
+        StructField("ppl", DoubleType()),
     ]
 )
 
@@ -41,6 +47,7 @@ def make_repair_udf():
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    from ..functions.perplexity import score_texts
     from ..kernel import repair as _repair
 
     @pandas_udf(REPAIR_SCHEMA)
@@ -56,6 +63,7 @@ def make_repair_udf():
             "error": [None] * n,
         }
         vals = texts.fillna("").tolist()
+        ppl = score_texts(vals)
         for i, s in enumerate(vals):
             r = _repair(s)
             out["ok"][i] = r.ok
@@ -69,6 +77,7 @@ def make_repair_udf():
                     hits[a["layer"]] = hits.get(a["layer"], 0) + 1
                 out["layer_hits"][i] = hits
                 out["actions"][i] = [a["action"] for a in r.repairs]
+        out["ppl"] = ppl
         return pd.DataFrame(out)
 
     return repair_udf

@@ -11,7 +11,7 @@ These encode the plan-shape invariants we tune against
 
 from pyspark.sql import DataFrame
 
-MAX_ARROW_HOPS = 2
+MAX_ARROW_HOPS = 1  # the fused repair+perplexity UDF is the only hop
 
 
 def executed_plan(df: DataFrame) -> str:
@@ -26,8 +26,21 @@ def arrow_hops(df: DataFrame) -> int:
     return executed_plan(df).count("ArrowEvalPython")
 
 
+def codegen_subtrees(df: DataFrame) -> int:
+    """Number of WholeStageCodegen spans (works under AQE, where the
+    initial executedPlan string carries no codegen markers)."""
+    txt = df.sparkSession._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "codegen"
+    )
+    head = txt.splitlines()[0] if txt else ""
+    try:
+        return int(head.split()[1])
+    except (IndexError, ValueError):
+        return 0
+
+
 def has_codegen(df: DataFrame) -> bool:
-    return "WholeStageCodegen" in executed_plan(df)
+    return codegen_subtrees(df) > 0
 
 
 def scan_info(df: DataFrame) -> dict:

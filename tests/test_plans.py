@@ -1,0 +1,53 @@
+"""Plan-quality guards: pushdown, pruning, codegen, Python-boundary
+count — the 100 TB invariants, asserted at test scale."""
+
+import pyspark.sql.functions as F
+
+
+def test_filter_pushdown_and_pruning(spark):
+    from json_remedy_spark.plans.explain import scan_info
+
+    df = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .where(F.col("lang") == "en")
+        .select("doc_id", "lang")
+    )
+    info = scan_info(df)
+    assert info["pushed_filters"] and "lang" in info["pushed_filters"], info
+    assert info["read_schema"] and "text" not in info["read_schema"], info
+
+
+def test_pipeline_is_scalable_shape(spark):
+    from json_remedy_spark.operators.pipeline import quality_filter
+    from json_remedy_spark.plans.explain import assert_scalable
+    from json_remedy_spark.sources.webpages import synthesize_corpus
+
+    docs, _ = synthesize_corpus(spark, 50, partitions=2)
+    assert_scalable(quality_filter(docs))
+
+
+def test_cosine_topk_broadcasts(spark):
+    """The query side must broadcast — no shuffle of the big side."""
+    from json_remedy_spark.functions.similarity import cosine_topk
+    from json_remedy_spark.plans.explain import executed_plan
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = e.where(F.col("vec_id") < 2).select(F.col("vec_id").alias("q_id"), "embedding")
+    plan = executed_plan(cosine_topk(e, q, k=3))
+    assert "Broadcast" in plan
+
+
+def test_minhash_partial_aggregation(spark):
+    """The groupBy(doc_id) must partial-aggregate map-side (two
+    HashAggregate nodes around one shuffle)."""
+    from json_remedy_spark.functions.dedup import minhash_signatures
+    from json_remedy_spark.plans.explain import executed_plan
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = executed_plan(minhash_signatures(d))
+    # min(string) aggs plan as SortAggregate; the invariant is the
+    # map-side partial pass and a single shuffle
+    assert "partial_min" in plan, plan
+    assert plan.count("Exchange") <= 2, plan

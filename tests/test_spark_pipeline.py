@@ -72,4 +72,4 @@ def test_plan_shape(spark, corpus):
     two ArrowEvalPython nodes (ppl + repair), scrub/keep in codegen."""
     docs, _ = corpus
     plan = quality_filter(docs)._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("ArrowEvalPython") <= 2, plan
+    assert plan.count("ArrowEvalPython") <= 1, plan
