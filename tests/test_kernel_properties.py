@@ -1,0 +1,84 @@
+"""Property-based kernel robustness (hypothesis).
+
+Invariants:
+* repair never raises, for arbitrary unicode garbage;
+* repair of VALID json round-trips exactly (fast path == identity);
+* idempotence: repairing the canonical output is a fixpoint;
+* corrupting valid JSON with reference malformation operators still
+  yields ok=True and parseable canonical output.
+"""
+
+import json
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from json_remedy_spark.kernel import repair
+
+json_values = st.recursive(
+    st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(min_value=-(10**12), max_value=10**12),
+        st.floats(allow_nan=False, allow_infinity=False, width=32),
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FFF),
+            max_size=20,
+        ),
+    ),
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(st.text(min_size=1, max_size=8), children, max_size=4),
+    ),
+    max_leaves=12,
+)
+
+CFG = settings(max_examples=150, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+
+
+@given(st.text(max_size=400))
+@CFG
+def test_never_raises(s):
+    r = repair(s)
+    assert r.ok or r.error
+
+
+@given(json_values)
+@CFG
+def test_valid_json_round_trips(v):
+    s = json.dumps(v, ensure_ascii=False)
+    r = repair(s)
+    assert r.ok and r.fast_path
+    assert json.loads(r.repaired) == json.loads(s)
+
+
+@given(json_values)
+@CFG
+def test_idempotent(v):
+    s = json.dumps(v, ensure_ascii=False)
+    r1 = repair(s)
+    r2 = repair(r1.repaired)
+    assert r2.ok and r2.repaired == r1.repaired
+
+
+@given(json_values, st.sampled_from([
+    "fence", "comment", "dots", "truncate", "extra_closer", "trailing_comma",
+]))
+@CFG
+def test_corrupted_still_repairs(v, op):
+    s = json.dumps({"payload": v}, ensure_ascii=False)
+    if op == "fence":
+        s = f"```json\n{s}\n```"
+    elif op == "comment":
+        s = "// header\n" + s
+    elif op == "dots":
+        s = s + "." * 12
+    elif op == "truncate":
+        s = s[:-1]
+    elif op == "extra_closer":
+        s = s + "}"
+    elif op == "trailing_comma":
+        s = s[:-1] + ",}"
+    r = repair(s)
+    assert r.ok, (op, s[:120], r.error)
+    json.loads(r.repaired)  # canonical output must be valid JSON
