@@ -70,20 +70,23 @@ def q_exact_dedup(spark, sf_dir):
 
 
 def q_minhash_signatures(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    # small-file input -> spread the Arrow shingle kernel over all cores
+    d = _t(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism)
     sig = dedup.minhash_signatures(d)
     return sig.select(F.col("doc_id").cast("long").alias("doc_id"), *[f"mh{k}" for k in range(MINHASH_K)])
 
 
 def q_lsh_candidate_pairs(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    # small-file input -> spread the Arrow shingle kernel over all cores
+    d = _t(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism)
     return dedup.lsh_candidate_pairs(d).select(
         F.col("doc_a").cast("long").alias("doc_a"), F.col("doc_b").cast("long").alias("doc_b")
     )
 
 
 def q_jaccard_pairs(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    # small-file input -> spread the Arrow shingle kernel over all cores
+    d = _t(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism)
     return dedup.jaccard_pairs(d, threshold=0.5).select(
         F.col("doc_a").cast("long").alias("doc_a"),
         F.col("doc_b").cast("long").alias("doc_b"),
@@ -369,12 +372,16 @@ def _hex_to_int(expr: str, start: int, n: int) -> str:
 
 
 def _minhash_select() -> str:
-    h1 = _hex_to_int("hx", 1, 12)
-    h2 = _hex_to_int("hx", 13, 12)
-    aggs = ", ".join(f"min(h1 + {k} * h2) AS mh{k}" for k in range(MINHASH_K))
+    from json_remedy_spark.functions.dedup import MINHASH_A, MINHASH_B, MINHASH_P
+
+    h = _hex_to_int("hx", 1, 12)
+    aggs = ", ".join(
+        f"min((h * {MINHASH_A[k]} + {MINHASH_B[k]}) % {MINHASH_P}) AS mh{k}"
+        for k in range(MINHASH_K)
+    )
     return f"""
       SELECT doc_id, {aggs} FROM (
-        SELECT doc_id, {h1} AS h1, {h2} AS h2
+        SELECT doc_id, {h} AS h
         FROM (SELECT doc_id, md5(shingle) AS hx FROM ({_SHINGLES}))
       ) GROUP BY doc_id
     """

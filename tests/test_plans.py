@@ -39,15 +39,12 @@ def test_cosine_topk_broadcasts(spark):
     assert "Broadcast" in plan
 
 
-def test_minhash_partial_aggregation(spark):
-    """The groupBy(doc_id) must partial-aggregate map-side (two
-    HashAggregate nodes around one shuffle)."""
+def test_minhash_zero_shuffle(spark):
+    """MinHash signatures are per-document math: the plan must be
+    map-only — no Exchange at all."""
     from json_remedy_spark.functions.dedup import minhash_signatures
     from json_remedy_spark.plans.explain import executed_plan
 
     d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = executed_plan(minhash_signatures(d))
-    # min(string) aggs plan as SortAggregate; the invariant is the
-    # map-side partial pass and a single shuffle
-    assert "partial_min" in plan, plan
-    assert plan.count("Exchange") <= 2, plan
+    assert "Exchange" not in plan, plan
