@@ -120,7 +120,11 @@ def q_embedding_near_dup(spark, sf_dir):
     path, covered rows-only by lsh_ann_topk)."""
     from json_remedy_spark.functions.similarity import cosine, with_unit_norm, _dot
 
-    e = _t(spark, sf_dir, "embeddings").withColumn("embedding", F.col("embedding").cast("array<double>"))
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 1000)  # exact O(n^2) verifier on a bounded slice
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    )
     v = with_unit_norm(e).select(F.col("vec_id").alias("id"), "unit")
     pairs = (
         v.alias("a")
@@ -477,7 +481,7 @@ def oracle_sql() -> dict[str, str]:
           WITH v AS (
             SELECT vec_id AS id, list_transform(embedding::DOUBLE[], x -> x /
               greatest(sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y*y))), 1e-12)) AS unit
-            FROM embeddings
+            FROM embeddings WHERE vec_id < 1000
           )
           SELECT a.id::BIGINT AS id_a, b.id::BIGINT AS id_b,
                  round(list_sum(list_transform(list_zip(a.unit, b.unit), p -> p[1] * p[2])), 6)::DOUBLE AS cos

@@ -39,7 +39,7 @@ def make_spark(cores: int, app: str):
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
         .config("spark.sql.files.maxPartitionBytes", "16m")
-        .config("spark.driver.memory", "48g")
+        .config("spark.driver.memory", "16g")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -59,7 +59,7 @@ def corpus_parquet(spark, n_docs: int) -> str:
     if n_docs not in _CORPUS_CACHE:
         path = os.path.join(tempfile.gettempdir(), f"jrs_bench_corpus_{n_docs}")
         if not os.path.exists(os.path.join(path, "_SUCCESS")):
-            docs, _ = synthesize_corpus(spark, n_docs, partitions=32)
+            docs, _ = synthesize_corpus(spark, n_docs, partitions=160)
             docs.write.mode("overwrite").parquet(path)
         _CORPUS_CACHE[n_docs] = path
     return _CORPUS_CACHE[n_docs]
@@ -74,7 +74,7 @@ def run_pipeline(spark, n_docs: int, partitions: int = 0) -> tuple[float, int]:
     path = corpus_parquet(spark, n_docs)
     docs = spark.read.parquet(path)
     t0 = time.time()
-    out = quality_filter(docs)
+    out = quality_filter(docs, with_actions=False)
     agg = out.agg(
         F.count("*").alias("n"),
         F.sum(F.col("keep").cast("int")).alias("kept"),

@@ -62,28 +62,40 @@ def cosine_topk(
 N_PLANES = 8
 
 
-def _plane_component(dim_idx, plane: int):
-    """Deterministic pseudo-random hyperplane component in [-1, 1):
-    md5(plane:dim) -> 32-bit uniform."""
-    h = F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(str(plane)), dim_idx.cast("string"))), 1, 8), 16, 10)
-    return (h.cast("double") / F.lit(float(2**31)) - F.lit(1.0))
+def _plane_matrix(dims: int):
+    """Deterministic hyperplanes: md5(plane:dim) -> uniform [-1, 1).
+    Computed once driver/worker-side with numpy (the column-expression
+    formulation recomputed md5 per row x dim x plane, interpreted)."""
+    import hashlib
 
+    import numpy as np
 
-def lsh_bucket(col) -> "F.Column":
-    """Sign pattern over N_PLANES deterministic hyperplanes -> int bucket."""
-    bucket = F.lit(0)
+    m = np.empty((dims, N_PLANES), dtype=np.float64)
     for p in range(N_PLANES):
-        proj = F.aggregate(
-            F.zip_with(
-                col,
-                F.transform(F.sequence(F.lit(0), F.size(col) - 1), lambda i: _plane_component(i, p)),
-                lambda v, w: v * w,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(0)
-    return bucket
+        for d in range(dims):
+            h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16)
+            m[d, p] = h / float(2**31) - 1.0
+    return m
+
+
+def with_lsh_bucket(df: DataFrame, col: str = "embedding", out: str = "bucket") -> DataFrame:
+    """Sign pattern over N_PLANES deterministic hyperplanes -> int
+    bucket, vectorized: one numpy matmul per Arrow batch."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def bucket_udf(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        planes = _plane_matrix(mat.shape[1])
+        signs = (mat @ planes) > 0
+        weights = (1 << np.arange(N_PLANES)).astype(np.int64)
+        return pd.Series((signs @ weights).astype("int32"))
+
+    return df.withColumn(out, bucket_udf(F.col(col)))
 
 
 def lsh_bucketed_topk(
@@ -95,11 +107,11 @@ def lsh_bucketed_topk(
     col: str = "embedding",
 ) -> DataFrame:
     """ANN: exact cosine only among bucket-mates (recall < 1 by design)."""
-    v = with_unit_norm(vectors, col).select(
-        F.col(id_col).alias("vec_id"), F.col("unit").alias("v_unit"), lsh_bucket(F.col(col)).alias("bucket")
+    v = with_lsh_bucket(with_unit_norm(vectors, col), col).select(
+        F.col(id_col).alias("vec_id"), F.col("unit").alias("v_unit"), "bucket"
     )
-    q = with_unit_norm(queries, col).select(
-        F.col(q_id_col).alias("q_id"), F.col("unit").alias("q_unit"), lsh_bucket(F.col(col)).alias("bucket")
+    q = with_lsh_bucket(with_unit_norm(queries, col), col).select(
+        F.col(q_id_col).alias("q_id"), F.col("unit").alias("q_unit"), "bucket"
     )
     scored = v.join(F.broadcast(q), "bucket").select(
         "q_id", "vec_id", F.round(_dot(F.col("v_unit"), F.col("q_unit")), 6).alias("cos")
@@ -113,8 +125,8 @@ def embedding_near_dup(
 ) -> DataFrame:
     """Self-join near-duplicate pairs via LSH buckets (scale path) —
     cosine >= threshold, a < b."""
-    v = with_unit_norm(vectors, col).select(
-        F.col(id_col).alias("id"), F.col("unit"), lsh_bucket(F.col(col)).alias("bucket")
+    v = with_lsh_bucket(with_unit_norm(vectors, col), col).select(
+        F.col(id_col).alias("id"), F.col("unit"), "bucket"
     )
     pairs = (
         v.alias("a")

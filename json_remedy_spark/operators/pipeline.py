@@ -36,29 +36,36 @@ def keep_expr(
     )
 
 
-def quality_filter(docs: DataFrame, with_quality_cols: bool = False) -> DataFrame:
+def quality_filter(
+    docs: DataFrame,
+    with_quality_cols: bool = False,
+    with_actions: bool = True,
+) -> DataFrame:
     """Full pipeline.  Input: the web-page table; output adds
     ``repaired, ok, fast_path, n_repairs, layer_hits, lang_id, ppl,
-    q_pass, scrubbed, keep``."""
+    q_pass, scrubbed, keep`` (+ ``actions`` unless disabled — the
+    per-doc action strings are the widest Arrow payload; drop them
+    when lineage detail isn't consumed downstream)."""
     repair_udf = make_repair_udf()
 
     text = F.col("text")
+    repair_cols = [
+        F.col("r.repaired").alias("repaired"),
+        F.col("r.ok").alias("ok"),
+        F.col("r.fast_path").alias("fast_path"),
+        F.col("r.n_repairs").alias("n_repairs"),
+        F.col("r.layer_hits").alias("layer_hits"),
+        F.col("r.ppl").alias("ppl"),
+    ]
+    if with_actions:
+        repair_cols.append(F.col("r.actions").alias("actions"))
     out = (
         docs
         # JVM-side stages first: langid + quality fuse into the scan project
         .withColumn("lang_id", langid.detect_language(text))
         .withColumn("q_pass", quality.passes_quality(text))
         .withColumn("r", repair_udf(text))
-        .select(
-            "*",
-            F.col("r.repaired").alias("repaired"),
-            F.col("r.ok").alias("ok"),
-            F.col("r.fast_path").alias("fast_path"),
-            F.col("r.n_repairs").alias("n_repairs"),
-            F.col("r.layer_hits").alias("layer_hits"),
-            F.col("r.actions").alias("actions"),
-            F.col("r.ppl").alias("ppl"),
-        )
+        .select("*", *repair_cols)
         .drop("r")
         .withColumn("scrubbed", scrub.scrub(F.col("repaired")))
         .withColumn(
