@@ -202,6 +202,64 @@ def repair(
     return RepairResult(ok=True, value=value, repaired=to_canonical(value), repairs=log)
 
 
+def repair_with_debug(s: str | bytes) -> tuple[RepairResult, list[dict]]:
+    """Per-stage observability — mirrors ``repair_with_debug/2``
+    (lib/json_remedy.ex:297-343): for each stage, input/output sizes,
+    repair count and processing time in µs.  Stages here are the
+    kernel's real phases (clean / prepass / parse) rather than the
+    reference's five layers; layer attribution lives in each action's
+    ``layer`` field."""
+    import time as _time
+
+    steps: list[dict] = []
+    log: list = []
+    if isinstance(s, bytes):
+        s = cleaning.normalize_encoding(s, log)
+
+    t0 = _time.perf_counter()
+    v = _fast_path(s)
+    steps.append({
+        "stage": "fast_path", "status": "processed" if v is not SKIP else "skipped",
+        "input_size": len(s), "output_size": len(s), "repairs": 0,
+        "processing_time_us": int((_time.perf_counter() - t0) * 1e6),
+    })
+    if v is not SKIP:
+        return RepairResult(ok=True, value=v, repaired=to_canonical(v), fast_path=True), steps
+
+    def staged(name, fn, arg):
+        n0 = len(log)
+        t = _time.perf_counter()
+        out = fn(arg, log)
+        steps.append({
+            "stage": name, "status": "processed" if out != arg else "skipped",
+            "input_size": len(arg), "output_size": len(out),
+            "repairs": len(log) - n0,
+            "processing_time_us": int((_time.perf_counter() - t) * 1e6),
+        })
+        return out
+
+    work = staged("layer1_clean", cleaning.clean, s)
+    work = staged("prepass", prepass.apply, work)
+    t0 = _time.perf_counter()
+    n0 = len(log)
+    parser = TolerantParser(work, log=log)
+    try:
+        value = parser.parse()
+        status = "processed"
+    except RecursionError:
+        value = SKIP
+        status = "error"
+    steps.append({
+        "stage": "tolerant_parse", "status": status,
+        "input_size": len(work), "output_size": -1, "repairs": len(log) - n0,
+        "processing_time_us": int((_time.perf_counter() - t0) * 1e6),
+    })
+    if value is SKIP:
+        return RepairResult(ok=False, error="Could not repair JSON", repairs=log), steps
+    value = _unwrap_fenced_strings(value, log)
+    return RepairResult(ok=True, value=value, repaired=to_canonical(value), repairs=log), steps
+
+
 def repair_to_string(s: str | bytes, **kw) -> RepairResult:
     """Repair then re-serialize (lib/json_remedy.ex:152-165); canonical
     compact form is the byte-identical invariant column."""

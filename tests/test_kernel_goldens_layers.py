@@ -100,3 +100,18 @@ def test_repair_log_counts_three_missing_braces():
     r = repair('{"level1": {"level2": {"level3": "value"')
     closes = [a for a in r.repairs if "missing closing brace" in a["action"]]
     assert len(closes) >= 1  # we close LIFO in one pass; at least logged
+
+
+def test_repair_with_debug_stages():
+    from json_remedy_spark.kernel.pipeline import repair_with_debug
+
+    r, steps = repair_with_debug('```json\n{name: "Alice",}\n```')
+    assert r.ok and r.value == {"name": "Alice"}
+    names = [s["stage"] for s in steps]
+    assert names == ["fast_path", "layer1_clean", "prepass", "tolerant_parse"]
+    assert steps[0]["status"] == "skipped" or steps[0]["status"] == "processed"
+    assert all("processing_time_us" in s for s in steps)
+    assert sum(s["repairs"] for s in steps) == len(r.repairs)
+
+    r2, steps2 = repair_with_debug('{"a": 1}')
+    assert r2.fast_path and len(steps2) == 1
