@@ -699,7 +699,11 @@ class TolerantParser:
                 name = tag.split()[0].lower().rstrip("/") if tag else ""
                 out.append(self.s[self.i : close + 1])
                 self.i = close + 1
-                if tag.startswith("!") or tag.endswith("/") or name in void:
+                if tag.startswith("!"):
+                    # DOCTYPE / comments are prologue — the blob isn't
+                    # closed until a real element tree closes
+                    continue
+                if tag.endswith("/") or name in void:
                     pass
                 elif tag.startswith("/"):
                     depth -= 1
