@@ -60,7 +60,9 @@ _FENCE_TERMINATOR = [
 # trailing delimiter, letter-initial content only, anchored at EOF
 # (layer3/syntax_normalization.ex:424-434; lib/json_remedy.ex:645-688)
 _UNCLOSED_BEFORE_DELIM = [
-    (re.compile(r'(:\s*"[A-Za-z][^"\n]*?)\s*([}\]])\s*$'), r'\1"\2'),
+    # end-of-input or end-of-line (truncated docs may carry trailing
+    # wrapper prose on later lines)
+    (re.compile(r'(:\s*"[A-Za-z][^"\n]*?)\s*([}\]])[ \t]*(?=\n|$)'), r'\1"\2'),
 ]
 
 

@@ -197,7 +197,9 @@ class TolerantParser:
             self._rec("layer2", "removed spurious opening brace")
             self.i += 1
             return SKIP
-        if c == "{" and self._looks_like_doubled_opener("{"):
+        if c == "{" and not self.ctx and self._looks_like_doubled_opener("{"):
+            # top-level only: a nested `[[…]]`/`{{…}}` tail at EOF is far
+            # more likely a truncated document than a doubled opener
             self._rec("layer2", "removed extra opening brace")
             self.i += 1
 
@@ -454,7 +456,7 @@ class TolerantParser:
         assert self._peek() == "["
         self.i += 1
         c = self._skip_ws()
-        if c == "[" and self._looks_like_doubled_opener("["):
+        if c == "[" and not self.ctx and self._looks_like_doubled_opener("["):
             self._rec("layer2", "removed extra opening bracket")
             self.i += 1
         arr: list[Any] = []
@@ -527,6 +529,11 @@ class TolerantParser:
                     self.i += 1
                     break
                 nxt, k = self._next_nonws(self.i + 1)
+                if "\n" in self.s[self.i + 1 : k]:
+                    # a line break after the quote ends the value even if
+                    # prose follows (truncated docs with trailing text)
+                    self.i += 1
+                    break
                 if nxt in (",", "]", ":", ""):
                     self.i += 1
                     break
@@ -643,9 +650,11 @@ class TolerantParser:
         else:
             terms = ",}]\n"
         out: list[str] = []
+        ended_at = ""
         while self.i < self.n:
             ch = self.s[self.i]
             if ch in terms:
+                ended_at = ch
                 break
             if ch in _QUOTES:
                 # `abcdef"` — orphan right quote terminates the token
@@ -659,6 +668,14 @@ class TolerantParser:
         token = "".join(out).strip()
         if not token:
             return SKIP
+        if ctx == _Frame.OBJECT_KEY and ended_at in ("\n", "") and token not in _LITERALS:
+            # an unquoted "key" that ran to end-of-line/EOF with no colon
+            # is trailing wrapper prose inside a truncated object — drop
+            # the whole line rather than fabricating a pair
+            nxt, _ = self._next_nonws(self.i)
+            if nxt != ":":
+                self._rec("layer1", "skipped wrapper prose line inside object")
+                return SKIP
         self._rec(
             "layer3",
             "quoted unquoted key" if ctx == _Frame.OBJECT_KEY else "quoted unquoted string value",
