@@ -59,6 +59,9 @@ MALFORMED_CLASSES = [
     "trailing_comma", "missing_comma", "ellipsis", "underscore_number",
     "leading_dot_number", "thousands_number", "unquoted_value",
     "multiple_json", "object_merge", "unclosed_string",
+    # stacked defects — real LLM output rarely fails one way at a time
+    "combo_fence_trailing_comma", "combo_comment_missing_closer",
+    "combo_quotes_literals", "combo_prose_unquoted_keys",
 ]
 DROP_CLASSES = ["plain_text", "garbage"]
 
@@ -202,6 +205,22 @@ def _malform(cls: str, value: dict, rng: random.Random):
         v2 = dict(value)
         v2[k] = extra
         return s + f', "{k}": "{extra}"}}', v2
+    if cls == "combo_fence_trailing_comma":
+        return f"```json\n{s[:-1]},}}\n```", value
+    if cls == "combo_comment_missing_closer":
+        return f"// model output below\n{s[:-1]}", value
+    if cls == "combo_quotes_literals":
+        if any('"' in str(v) or "'" in str(v) for v in value.values()):
+            return s, value
+        v2 = dict(value)
+        v2["flag"] = True
+        s2 = _canon(v2).replace('"', "'")
+        return s2[::-1].replace("true"[::-1], "True"[::-1], 1)[::-1], v2
+    if cls == "combo_prose_unquoted_keys":
+        out = s
+        for k in value:
+            out = out.replace(f'"{k}":', f"{k}:", 1)
+        return f"Model says => {out} <= end of output", value
     if cls == "unclosed_string":
         v2 = dict(value)
         word = rng.choice(_WORDS)
