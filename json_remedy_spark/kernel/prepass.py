@@ -76,6 +76,8 @@ def normalize_smart_quotes(s: str, log: list) -> str:
 def extract_fenced_json_in_strings(s: str, log: list) -> str:
     """`: "```json {…}```"` -> `: {…}` (only when inner starts with { or [,
     so `"```json"`-style literals survive — recent_python_cases:189-219)."""
+    if "```" not in s:
+        return s
 
     def repl(m: re.Match) -> str:
         inner = m.group(2)
@@ -88,6 +90,8 @@ def extract_fenced_json_in_strings(s: str, log: list) -> str:
 
 
 def fix_fence_terminators(s: str, log: list) -> str:
+    if "```" not in s:
+        return s
     before = s
     for pat, rep in _FENCE_TERMINATOR:
         s = pat.sub(rep, s)
@@ -97,6 +101,8 @@ def fix_fence_terminators(s: str, log: list) -> str:
 
 
 def filter_ellipsis(s: str, log: list) -> str:
+    if "..." not in s:  # cheap gate before 5 regex passes
+        return s
     changed = True
     hit = False
     while changed:
@@ -111,7 +117,12 @@ def filter_ellipsis(s: str, log: list) -> str:
     return s
 
 
+_KEYWORD_PROBE = re.compile(KEYWORDS)
+
+
 def filter_keywords(s: str, log: list) -> str:
+    if not _KEYWORD_PROBE.search(s):  # one scan instead of 4 sub passes
+        return s
     before = s
     for pat, rep in KEYWORD_PATTERNS:
         s = pat.sub(rep, s)

@@ -37,6 +37,38 @@ def repair_stream_from_files(spark: SparkSession, in_dir: str) -> DataFrame:
     return repair_stream(lines)
 
 
+def repair_metrics_stream(
+    events: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Windowed repair-rate metrics with late-data handling.
+
+    The repair itself needs no state (rows independent, reference
+    parity); the *metrics* side-output is the one genuinely stateful
+    streaming piece: tumbling event-time windows of repair outcomes
+    with a watermark bounding state (docs arriving later than
+    ``watermark`` are dropped from their window).
+
+    ``events`` must be a streaming frame with ``ts: timestamp`` and
+    ``text: string``.  Append mode downstream emits a window only once
+    its watermark passes — bounded state on a 10^12-doc firehose.
+    """
+    r = make_repair_udf()(F.col("text"))
+    return (
+        events.withWatermark("ts", watermark)
+        .withColumn("ok", r["ok"] & (r["repaired"] != F.lit('""')))
+        .groupBy(F.window("ts", window), F.col("ok"))
+        .agg(F.count("*").alias("docs"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "ok",
+            "docs",
+        )
+    )
+
+
 def run_once(spark: SparkSession, in_dir: str, out_dir: str, checkpoint_dir: str) -> None:
     """Drain all available input once (test/batch-catchup mode)."""
     q = (

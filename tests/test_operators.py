@@ -136,3 +136,41 @@ def test_salted_repartition_is_deterministic_data(spark):
     df = spark.range(1000).select(F.concat(F.lit("u"), F.col("id")).alias("url"))
     out = salted_repartition(df, 8)
     assert out.count() == 1000
+
+
+def test_streaming_windowed_metrics(spark, tmp_path):
+    """Watermarked tumbling-window repair metrics over a file stream."""
+    import datetime as dt
+
+    from json_remedy_spark.streaming.stream_repair import repair_metrics_stream
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        (base, '{"a": 1}'),
+        (base + dt.timedelta(seconds=30), "{bad: json,}"),
+        (base + dt.timedelta(minutes=1, seconds=10), "plain prose line"),
+        (base + dt.timedelta(minutes=1, seconds=40), '{"c": [1,2,]}'),
+    ]
+    spark.createDataFrame(rows, "ts timestamp, text string").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src))
+
+    stream = spark.readStream.schema("ts timestamp, text string").parquet(str(src))
+    agg = repair_metrics_stream(stream, window="1 minute", watermark="2 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_metrics")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["window_start"].minute, r["ok"]): r["docs"]
+        for r in spark.sql("select * from win_metrics").collect()
+    }
+    assert got[(0, True)] == 2   # {"a":1} + repaired {bad: json,}
+    assert got[(1, True)] == 1   # {"c":[1,2,]}
+    assert got[(1, False)] == 1  # prose line dropped
