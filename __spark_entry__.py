@@ -314,6 +314,31 @@ def q_layer_hits(spark, sf_dir):
     return layer_hit_counts(r)
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing rolling-hash fingerprints (doc_id, fingerprint)."""
+    from json_remedy_spark.functions.textstats import rolling_fingerprints
+
+    d = _t(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism)
+    return rolling_fingerprints(d).distinct().select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("fingerprint").cast("long").alias("fingerprint"),
+    )
+
+
+def q_ivf_ann_topk(spark, sf_dir):
+    """IVF-routed ANN top-k (rows-only; recall<1 by design)."""
+    from json_remedy_spark.functions.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings").withColumn("embedding", F.col("embedding").cast("array<double>"))
+    queries = e.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
+    return ivf_topk(e, queries, k=5).select(
+        F.col("q_id").cast("long").alias("q_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cos").cast("double").alias("cos"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_repair_metrics(spark, sf_dir):
     """Repair-rule frequency table (reference analyze/1) — rows-only."""
     from json_remedy_spark.operators.metrics import repair_action_frequencies
@@ -341,7 +366,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "can_repair": q_can_repair,
         "event_metrics": q_event_metrics,
         "keep_drop": q_keep_drop,
+        "winnow_fingerprints": q_winnow_fingerprints,
         # rows-only:
+        "ivf_ann_topk": q_ivf_ann_topk,
         "repair_documents": q_repair_documents,
         "perplexity": q_perplexity,
         "media_features": q_media_features,
@@ -535,6 +562,28 @@ def oracle_sql() -> dict[str, str]:
                      )
                    ) AS can_repair
             FROM documents
+        """,
+        "winnow_fingerprints": f"""
+            WITH grams AS (
+              SELECT doc_id, i,
+                     array_to_string((regexp_split_to_array({_NORM}, ' '))[i : i + 4], ' ') AS g
+              FROM (
+                SELECT doc_id, text,
+                       unnest(range(1, greatest(len(regexp_split_to_array({_NORM}, ' ')) - 3, 2))) AS i
+                FROM documents
+              )
+            ),
+            hs AS (SELECT doc_id, i, {_hex_to_int("md5(g)", 1, 12)} AS h FROM grams),
+            counts AS (SELECT doc_id, count(*) AS n FROM hs GROUP BY doc_id),
+            wins AS (
+              SELECT a.doc_id, a.i, min(b.h) AS m
+              FROM hs a
+              JOIN counts c ON c.doc_id = a.doc_id
+              JOIN hs b ON b.doc_id = a.doc_id AND b.i >= a.i AND b.i <= a.i + 3
+              WHERE a.i <= greatest(c.n - 3, 1)
+              GROUP BY a.doc_id, a.i
+            )
+            SELECT DISTINCT doc_id::BIGINT AS doc_id, m::BIGINT AS fingerprint FROM wins
         """,
         "event_metrics": """
             SELECT event_type, count(*)::BIGINT AS n,

@@ -120,6 +120,81 @@ def lsh_bucketed_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+N_IVF_CELLS = 16
+N_IVF_PROBES = 4
+
+
+def _ivf_centroids(vectors: DataFrame, col: str, cells: int):
+    """Deterministic centroids: the ``cells`` vectors with the smallest
+    md5(vec_id) act as seeds (k-means++ without iteration — adequate
+    for routing, reproducible, no fit step to ship)."""
+    import numpy as np
+
+    seed_rows = (
+        vectors.select(F.col(col).alias("v"), F.md5(F.col("vec_id").cast("string")).alias("h"))
+        .orderBy("h")
+        .limit(cells)
+        .collect()
+    )
+    return np.array([r["v"] for r in seed_rows], dtype=np.float64)
+
+
+def with_ivf_cell(df: DataFrame, centroids, col: str = "embedding", n_probes: int = 1) -> DataFrame:
+    """Assign each vector its nearest centroid cell(s) — numpy matmul
+    per Arrow batch; ``n_probes``>1 explodes a row into its closest
+    cells (query-side fanout)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cen = np.asarray(centroids, dtype=np.float64)
+    cen_unit = cen / np.maximum(np.linalg.norm(cen, axis=1, keepdims=True), 1e-12)
+
+    @pandas_udf("array<int>")
+    def cells_udf(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ cen_unit.T
+        order = np.argsort(-sims, axis=1)[:, :n_probes]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    return df.withColumn("ivf_cells", cells_udf(F.col(col)))
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    q_id_col: str = "q_id",
+    col: str = "embedding",
+    cells: int = N_IVF_CELLS,
+    probes: int = N_IVF_PROBES,
+) -> DataFrame:
+    """IVF ANN: corpus vectors live in 1 cell, queries probe their
+    ``probes`` nearest cells; exact cosine only within probed cells.
+    At 100 TB the corpus side is written bucketed by cell so a query
+    touches cells/probes of the data."""
+    centroids = _ivf_centroids(vectors, col, cells)
+    v = with_ivf_cell(with_unit_norm(vectors, col), centroids, col, n_probes=1).select(
+        F.col(id_col).alias("vec_id"),
+        F.col("unit").alias("v_unit"),
+        F.explode("ivf_cells").alias("cell"),
+    )
+    q = with_ivf_cell(with_unit_norm(queries, col), centroids, col, n_probes=probes).select(
+        F.col(q_id_col).alias("q_id"),
+        F.col("unit").alias("q_unit"),
+        F.explode("ivf_cells").alias("cell"),
+    )
+    scored = v.join(F.broadcast(q), "cell").select(
+        "q_id", "vec_id", F.round(_dot(F.col("v_unit"), F.col("q_unit")), 6).alias("cos")
+    ).groupBy("q_id", "vec_id").agg(F.max("cos").alias("cos"))
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def embedding_near_dup(
     vectors: DataFrame, threshold: float = 0.95, id_col: str = "vec_id", col: str = "embedding"
 ) -> DataFrame:

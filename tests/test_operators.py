@@ -174,3 +174,29 @@ def test_streaming_windowed_metrics(spark, tmp_path):
     assert got[(0, True)] == 2   # {"a":1} + repaired {bad: json,}
     assert got[(1, True)] == 1   # {"c":[1,2,]}
     assert got[(1, False)] == 1  # prose line dropped
+
+
+def test_ivf_ann_recall(spark):
+    """IVF ANN must return the true top-1 for self-queries (vector's
+    own cell is always probed)."""
+    from json_remedy_spark.functions.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = emb.where(F.col("vec_id") < 3).select(F.col("vec_id").alias("q_id"), "embedding")
+    top1 = ivf_topk(emb, q, k=1).collect()
+    assert all(r["vec_id"] == r["q_id"] and r["cos"] == 1.0 for r in top1)
+
+
+def test_winnow_fingerprints_overlap(spark, docs):
+    """Near-dup docs share most fingerprints; unrelated docs share none."""
+    from json_remedy_spark.functions.textstats import rolling_fingerprints
+
+    fps = rolling_fingerprints(docs).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert by_doc[0] == by_doc[1] == by_doc[4]
+    assert by_doc[0] & by_doc[2]          # near-dup overlaps
+    assert not (by_doc[0] & by_doc[3])    # unrelated disjoint
