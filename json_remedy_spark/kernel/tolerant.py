@@ -237,6 +237,14 @@ class TolerantParser:
                     return SKIP
                 break
             if c == ",":
+                # comma-triggered context closure (structural_repair.ex:
+                # 340-343, 402-462): `, {` or `, [` in key position with
+                # an array frame buried below means this object was left
+                # unclosed — close it and let the array consume the comma
+                nxt, _ = self._next_nonws(self.i + 1)
+                if nxt in "{[" and _Frame.ARRAY in self.ctx:
+                    self._rec("layer2", "added missing closing brace before next element")
+                    break
                 self.i += 1
                 continue
             if c not in _QUOTES and not c.isalpha() and c != "_" and not c.isdigit():

@@ -115,3 +115,19 @@ def test_repair_with_debug_stages():
 
     r2, steps2 = repair_with_debug('{"a": 1}')
     assert r2.fast_path and len(steps2) == 1
+
+
+def test_issue8_missing_terminators_crlf():
+    """issue8_missing_terminators_test.exs:8-44 — unclosed object in an
+    array closed by the comma before the next element, under \n and \r\n."""
+    inp = (
+        '{\n    "foo": [\n        {\n            "bar": {\n'
+        '                "baz":  {\n        }},\n        {\n'
+        '            "foo": {\n                "bar":  1\n'
+        "            }\n        }\n    ]\n}\n"
+    )
+    exp = {"foo": [{"bar": {"baz": {}}}, {"foo": {"bar": 1}}]}
+    for nl in ("\n", "\r\n"):
+        s = inp.replace("\n", nl) if nl != "\n" else inp
+        r = repair(s)
+        assert r.ok and r.value == exp, (nl, r.value)

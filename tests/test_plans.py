@@ -48,3 +48,20 @@ def test_minhash_zero_shuffle(spark):
     d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = executed_plan(minhash_signatures(d))
     assert "Exchange" not in plan, plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Both sides bucketed by the join key -> exchange-free join."""
+    from json_remedy_spark.operators.bucketing import bucketed_join, write_bucketed
+    from json_remedy_spark.plans.explain import executed_plan
+
+    left = spark.range(1000).selectExpr("concat('u', id) AS url", "id AS a")
+    right = spark.range(1000).selectExpr("concat('u', id) AS url", "id * 2 AS b")
+    write_bucketed(left, "t_left", n_buckets=8)
+    write_bucketed(right, "t_right", n_buckets=8)
+    joined = bucketed_join(spark, "t_left", "t_right")
+    plan = executed_plan(joined)
+    assert "Exchange" not in plan, plan
+    assert joined.count() == 1000
+    spark.sql("DROP TABLE t_left")
+    spark.sql("DROP TABLE t_right")
