@@ -57,11 +57,20 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
 
     left = spark.range(1000).selectExpr("concat('u', id) AS url", "id AS a")
     right = spark.range(1000).selectExpr("concat('u', id) AS url", "id * 2 AS b")
+    spark.sql("DROP TABLE IF EXISTS t_left")
+    spark.sql("DROP TABLE IF EXISTS t_right")
     write_bucketed(left, "t_left", n_buckets=8)
     write_bucketed(right, "t_right", n_buckets=8)
-    joined = bucketed_join(spark, "t_left", "t_right")
-    plan = executed_plan(joined)
-    assert "Exchange" not in plan, plan
-    assert joined.count() == 1000
-    spark.sql("DROP TABLE t_left")
-    spark.sql("DROP TABLE t_right")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, "t_left", "t_right")
+        plan = executed_plan(joined)
+        # matching bucket specs -> SortMergeJoin with no shuffle exchange
+        assert "hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE t_left")
+        spark.sql("DROP TABLE t_right")
