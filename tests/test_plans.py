@@ -55,16 +55,18 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     from json_remedy_spark.operators.bucketing import bucketed_join, write_bucketed
     from json_remedy_spark.plans.explain import executed_plan
 
+    import uuid
+
+    suffix = uuid.uuid4().hex[:8]
+    t_left, t_right = f"t_left_{suffix}", f"t_right_{suffix}"
     left = spark.range(1000).selectExpr("concat('u', id) AS url", "id AS a")
     right = spark.range(1000).selectExpr("concat('u', id) AS url", "id * 2 AS b")
-    spark.sql("DROP TABLE IF EXISTS t_left")
-    spark.sql("DROP TABLE IF EXISTS t_right")
-    write_bucketed(left, "t_left", n_buckets=8)
-    write_bucketed(right, "t_right", n_buckets=8)
+    write_bucketed(left, t_left, n_buckets=8)
+    write_bucketed(right, t_right, n_buckets=8)
     prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        joined = bucketed_join(spark, "t_left", "t_right")
+        joined = bucketed_join(spark, t_left, t_right)
         plan = executed_plan(joined)
         # matching bucket specs -> SortMergeJoin with no shuffle exchange
         assert "hashpartitioning" not in plan, plan
@@ -72,5 +74,5 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         assert joined.count() == 1000
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-        spark.sql("DROP TABLE t_left")
-        spark.sql("DROP TABLE t_right")
+        spark.sql(f"DROP TABLE {t_left}")
+        spark.sql(f"DROP TABLE {t_right}")
