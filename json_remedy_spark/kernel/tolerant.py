@@ -43,6 +43,8 @@ _LITERALS = {
 # Reference literal table: lib/json_remedy/layer3/literal_processors.ex:17-25
 
 _NUM_START = set("0123456789-.")
+# chars the string scanner must stop at; everything else bulk-copies
+_STR_SPECIAL = re.compile(r"[\\\"'“”‘’\n\}\]]")
 _IDENT = re.compile(r"[A-Za-z0-9_$-￿]")
 
 _RE_UNDERSCORE_INT = re.compile(r"^-?\d+(?:_\d+)+$")
@@ -523,6 +525,15 @@ class TolerantParser:
         out: list[str] = []
         saw_embedded = False
         while self.i < self.n:
+            # bulk-copy the run of ordinary characters (regex jump —
+            # a per-char Python loop is the kernel's hottest spot)
+            m = _STR_SPECIAL.search(self.s, self.i)
+            j = m.start() if m else self.n
+            if j > self.i:
+                out.append(self.s[self.i : j])
+                self.i = j
+                if self.i >= self.n:
+                    break
             ch = self.s[self.i]
             if ch == "\\":
                 self.i += 1
