@@ -141,25 +141,38 @@ def main():
         #     windows last minutes and would poison one level wholesale.
         n_small, n_big = 4, 16
         eff_cores = _effective_cores()
-        scal = {n_small: 0.0, n_big: 0.0}
-        ceil = {n_small: 0.0, n_big: 0.0}
-        # 3 interleaved passes; the ceiling child runs adjacent to each
-        # engine child so both face the same steal window, and max-over-
-        # passes lets every series catch a quiet window
-        for _ in range(3):
-            for cores in (n_small, n_big):
-                scal[cores] = max(scal[cores], _scaling_child(cores))
-                ceil[cores] = max(ceil[cores], _kernel_child(cores))
-        eff = (scal[n_big] / scal[n_small]) / (n_big / n_small)
-        ceiling = (ceil[n_big] / ceil[n_small]) / (n_big / n_small)
+        # The host's steal episodes can outlast a whole measurement
+        # pass, so each pass measures engine AND bare-kernel ceiling at
+        # both levels; the kernel ceiling doubles as a STEAL DETECTOR:
+        # a pass is accepted only if the coordination-free kernel
+        # itself scaled sanely (>= SANE_CEILING) during it.  Up to
+        # MAX_PASSES; if none qualify, the best-ceiling pass is
+        # reported with host_contended=true.
+        SANE_CEILING = 0.70
+        MAX_PASSES = 5
+        best = None
+        for _ in range(MAX_PASSES):
+            e4 = _scaling_child(n_small)
+            k4 = _kernel_child(n_small)
+            e16 = _scaling_child(n_big)
+            k16 = _kernel_child(n_big)
+            pass_ceiling = (k16 / k4) / (n_big / n_small)
+            pass_eff = (e16 / e4) / (n_big / n_small)
+            rec = {"e4": e4, "e16": e16, "ceiling": pass_ceiling, "eff": pass_eff}
+            if best is None or pass_ceiling > best["ceiling"]:
+                best = rec
+            if pass_ceiling >= SANE_CEILING:
+                break
+        eff, ceiling = best["eff"], best["ceiling"]
         results["scaling"] = {
-            f"docs_per_sec_{n_small}": round(scal[n_small], 1),
-            f"docs_per_sec_{n_big}": round(scal[n_big], 1),
+            f"docs_per_sec_{n_small}": round(best["e4"], 1),
+            f"docs_per_sec_{n_big}": round(best["e16"], 1),
             f"efficiency_{n_small}_to_{n_big}": round(eff, 3),
             "cpu_pinned": bool(__import__("shutil").which("taskset")),
             "host_effective_cores": round(eff_cores, 1),
             f"host_mp_ceiling_{n_small}_to_{n_big}": round(ceiling, 3),
             "efficiency_vs_host_ceiling": round(min(eff / ceiling, 1.0), 3) if ceiling else None,
+            "host_contended": ceiling < SANE_CEILING,
         }
 
     print(json.dumps(results))
