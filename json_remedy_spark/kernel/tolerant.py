@@ -247,6 +247,8 @@ class TolerantParser:
                 if nxt in "{[" and _Frame.ARRAY in self.ctx:
                     self._rec("layer2", "added missing closing brace before next element")
                     break
+                if nxt == "}":
+                    self._rec("layer3", "removed trailing comma")
                 self.i += 1
                 continue
             if c not in _QUOTES and not c.isalpha() and c != "_" and not c.isdigit():
@@ -486,6 +488,9 @@ class TolerantParser:
                     self.i += 1
                     break
                 if c == ",":
+                    nxt, _ = self._next_nonws(self.i + 1)
+                    if nxt == "]":
+                        self._rec("layer3", "removed trailing comma")
                     self.i += 1
                     continue
                 v = self.parse_value()

@@ -1,0 +1,56 @@
+"""Repair-action lineage: each malformation class must surface its
+characteristic action in the log (FIXTURES.md §3 expected_repair_actions)."""
+
+from collections import defaultdict
+
+from json_remedy_spark.kernel import repair
+from json_remedy_spark.sources.webpages import make_row
+
+# class -> substring expected in at least one action for most rows.
+# Classes served entirely by the C-scanner span fast path surface the
+# generic span action instead.
+EXPECTED = {
+    "code_fence": ("span fast path", "removed code fences"),
+    "line_comment": ("span fast path", "removed comments"),
+    "block_comment": ("span fast path", "removed comments"),
+    "html_pre": ("span fast path", "extracted JSON from html wrapper"),
+    "prose_wrap": ("span fast path",),
+    "trailing_dots": ("span fast path", "removed trailing dots"),
+    "missing_closer": ("missing closing",),
+    "extra_closer": ("span fast path",),
+    "mismatched": ("missing closing", "rewrote"),
+    "single_quotes": ("normalized quote",),
+    "smart_quotes": ("normalized smart quotes",),
+    "unquoted_keys": ("quoted unquoted key",),
+    "python_literals": ("normalized literal",),
+    "trailing_comma": (",",),  # any comma action
+    "ellipsis": ("ellipsis",),
+    "underscore_number": ("underscore",),
+    "thousands_number": ("thousands",),
+    "unquoted_value": ("quoted unquoted string value",),
+    "object_merge": ("merged object boundary",),
+    "plain_text": ("plain text",),
+}
+
+
+def test_actions_match_class():
+    actions_by_class = defaultdict(list)
+    for i in range(4000):
+        row = make_row(i)
+        r = repair(row["text"])
+        actions_by_class[row["malformation_class"]].append(
+            [a["action"] for a in r.repairs]
+        )
+    for cls, keywords in EXPECTED.items():
+        rows = actions_by_class.get(cls)
+        if not rows:
+            continue
+        # malformers no-op when the random value would make the rewrite
+        # ambiguous; those rows legitimately take a fast path
+        kws = keywords + ("span fast path",)
+        hit = sum(
+            1
+            for acts in rows
+            if any(any(kw in a for a in acts) for kw in kws)
+        )
+        assert hit / len(rows) >= 0.9, (cls, rows[:3])
