@@ -23,7 +23,7 @@ EXPECTED = {
     "smart_quotes": ("normalized smart quotes",),
     "unquoted_keys": ("quoted unquoted key",),
     "python_literals": ("normalized literal",),
-    "trailing_comma": (",",),  # any comma action
+    "trailing_comma": ("trailing comma",),
     "ellipsis": ("ellipsis",),
     "underscore_number": ("underscore",),
     "thousands_number": ("thousands",),
