@@ -151,11 +151,14 @@ def main():
         SANE_CEILING = 0.70
         MAX_PASSES = 5
         best = None
+        emax = {n_small: 0.0, n_big: 0.0}
         for _ in range(MAX_PASSES):
             e4 = _scaling_child(n_small)
             k4 = _kernel_child(n_small)
             e16 = _scaling_child(n_big)
             k16 = _kernel_child(n_big)
+            emax[n_small] = max(emax[n_small], e4)
+            emax[n_big] = max(emax[n_big], e16)
             pass_ceiling = (k16 / k4) / (n_big / n_small)
             pass_eff = (e16 / e4) / (n_big / n_small)
             rec = {"e4": e4, "e16": e16, "ceiling": pass_ceiling, "eff": pass_eff}
@@ -165,8 +168,12 @@ def main():
                 break
         eff, ceiling = best["eff"], best["ceiling"]
         results["scaling"] = {
+            # efficiency from the cleanest-window pass (engine+ceiling
+            # measured adjacently); absolutes = best observed capability
             f"docs_per_sec_{n_small}": round(best["e4"], 1),
             f"docs_per_sec_{n_big}": round(best["e16"], 1),
+            f"docs_per_sec_{n_small}_best": round(emax[n_small], 1),
+            f"docs_per_sec_{n_big}_best": round(emax[n_big], 1),
             f"efficiency_{n_small}_to_{n_big}": round(eff, 3),
             "cpu_pinned": bool(__import__("shutil").which("taskset")),
             "host_effective_cores": round(eff_cores, 1),
