@@ -205,6 +205,16 @@ class TolerantParser:
             self._rec("layer2", "removed extra opening brace")
             self.i += 1
 
+        # `{"key", 105,12,}` -> {"key": "105,12"} — a single quoted key,
+        # comma instead of colon, numeric tail joined as one string
+        # (number_edge_cases_test.exs:264-268); must win over brace-set
+        # coercion below
+        m = re.match(r'\s*"((?:[^"\\]|\\.)*)"\s*,\s*([\d.,\s]+)\}', self.s[self.i :])
+        if m:
+            self._rec("layer3", "joined comma-separated value into string")
+            self.i += m.end()
+            return {m.group(1): m.group(2).strip().rstrip(",").strip()}
+
         # Brace-wrapped value set `{'a','b'}` -> array (reference
         # utils/structure_coercion.ex:5-57): no colon but a comma at
         # depth 0.  A colon-less, comma-less `{"a" "b"}` — or one with

@@ -338,3 +338,8 @@ def test_logging_nonempty_for_repairs():
 def test_canonical_serialization():
     r = repair('{name: "Alice", age: 30}')
     assert r.repaired == '{"name":"Alice","age":30}'
+
+
+def test_comma_instead_of_colon_numeric_tail():
+    # number_edge_cases_test.exs:264-268
+    assert rep('{"key", 105,12,}') == {"key": "105,12"}
