@@ -200,3 +200,14 @@ def test_winnow_fingerprints_overlap(spark, docs):
     assert by_doc[0] == by_doc[1] == by_doc[4]
     assert by_doc[0] & by_doc[2]          # near-dup overlaps
     assert not (by_doc[0] & by_doc[3])    # unrelated disjoint
+
+
+def test_from_file_wholetext(spark, tmp_path):
+    """from_file parity (lib/json_remedy.ex:182-187): whole file = one doc."""
+    from json_remedy_spark.sources.readers import from_file
+
+    p = tmp_path / "invalid.json"
+    p.write_text('// header comment\n{name: "Weiss Savage", "age": 30,}\n')
+    row = from_file(spark, str(p)).collect()[0]
+    assert row["ok"] and row["repaired"] == '{"name":"Weiss Savage","age":30}'
+    assert row["n_repairs"] > 0
