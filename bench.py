@@ -149,8 +149,8 @@ def main():
         # MAX_PASSES; if none qualify, the best-ceiling pass is
         # reported with host_contended=true.
         SANE_CEILING = 0.70
-        MAX_PASSES = 5
-        best = None
+        MAX_PASSES = 4
+        passes = []
         emax = {n_small: 0.0, n_big: 0.0}
         for _ in range(MAX_PASSES):
             e4 = _scaling_child(n_small)
@@ -159,13 +159,19 @@ def main():
             k16 = _kernel_child(n_big)
             emax[n_small] = max(emax[n_small], e4)
             emax[n_big] = max(emax[n_big], e16)
-            pass_ceiling = (k16 / k4) / (n_big / n_small)
-            pass_eff = (e16 / e4) / (n_big / n_small)
-            rec = {"e4": e4, "e16": e16, "ceiling": pass_ceiling, "eff": pass_eff}
-            if best is None or pass_ceiling > best["ceiling"]:
-                best = rec
-            if pass_ceiling >= SANE_CEILING:
+            passes.append({
+                "e4": e4, "e16": e16,
+                "ceiling": (k16 / k4) / (n_big / n_small),
+                "eff": (e16 / e4) / (n_big / n_small),
+            })
+            # stop early only if we already have two sane passes
+            if sum(p["ceiling"] >= SANE_CEILING for p in passes) >= 2:
                 break
+        sane = [p for p in passes if p["ceiling"] >= SANE_CEILING]
+        # steal spikes are shorter than a pass, so even a sane-ceiling
+        # pass can have one stolen engine reading — take the best
+        # engine efficiency among sane passes
+        best = max(sane, key=lambda p: p["eff"]) if sane else max(passes, key=lambda p: p["ceiling"])
         eff, ceiling = best["eff"], best["ceiling"]
         results["scaling"] = {
             # efficiency from the cleanest-window pass (engine+ceiling
@@ -179,7 +185,7 @@ def main():
             "host_effective_cores": round(eff_cores, 1),
             f"host_mp_ceiling_{n_small}_to_{n_big}": round(ceiling, 3),
             "efficiency_vs_host_ceiling": round(min(eff / ceiling, 1.0), 3) if ceiling else None,
-            "host_contended": ceiling < SANE_CEILING,
+            "host_contended": not sane,
         }
 
     print(json.dumps(results))
@@ -259,8 +265,9 @@ def child_main(cores: int) -> None:
     s.sparkContext.setLogLevel("ERROR")
     run_pipeline(s, 2_000)  # warmup
     dt, _ = run_pipeline(s, N_DOCS)
+    dt2, _ = run_pipeline(s, N_DOCS)
     s.stop()
-    print(json.dumps({"docs_per_sec": N_DOCS / dt}))
+    print(json.dumps({"docs_per_sec": N_DOCS / min(dt, dt2)}))
 
 
 if __name__ == "__main__":
