@@ -43,6 +43,7 @@ _LITERALS = {
 # Reference literal table: lib/json_remedy/layer3/literal_processors.ex:17-25
 
 _NUM_START = set("0123456789-.")
+_NONWS = re.compile(r"[^ \t\n\r]")
 # chars the string scanner must stop at; everything else bulk-copies
 _STR_SPECIAL = re.compile(r"[\\\"'“”‘’\n\}\]]")
 _IDENT = re.compile(r"[A-Za-z0-9_$-￿]")
@@ -95,13 +96,13 @@ class TolerantParser:
         return self.s[j] if 0 <= j < self.n else ""
 
     def _skip_ws(self) -> str:
-        while self.i < self.n and self.s[self.i] in _WS:
-            self.i += 1
-        return self._peek()
+        m = _NONWS.search(self.s, self.i)
+        self.i = m.start() if m else self.n
+        return self.s[self.i] if self.i < self.n else ""
 
     def _next_nonws(self, j: int) -> tuple[str, int]:
-        while j < self.n and self.s[j] in _WS:
-            j += 1
+        m = _NONWS.search(self.s, j)
+        j = m.start() if m else self.n
         return (self.s[j] if j < self.n else "", j)
 
     # --------------------------------------------------------------- parse
