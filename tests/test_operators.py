@@ -211,3 +211,26 @@ def test_from_file_wholetext(spark, tmp_path):
     row = from_file(spark, str(p)).collect()[0]
     assert row["ok"] and row["repaired"] == '{"name":"Weiss Savage","age":30}'
     assert row["n_repairs"] > 0
+
+
+def test_stateful_stream_dedup_across_restarts(spark, tmp_path):
+    """applyInPandasWithState dedup: first occurrence wins, state
+    survives a restart via the checkpoint."""
+    from json_remedy_spark.streaming.stateful_dedup import run_once
+
+    in_dir = tmp_path / "sin"
+    in_dir.mkdir()
+    out = str(tmp_path / "sout")
+    ckpt = str(tmp_path / "sckpt")
+
+    (in_dir / "a.txt").write_text("alpha doc\nbeta doc\nalpha doc\n")
+    run_once(spark, str(in_dir), out, ckpt)
+    got1 = {r["text"] for r in spark.read.parquet(out).collect()}
+    assert got1 == {"alpha doc", "beta doc"}
+
+    # second run, new file: duplicate of alpha must stay dropped
+    (in_dir / "b.txt").write_text("alpha doc\ngamma doc\n")
+    run_once(spark, str(in_dir), out, ckpt)
+    rows = spark.read.parquet(out).collect()
+    texts = [r["text"] for r in rows]
+    assert sorted(texts) == ["alpha doc", "beta doc", "gamma doc"]
