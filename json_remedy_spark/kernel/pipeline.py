@@ -57,7 +57,10 @@ def is_plain_text(s: str) -> bool:
         return False
     if t in ("true", "false", "null"):
         return False
-    if re.fullmatch(r"-?(?:0|[1-9]\d*)(?:\.\d+)?(?:[eE][+-]?\d+)?", t):
+    # reference pattern accepts leading zeros ("007", "00.5"):
+    # plain_text_detector.ex `^-?\d+(\.\d+)?([eE][+-]?\d+)?$` — such
+    # inputs route through the repair pipeline (number normalization)
+    if re.fullmatch(r"-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?", t):
         return False
     if "'" in t:  # single-quoted structures still repairable
         return False
@@ -72,8 +75,12 @@ def _fast_path(s: str) -> Any:
 
 
 _DECODER = json.JSONDecoder()
-# A value could start here -> the C-speed shortcut is unsafe
-_TAIL_BLOCKERS = re.compile(r'[{\["0-9\']')
+# A value could start here -> the C-speed shortcut is unsafe.  Smart
+# quotes included: prepass normalizes them to ASCII quotes, so a
+# smart-quoted prose fragment becomes a top-level string value under
+# the full kernel (ADVICE r1: `say “x” {...}` must parse like
+# `say "x" {...}`).
+_TAIL_BLOCKERS = re.compile(r'[{\["0-9\'“”‘’]')
 _LITERAL_WORDS = re.compile(r"\b(true|false|null|True|False|None|NULL|Null|TRUE|FALSE|nil)\b")
 
 def _span_fast_path(s: str) -> Any:

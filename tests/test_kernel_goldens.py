@@ -343,3 +343,36 @@ def test_canonical_serialization():
 def test_comma_instead_of_colon_numeric_tail():
     # number_edge_cases_test.exs:264-268
     assert rep('{"key", 105,12,}') == {"key": "105,12"}
+
+
+# ------------------------------------------- round-2 ADVICE regressions
+# Fast-path guard: smart-quoted prose around valid JSON must behave
+# exactly like ASCII-quoted prose (prepass normalizes smart quotes, so
+# the tolerant path parses the quoted fragment as a top-level string).
+SMART_QUOTE_WRAP = [
+    ('say “x” {"a":1}', ["x", {"a": 1}]),
+    ('say "x" {"a":1}', ["x", {"a": 1}]),
+    ('‘y’ [1,2]', ["y", [1, 2]]),
+    ("'y' [1,2]", ["y", [1, 2]]),
+]
+
+
+@pytest.mark.parametrize("inp,exp", SMART_QUOTE_WRAP)
+def test_smart_quote_prefix_blocks_span_fast_path(inp, exp):
+    assert rep(inp) == exp
+
+
+# Plain-text gate: leading-zero numbers are numbers to the reference
+# (plain_text_detector.ex `^-?\d+(\.\d+)?([eE][+-]?\d+)?$`) and route
+# through number normalization, not the plain-text -> "" drop.
+LEADING_ZERO_NUMBERS = [
+    ("007", 7),
+    ("00.5", 0.5),
+    ("-007", -7),
+    ("-007e2", -700.0),
+]
+
+
+@pytest.mark.parametrize("inp,exp", LEADING_ZERO_NUMBERS)
+def test_leading_zero_numbers_not_plain_text(inp, exp):
+    assert rep(inp) == exp
