@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from json_remedy_spark.functions import dedup, langid, quality, scrub, textstats
 from json_remedy_spark.functions.dedup import MINHASH_K, LSH_BANDS
+from json_remedy_spark.functions.multimodal import N_FEATURES as _N_FEATURES
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -61,7 +62,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def q_exact_dedup(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    # small-file input -> spread the map-side md5 over all cores
+    d = _t(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism)
     return dedup.exact_dedup(d).select(
         "text_hash",
         F.col("keep_id").cast("long").alias("keep_id"),
@@ -102,7 +104,11 @@ def q_simhash(spark, sf_dir):
 
 
 def q_cosine_topk(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings").withColumn("embedding", F.col("embedding").cast("array<double>"))
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     from json_remedy_spark.functions.similarity import cosine_topk
 
     queries = e.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
@@ -116,28 +122,18 @@ def q_cosine_topk(spark, sf_dir):
 
 def q_embedding_near_dup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (exact threshold form so
-    the oracle is deterministic; the LSH-bucketed variant is the scale
-    path, covered rows-only by lsh_ann_topk)."""
-    from json_remedy_spark.functions.similarity import cosine, with_unit_norm, _dot
+    the oracle is deterministic; the banded-LSH variant is the scale
+    path, covered rows-only by lsh_ann_topk).  Scoring is one numpy
+    matmul per Arrow batch against the broadcast bounded slice."""
+    from json_remedy_spark.functions.similarity import cosine_pairs_exact
 
     e = (
         _t(spark, sf_dir, "embeddings")
         .where(F.col("vec_id") < 1000)  # exact O(n^2) verifier on a bounded slice
         .withColumn("embedding", F.col("embedding").cast("array<double>"))
+        .repartition(spark.sparkContext.defaultParallelism)
     )
-    v = with_unit_norm(e).select(F.col("vec_id").alias("id"), "unit")
-    pairs = (
-        v.alias("a")
-        .crossJoin(v.alias("b"))
-        .where(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").cast("long").alias("id_a"),
-            F.col("b.id").cast("long").alias("id_b"),
-            F.round(_dot(F.col("a.unit"), F.col("b.unit")), 6).alias("cos"),
-        )
-        .where(F.col("cos") >= 0.4)
-    )
-    return pairs
+    return cosine_pairs_exact(e, threshold=0.4)
 
 
 def q_langid(spark, sf_dir):
@@ -280,13 +276,25 @@ def q_perplexity(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
+    """Multimodal feature extraction (stub decoder) — exploded to
+    (url, feature_idx, value) scalar rows so the driver canonicalizer
+    can sort/hash, and so a DuckDB hex-nibble-histogram oracle checks
+    the mapInPandas plumbing bit-exactly."""
     from json_remedy_spark.functions.multimodal import image_features
 
     d = _t(spark, sf_dir, "documents").select(
         F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
         F.encode(F.col("text"), "utf-8").alias("html"),
     )
-    return image_features(d)
+    feats = image_features(d)
+    return feats.select(
+        "url", F.posexplode("feature").alias("feature_idx", "value"), "n_bytes"
+    ).select(
+        "url",
+        F.col("feature_idx").cast("long").alias("feature_idx"),
+        F.col("value").cast("double").alias("value"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+    )
 
 
 def q_lsh_ann_topk(spark, sf_dir):
@@ -367,11 +375,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_metrics": q_event_metrics,
         "keep_drop": q_keep_drop,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "media_features": q_media_features,
         # rows-only:
         "ivf_ann_topk": q_ivf_ann_topk,
         "repair_documents": q_repair_documents,
         "perplexity": q_perplexity,
-        "media_features": q_media_features,
         "lsh_ann_topk": q_lsh_ann_topk,
         "repair_metrics": q_repair_metrics,
         "layer_hits": q_layer_hits,
@@ -584,6 +592,30 @@ def oracle_sql() -> dict[str, str]:
               GROUP BY a.doc_id, a.i
             )
             SELECT DISTINCT doc_id::BIGINT AS doc_id, m::BIGINT AS fingerprint FROM wins
+        """,
+        # stub image decoder = byte-value histogram folded mod N_FEATURES;
+        # byte % 16 == the low nibble == hex digit at even (1-indexed)
+        # positions of hex(encode(text)).  Integer ppm then one IEEE
+        # division reproduces the Spark doubles bit-exactly.
+        "media_features": f"""
+            WITH b AS (
+              SELECT concat('doc://', doc_id) AS url,
+                     lower(hex(encode(text))) AS hx,
+                     octet_length(encode(text))::BIGINT AS n_bytes,
+                     least(octet_length(encode(text)), 65536) AS nb
+              FROM documents
+            ),
+            nib AS (
+              SELECT url, (strpos('0123456789abcdef', substr(hx, 2 * i, 1)) - 1) AS v
+              FROM (SELECT url, hx, unnest(range(1, nb + 1)) AS i FROM b)
+            ),
+            cnt AS (SELECT url, v, count(*) AS c FROM nib GROUP BY 1, 2),
+            grid AS (SELECT url, n_bytes, nb, unnest(range(0, {_N_FEATURES})) AS feature_idx FROM b)
+            SELECT g.url AS url,
+                   g.feature_idx::BIGINT AS feature_idx,
+                   ((coalesce(c.c, 0) * 1000000) // greatest(g.nb, 1)) / 1000000 AS value,
+                   g.n_bytes AS n_bytes
+            FROM grid g LEFT JOIN cnt c ON c.url = g.url AND c.v = g.feature_idx
         """,
         "event_metrics": """
             SELECT event_type, count(*)::BIGINT AS n,

@@ -16,7 +16,7 @@ pipeline uses (schema, Arrow batching, partition behavior).  Swap
 import hashlib
 
 MEDIA_META_SCHEMA = "url string, media_type string, n_bytes long"
-IMAGE_FEATURES_SCHEMA = "url string, feature vector array<float>, n_bytes long"
+IMAGE_FEATURES_SCHEMA = "url string, feature array<double>, n_bytes long"
 FRAME_SAMPLE_SCHEMA = "url string, frame_idx int, frame_digest string"
 
 _MAGIC = [
@@ -42,12 +42,17 @@ def sniff_media_type(payload: bytes) -> str:
 def _fake_decode_image(payload: bytes) -> list:
     """STUB decode: byte-value histogram folded to N_FEATURES floats.
     A real deployment raises NotImplementedError without codecs; the
-    fake keeps the pipeline testable and deterministic."""
+    fake keeps the pipeline testable and deterministic.
+
+    Values are integer parts-per-million divided by 1e6 (pure integer
+    arithmetic before one IEEE division) so the DuckDB oracle — a hex
+    low-nibble histogram — reproduces the doubles bit-exactly with no
+    rounding-mode sensitivity."""
     hist = [0] * N_FEATURES
     for b in payload[:65536]:
         hist[b % N_FEATURES] += 1
     total = max(sum(hist), 1)
-    return [round(h / total, 6) for h in hist]
+    return [(h * 1_000_000 // total) / 1_000_000 for h in hist]
 
 
 def media_meta(docs, url_col: str = "url", bin_col: str = "html"):
@@ -79,9 +84,7 @@ def image_features(docs, url_col: str = "url", bin_col: str = "html"):
                 }
             )
 
-    return docs.mapInPandas(
-        run, schema="url string, feature array<float>, n_bytes long"
-    )
+    return docs.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
 
 
 def frame_sample(docs, url_col: str = "url", bin_col: str = "html", n_frames: int = N_FRAMES):

@@ -1,39 +1,76 @@
 """Similarity search over an embedding column (``array<float>``).
 
-* ``cosine_topk``         — brute-force exact top-k per query
-  (``F.aggregate``/``zip_with`` dot products, JVM-side; a window takes
-  the top k).  The correctness baseline.
+* ``cosine_topk``         — brute-force exact top-k per query: the
+  small query set is broadcast, every Arrow batch scores against it
+  with ONE numpy matmul and emits only its local top-k (+ tie margin),
+  so the final ranking shuffle carries O(partitions x |Q| x k) rows.
 * ``lsh_bucketed_topk``   — random-hyperplane LSH buckets: candidates
   share a sign-pattern bucket, exact cosine only within the bucket.
-  The 100 TB path: the cross join collapses from |Q|x|N| to per-bucket
-  blocks; planes are deterministic (seeded md5 of dimension index).
-* ``embedding_near_dup``  — self-join variant: pairs with cosine >= t.
+* ``ivf_topk``            — IVF routing: corpus vectors live in one
+  centroid cell, queries probe their nearest cells.
+* ``cosine_pairs_exact``  — exact all-pairs >= threshold over a
+  BOUNDED set (the O(n^2) oracle-verifier form).
+* ``embedding_near_dup``  — the scale path: banded multi-table LSH
+  self-join (OR over ``N_TABLES`` AND-bands of ``N_PLANES`` planes),
+  numpy-scored candidates only.
 
-All use ``F.round(.., 6)`` on output scores so DuckDB oracles compare
-cleanly despite float32/float64 accumulation-order differences.
+All per-element array math runs in Arrow-batched numpy kernels —
+Spark's higher-order functions (``aggregate``/``zip_with``) are
+interpreted per element and were the round-1 hot-path bottleneck
+(25-155 s at sf0.1; see CLAUDE.md).  Outputs are ``F.round(.., 6)``
+JVM-side (HALF_UP, matching DuckDB) so oracles compare cleanly.
 """
 
+import hashlib
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 
-def _dot(a, b):
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+def _np_unit(mat: np.ndarray) -> np.ndarray:
+    """Unit-normalize rows; zero vectors stay zero (norm floored at
+    1e-12, same guard as the DuckDB oracle expression)."""
+    n = np.maximum(np.sqrt((mat * mat).sum(axis=1)), 1e-12)
+    return mat / n[:, None]
 
 
-def _norm(a):
-    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+# NOTE: pandas_udf objects are built inside factories, never at module
+# import time — executors re-import this module when unpickling
+# mapInPandas closures, and the decorator needs an active SparkContext.
 
 
-def cosine(a, b):
-    return _dot(a, b) / (F.greatest(_norm(a) * _norm(b), F.lit(1e-12)))
+def _make_unit_udf():
+    @pandas_udf("array<double>")
+    def unit_udf(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        u = _np_unit(np.array(vecs.tolist(), dtype=np.float64))
+        return pd.Series(list(u))
+
+    return unit_udf
+
+
+def make_dot_udf():
+    """Row-wise dot of two array<double> columns — one einsum per
+    Arrow batch (use on already-pruned candidate pairs)."""
+
+    @pandas_udf("double")
+    def dot_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype=np.float64)
+        A = np.array(a.tolist(), dtype=np.float64)
+        B = np.array(b.tolist(), dtype=np.float64)
+        return pd.Series(np.einsum("ij,ij->i", A, B))
+
+    return dot_udf
 
 
 def with_unit_norm(df: DataFrame, col: str = "embedding") -> DataFrame:
     """Pre-normalize once; downstream cosine becomes a plain dot."""
-    a = F.col(col)
-    n = F.greatest(_norm(a), F.lit(1e-12))
-    return df.withColumn("unit", F.transform(a, lambda v: v / n))
+    return df.withColumn("unit", _make_unit_udf()(F.col(col)))
 
 
 def cosine_topk(
@@ -44,36 +81,95 @@ def cosine_topk(
     q_id_col: str = "q_id",
     col: str = "embedding",
 ) -> DataFrame:
-    """Exact brute-force top-k: broadcast the (small) query side, rank
-    per query.  Scale note: |Q| small => broadcast-nested-loop with a
-    codegen'd dot product; the heavy side streams once, no shuffle of
-    the corpus."""
-    v = with_unit_norm(vectors, col).select(F.col(id_col).alias("vec_id"), F.col("unit").alias("v_unit"))
-    q = with_unit_norm(queries, col).select(F.col(q_id_col).alias("q_id"), F.col("unit").alias("q_unit"))
-    scored = v.crossJoin(F.broadcast(q)).select(
-        "q_id",
-        "vec_id",
-        F.round(_dot(F.col("v_unit"), F.col("q_unit")), 6).alias("cos"),
-    )
+    """Exact brute-force top-k.  Scale shape: |Q| is small by contract
+    (it is collected and broadcast); the corpus streams once map-only,
+    each batch emitting its local winners, so no |N| x |Q| row set ever
+    materializes and the only shuffle is the tiny final ranking."""
+    q_pdf = queries.select(F.col(q_id_col).cast("long").alias("q_id"), F.col(col).alias("emb")).toPandas()
+    q_ids = q_pdf["q_id"].to_numpy()
+    Q = _np_unit(np.array(q_pdf["emb"].tolist(), dtype=np.float64))
+    b = vectors.sparkSession.sparkContext.broadcast((q_ids, Q))
+    src = vectors.select(F.col(id_col).cast("long").alias("vec_id"), F.col(col).alias("emb"))
+
+    def gen(batches):
+        q_ids_, Q_ = b.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = _np_unit(np.array(pdf["emb"].tolist(), dtype=np.float64))
+            S = V @ Q_.T  # (batch, |Q|)
+            vids = pdf["vec_id"].to_numpy()
+            out_q, out_v, out_c = [], [], []
+            for j in range(len(q_ids_)):
+                cosj = S[:, j]
+                if len(cosj) > k:
+                    kth = np.partition(cosj, len(cosj) - k)[len(cosj) - k]
+                    # 1e-6 margin: a vector whose ROUNDED cos ties the
+                    # kth must survive the local cut (global rank uses
+                    # round(cos, 6) + vec_id tiebreak)
+                    mask = cosj >= kth - 1e-6
+                else:
+                    mask = np.ones(len(cosj), dtype=bool)
+                nm = int(mask.sum())
+                out_q.extend([q_ids_[j]] * nm)
+                out_v.extend(vids[mask].tolist())
+                out_c.extend(cosj[mask].tolist())
+            yield pd.DataFrame({"q_id": out_q, "vec_id": out_v, "cos": out_c})
+
+    partial = src.mapInPandas(gen, schema="q_id long, vec_id long, cos double")
+    scored = partial.select("q_id", "vec_id", F.round(F.col("cos"), 6).alias("cos"))
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def cosine_pairs_exact(
+    vectors: DataFrame, threshold: float = 0.95, id_col: str = "vec_id", col: str = "embedding"
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold over a BOUNDED vector set
+    (the O(n^2) verifier the near-dup oracle runs; use
+    ``embedding_near_dup`` for the banded-LSH scale path).  The whole
+    (bounded) set broadcasts as one numpy matrix; each Arrow batch
+    scores a block row against it — only >= threshold pairs ever
+    materialize as rows."""
+    pdf = vectors.select(F.col(id_col).cast("long").alias("id"), F.col(col).alias("emb")).toPandas()
+    ids = pdf["id"].to_numpy()
+    M = _np_unit(np.array(pdf["emb"].tolist(), dtype=np.float64))
+    b = vectors.sparkSession.sparkContext.broadcast((ids, M))
+    src = vectors.select(F.col(id_col).cast("long").alias("id"), F.col(col).alias("emb"))
+
+    def gen(batches):
+        ids_, M_ = b.value
+        for pdf_ in batches:
+            if not len(pdf_):
+                continue
+            V = _np_unit(np.array(pdf_["emb"].tolist(), dtype=np.float64))
+            S = V @ M_.T
+            vids = pdf_["id"].to_numpy()
+            # margin covers rounded-value boundary cases; the exact
+            # filter re-applies on round(cos, 6) JVM-side
+            mask = (S >= threshold - 1e-6) & (vids[:, None] < ids_[None, :])
+            ai, bj = np.nonzero(mask)
+            yield pd.DataFrame({"id_a": vids[ai], "id_b": ids_[bj], "cos": S[ai, bj]})
+
+    pairs = src.mapInPandas(gen, schema="id_a long, id_b long, cos double")
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("cos"), 6).alias("cos")
+    ).where(F.col("cos") >= threshold)
+
+
 N_PLANES = 8
+N_TABLES = 4
 
 
-def _plane_matrix(dims: int):
+def _plane_matrix(dims: int, table: int = 0):
     """Deterministic hyperplanes: md5(plane:dim) -> uniform [-1, 1).
-    Computed once driver/worker-side with numpy (the column-expression
-    formulation recomputed md5 per row x dim x plane, interpreted)."""
-    import hashlib
-
-    import numpy as np
-
+    Table 0 keeps the round-1 seeding; tables > 0 are independent
+    banded variants."""
     m = np.empty((dims, N_PLANES), dtype=np.float64)
     for p in range(N_PLANES):
         for d in range(dims):
-            h = int(hashlib.md5(f"{p}:{d}".encode()).hexdigest()[:8], 16)
+            key = f"{p}:{d}" if table == 0 else f"t{table}:{p}:{d}"
+            h = int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
             m[d, p] = h / float(2**31) - 1.0
     return m
 
@@ -81,9 +177,6 @@ def _plane_matrix(dims: int):
 def with_lsh_bucket(df: DataFrame, col: str = "embedding", out: str = "bucket") -> DataFrame:
     """Sign pattern over N_PLANES deterministic hyperplanes -> int
     bucket, vectorized: one numpy matmul per Arrow batch."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("int")
     def bucket_udf(vecs: pd.Series) -> pd.Series:
@@ -96,6 +189,28 @@ def with_lsh_bucket(df: DataFrame, col: str = "embedding", out: str = "bucket") 
         return pd.Series((signs @ weights).astype("int32"))
 
     return df.withColumn(out, bucket_udf(F.col(col)))
+
+
+def with_lsh_tables(df: DataFrame, col: str = "unit", n_tables: int = N_TABLES) -> DataFrame:
+    """Per-table sign-pattern buckets (array<int>, one per table) —
+    the banded/multi-table amplification: near-identical vectors agree
+    in at least one table with overwhelming probability while each
+    table's buckets stay 2^N_PLANES-way selective."""
+
+    @pandas_udf("array<int>")
+    def tables_udf(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        weights = (1 << np.arange(N_PLANES)).astype(np.int64)
+        cols = []
+        for t in range(n_tables):
+            signs = (mat @ _plane_matrix(mat.shape[1], t)) > 0
+            cols.append((signs @ weights).astype("int32"))
+        stacked = np.stack(cols, axis=1)
+        return pd.Series([row.tolist() for row in stacked])
+
+    return df.withColumn("tables", tables_udf(F.col(col)))
 
 
 def lsh_bucketed_topk(
@@ -113,8 +228,9 @@ def lsh_bucketed_topk(
     q = with_lsh_bucket(with_unit_norm(queries, col), col).select(
         F.col(q_id_col).alias("q_id"), F.col("unit").alias("q_unit"), "bucket"
     )
+    dot = make_dot_udf()
     scored = v.join(F.broadcast(q), "bucket").select(
-        "q_id", "vec_id", F.round(_dot(F.col("v_unit"), F.col("q_unit")), 6).alias("cos")
+        "q_id", "vec_id", F.round(dot(F.col("v_unit"), F.col("q_unit")), 6).alias("cos")
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -128,8 +244,6 @@ def _ivf_centroids(vectors: DataFrame, col: str, cells: int):
     """Deterministic centroids: the ``cells`` vectors with the smallest
     md5(vec_id) act as seeds (k-means++ without iteration — adequate
     for routing, reproducible, no fit step to ship)."""
-    import numpy as np
-
     seed_rows = (
         vectors.select(F.col(col).alias("v"), F.md5(F.col("vec_id").cast("string")).alias("h"))
         .orderBy("h")
@@ -143,10 +257,6 @@ def with_ivf_cell(df: DataFrame, centroids, col: str = "embedding", n_probes: in
     """Assign each vector its nearest centroid cell(s) — numpy matmul
     per Arrow batch; ``n_probes``>1 explodes a row into its closest
     cells (query-side fanout)."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql.functions import pandas_udf
-
     cen = np.asarray(centroids, dtype=np.float64)
     cen_unit = cen / np.maximum(np.linalg.norm(cen, axis=1, keepdims=True), 1e-12)
 
@@ -188,29 +298,42 @@ def ivf_topk(
         F.col("unit").alias("q_unit"),
         F.explode("ivf_cells").alias("cell"),
     )
+    dot = make_dot_udf()
     scored = v.join(F.broadcast(q), "cell").select(
-        "q_id", "vec_id", F.round(_dot(F.col("v_unit"), F.col("q_unit")), 6).alias("cos")
+        "q_id", "vec_id", F.round(dot(F.col("v_unit"), F.col("q_unit")), 6).alias("cos")
     ).groupBy("q_id", "vec_id").agg(F.max("cos").alias("cos"))
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
 def embedding_near_dup(
-    vectors: DataFrame, threshold: float = 0.95, id_col: str = "vec_id", col: str = "embedding"
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    n_tables: int = N_TABLES,
 ) -> DataFrame:
-    """Self-join near-duplicate pairs via LSH buckets (scale path) —
-    cosine >= threshold, a < b."""
-    v = with_lsh_bucket(with_unit_norm(vectors, col), col).select(
-        F.col(id_col).alias("id"), F.col("unit"), "bucket"
+    """Self-join near-duplicate pairs — the 100 TB scale path.
+
+    Banded multi-table LSH: a pair is a candidate iff it shares the
+    full sign-pattern bucket of ANY of ``n_tables`` independent tables
+    (OR-amplified recall; each table stays 2^N_PLANES-way selective, so
+    bucket blocks shrink as tables are added rather than widening one
+    coarse bucket).  Candidates score with the Arrow dot kernel; a pair
+    colliding in several tables scores identically in each, so the
+    trailing ``distinct`` dedupes exactly."""
+    dot = make_dot_udf()
+    v = with_lsh_tables(with_unit_norm(vectors, col), "unit", n_tables).select(
+        F.col(id_col).alias("id"), "unit", F.posexplode("tables").alias("tbl", "bucket")
     )
     pairs = (
         v.alias("a")
-        .join(v.alias("b"), "bucket")
+        .join(v.alias("b"), ["tbl", "bucket"])
         .where(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(_dot(F.col("a.unit"), F.col("b.unit")), 6).alias("cos"),
+            F.round(dot(F.col("a.unit"), F.col("b.unit")), 6).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
         .distinct()

@@ -26,8 +26,11 @@ def test_pipeline_is_scalable_shape(spark):
     assert_scalable(quality_filter(docs))
 
 
-def test_cosine_topk_broadcasts(spark):
-    """The query side must broadcast — no shuffle of the big side."""
+def test_cosine_topk_scans_corpus_once_map_only(spark):
+    """The corpus side must stream map-only into the numpy block
+    scorer (MapInPandas); the only shuffle allowed is the final
+    ranking window over the already-reduced partial top-k rows —
+    never an exchange of the full |N| x |Q| score set."""
     from json_remedy_spark.functions.similarity import cosine_topk
     from json_remedy_spark.plans.explain import executed_plan
 
@@ -36,7 +39,8 @@ def test_cosine_topk_broadcasts(spark):
     )
     q = e.where(F.col("vec_id") < 2).select(F.col("vec_id").alias("q_id"), "embedding")
     plan = executed_plan(cosine_topk(e, q, k=3))
-    assert "Broadcast" in plan
+    assert "MapInPandas" in plan
+    assert plan.count("Exchange") <= 1
 
 
 def test_minhash_zero_shuffle(spark):
