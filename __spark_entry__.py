@@ -103,6 +103,27 @@ def q_simhash(spark, sf_dir):
     )
 
 
+def q_simhash_near_dup(spark, sf_dir):
+    """SimHash hamming-band near-dup join (exact recall at k=3)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.simhash_near_dup(d, max_hamming=3).select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
+def q_lsh_jaccard_verified(spark, sf_dir):
+    """Fused LSH candidates -> exact jaccard verification — the
+    composed 100 TB fuzzy-dedup recipe."""
+    d = _t(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism)
+    return dedup.lsh_verified_pairs(d, threshold=0.5).select(
+        F.col("doc_a").cast("long").alias("doc_a"),
+        F.col("doc_b").cast("long").alias("doc_b"),
+        F.col("jaccard").cast("double").alias("jaccard"),
+    )
+
+
 def q_cosine_topk(spark, sf_dir):
     e = (
         _t(spark, sf_dir, "embeddings")
@@ -248,6 +269,33 @@ def q_keep_drop(spark, sf_dir):
     )
 
 
+def q_repair_ok_fastpath(spark, sf_dir):
+    """Layer-4 strict-validation projection of the repair kernel with
+    an independent DuckDB ``json_valid`` oracle (VERDICT r1 #5).
+
+    Docs are constructed from the orders table in four variants —
+    valid JSON / truncated / single-quoted / prose — and the REAL
+    kernel classifies each: ``fast_path`` must equal strict JSON
+    validity (reference lib/json_remedy/layer4/validation.ex:99-111)
+    and ``ok`` must be true (all four classes are repairable)."""
+    from json_remedy_spark.operators.repair_udf import make_repair_udf
+
+    o = _t(spark, sf_dir, "orders").repartition(spark.sparkContext.defaultParallelism)
+    payload = F.to_json(F.struct("o_orderkey", "o_orderstatus", "o_orderpriority"))
+    o = o.withColumn("payload", payload)
+    variant = F.pmod(F.col("o_orderkey"), F.lit(4))
+    doc = (
+        F.when(variant == 0, F.col("payload"))
+        .when(variant == 1, F.expr("substring(payload, 1, length(payload) - 1)"))
+        .when(variant == 2, F.translate(F.col("payload"), '"', "'"))
+        .otherwise(F.concat(F.lit("order priority "), F.col("o_orderpriority"),
+                            F.lit(" status "), F.col("o_orderstatus")))
+    )
+    d = o.select(F.col("o_orderkey").cast("long").alias("doc_id"), doc.alias("text"))
+    r = make_repair_udf()(F.col("text"))
+    return d.select("doc_id", r["fast_path"].alias("fast_path"), r["ok"].alias("ok"))
+
+
 # ---- rows-only (non-SQL-expressible) --------------------------------------
 
 def q_repair_documents(spark, sf_dir):
@@ -364,6 +412,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
         "jaccard_pairs": q_jaccard_pairs,
         "simhash": q_simhash,
+        "simhash_near_dup": q_simhash_near_dup,
+        "lsh_jaccard_verified": q_lsh_jaccard_verified,
         "cosine_topk": q_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "langid": q_langid,
@@ -374,6 +424,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "can_repair": q_can_repair,
         "event_metrics": q_event_metrics,
         "keep_drop": q_keep_drop,
+        "repair_ok_fastpath": q_repair_ok_fastpath,
         "winnow_fingerprints": q_winnow_fingerprints,
         "media_features": q_media_features,
         # rows-only:
@@ -426,7 +477,10 @@ def _minhash_select() -> str:
     """
 
 
-def _lsh_pairs_sql() -> str:
+def _lsh_ctes() -> str:
+    """Composable CTE chain: sig -> banded -> cand (distinct LSH
+    candidate pairs), shared by the raw-candidates and the fused
+    candidates->jaccard oracles."""
     rows = MINHASH_K // LSH_BANDS
     band_selects = []
     for b in range(LSH_BANDS):
@@ -436,10 +490,51 @@ def _lsh_pairs_sql() -> str:
         )
     banded = " UNION ALL ".join(band_selects)
     return f"""
-      WITH sig AS ({_minhash_select()}), banded AS ({banded})
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
-      WHERE a.doc_id < b.doc_id
+      sig AS ({_minhash_select()}), banded AS ({banded}),
+      cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+        WHERE a.doc_id < b.doc_id
+      )
+    """
+
+
+def _lsh_pairs_sql() -> str:
+    return f"WITH {_lsh_ctes()} SELECT doc_a, doc_b FROM cand"
+
+
+def _lsh_verified_sql() -> str:
+    return f"""
+      WITH {_lsh_ctes()},
+      sh AS ({_SHINGLES}),
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_common
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY 1, 2
+      )
+      SELECT doc_a::BIGINT AS doc_a, doc_b::BIGINT AS doc_b,
+             round(n_common / (sa.n_sh + sb.n_sh - n_common), 6)::DOUBLE AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    """
+
+
+def _simhash_near_dup_sql() -> str:
+    return f"""
+      WITH fp AS ({_simhash_sql()}),
+      banded AS (
+        SELECT doc_id, simhash, band, (simhash >> (8 * band)::INT) & 255 AS chunk
+        FROM (SELECT doc_id, simhash, unnest(range(0, {dedup.SIMHASH_BANDS})) AS band FROM fp)
+      )
+      SELECT DISTINCT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b,
+             bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+      FROM banded a JOIN banded b ON a.band = b.band AND a.chunk = b.chunk
+      WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3
     """
 
 
@@ -511,6 +606,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5
         """,
         "simhash": _simhash_sql(),
+        "simhash_near_dup": _simhash_near_dup_sql(),
+        "lsh_jaccard_verified": _lsh_verified_sql(),
         "cosine_topk": _cosine_topk_sql(),
         "embedding_near_dup": """
           WITH v AS (
@@ -627,5 +724,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id::BIGINT AS doc_id,
                    (({lang_expr}) = 'en' AND {qsql['passes']}) AS keep
             FROM documents
+        """,
+        # kernel fast-path flag == strict JSON validity on constructed
+        # docs (valid / truncated / single-quoted / prose variants);
+        # all four classes are repairable -> ok is constant true
+        "repair_ok_fastpath": """
+            WITH src AS (
+              SELECT o_orderkey, o_orderpriority, o_orderstatus,
+                     to_json(struct_pack(
+                       o_orderkey := o_orderkey,
+                       o_orderstatus := o_orderstatus,
+                       o_orderpriority := o_orderpriority))::VARCHAR AS payload
+              FROM orders
+            ),
+            d AS (
+              SELECT o_orderkey,
+                     CASE o_orderkey % 4
+                       WHEN 0 THEN payload
+                       WHEN 1 THEN substr(payload, 1, length(payload) - 1)
+                       WHEN 2 THEN replace(payload, '"', chr(39))
+                       ELSE concat('order priority ', o_orderpriority, ' status ', o_orderstatus)
+                     END AS text
+              FROM src
+            )
+            SELECT o_orderkey::BIGINT AS doc_id,
+                   json_valid(text) AS fast_path,
+                   true AS ok
+            FROM d
         """,
     }

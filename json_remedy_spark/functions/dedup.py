@@ -152,6 +152,8 @@ def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str =
     Bands come from one ``explode`` over the signature row (not a
     union of per-band scans — a union would recompute the minhash
     aggregation once per band per join side)."""
+    from pyspark import StorageLevel
+
     sig = minhash_signatures(docs, id_col, text_col)
     rows_per_band = MINHASH_K // LSH_BANDS
     band_structs = []
@@ -161,6 +163,12 @@ def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str =
     banded = sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    # The signature kernel (shingle + minhash mapInPandas) is by far
+    # the most expensive input — persist so the self-join's two sides
+    # read ONE materialization instead of recomputing it per side.
+    # At 100 TB this is a signature table written bucketed by
+    # (band, bucket) instead of an in-memory cache.
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     left = banded.alias("a")
     right = banded.alias("b")
     return (
@@ -238,3 +246,81 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     for j in range(SIMHASH_BITS):
         fp = fp + F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(0)
     return bit_sums.select("doc_id", fp.alias("simhash"))
+
+
+SIMHASH_BANDS = 4  # 4 x 8-bit chunks of the 32-bit fingerprint
+
+
+def simhash_near_dup(
+    docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Fuzzy near-duplicate join over SimHash fingerprints.
+
+    Bands the 32-bit fingerprint into SIMHASH_BANDS byte chunks and
+    joins on chunk equality; pigeonhole gives EXACT recall for the
+    default ``max_hamming=3`` (a pair differing in <= 3 bits cannot
+    differ in all 4 bands).  Candidates verify with
+    ``bit_count(xor) <= max_hamming``.  One shuffle on (band, chunk),
+    never all-pairs; the fingerprint table materializes once and feeds
+    both join sides."""
+    from pyspark import StorageLevel
+
+    fp = simhash(docs, id_col, text_col)
+    chunk_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(255)).alias("chunk"),
+        )
+        for b in range(SIMHASH_BANDS)
+    ]
+    banded = (
+        fp.select("doc_id", "simhash", F.explode(F.array(*chunk_structs)).alias("bc"))
+        .select("doc_id", "simhash", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "chunk"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def lsh_verified_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The composed 100 TB fuzzy-dedup recipe: banded-LSH candidate
+    pairs, then EXACT n-gram Jaccard computed ONLY for those candidates
+    — the full shingle self-join of ``jaccard_pairs`` never happens.
+
+    Join shape: candidates (small) shuffle once on doc_a to pick up A's
+    shingles, then once on (doc_b, shingle) to count the intersection;
+    union sizes come from a per-doc aggregate of the same shingle
+    table."""
+    cand = lsh_candidate_pairs(docs, id_col, text_col)
+    sh = shingles(docs, id_col, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b_sh = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(a_sh, "doc_a")
+        .join(b_sh, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .withColumn("jaccard", F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -67,7 +67,10 @@ def run_with_checkpoints(
         result = pipeline_fn(part)
         path = os.path.join(out_dir, f"part_bucket={b}")
         result.drop("part_bucket").write.mode("overwrite").parquet(path)
-        n = result.count()
+        # manifest row count comes from the COMMITTED files (parquet
+        # footer metadata — no data read), never result.count(), which
+        # would re-execute the whole bucket pipeline a second time
+        n = docs_b.sparkSession.read.parquet(path).count()
         _commit(out_dir, b, n)
         computed.append(b)
     docs_b.unpersist()

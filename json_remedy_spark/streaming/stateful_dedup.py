@@ -1,9 +1,11 @@
 """Custom stateful streaming operator: exact dedup over a document
 stream via ``applyInPandasWithState``.
 
-Keeps the FIRST occurrence of each normalized-text hash and drops all
-later duplicates — across micro-batches and across restarts (state
-lives in the checkpoint).  This is the one place the engine needs
+Keeps ONE deterministic representative per normalized-text hash (the
+lexicographically smallest raw text in the group's first micro-batch;
+rows shuffle in arbitrary order, so "first seen row" would be
+nondeterministic) and drops all later duplicates — across
+micro-batches and across restarts (state lives in the checkpoint).  This is the one place the engine needs
 user-defined streaming state; everything else is stateless (reference
 parity) or a built-in watermarked window.
 
@@ -37,20 +39,26 @@ def _dedup_fn(key, pdfs, state):
 
     (text_hash,) = key
     seen = state.get[0] if state.exists else 0
-    first_text = None
+    # rows arrive in arbitrary shuffle order within the micro-batch;
+    # the representative is the lexicographically smallest raw text in
+    # the group's FIRST batch so the output is deterministic even when
+    # raw texts differ under one normalized hash (ADVICE r1)
+    rep_text = None
     n = 0
     for pdf in pdfs:
-        for t in pdf["text"]:
-            n += 1
-            if first_text is None:
-                first_text = t
+        n += int(pdf["text"].notna().sum())
+        batch_min = pdf["text"].dropna().min() if len(pdf) else None
+        if batch_min is not None and (rep_text is None or batch_min < rep_text):
+            rep_text = batch_min
     emit = seen == 0
     state.update((seen + n,))
-    if emit and first_text is not None:
+    if emit and rep_text is not None:
         yield pd.DataFrame(
             {
                 "text_hash": [text_hash],
-                "text": [first_text],
+                "text": [rep_text],
+                # drops within the EMITTING batch only; cumulative
+                # drops live in the state counter (seen - 1)
                 "n_dropped_in_batch": [n - 1],
             }
         )

@@ -234,3 +234,50 @@ def test_stateful_stream_dedup_across_restarts(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     texts = [r["text"] for r in rows]
     assert sorted(texts) == ["alpha doc", "beta doc", "gamma doc"]
+
+
+def test_simhash_near_dup_bands(spark, docs):
+    """Hamming-band join: exact dups at hamming 0, the near-dup pair
+    within <= 3 bits; pigeonhole recall is exact at max_hamming=3."""
+    from json_remedy_spark.functions.dedup import simhash_near_dup
+
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_near_dup(docs).collect()}
+    assert pairs[(0, 1)] == 0 and pairs[(0, 4)] == 0 and pairs[(1, 4)] == 0
+    assert all(h <= 3 for h in pairs.values())
+    # brute-force cross-check: every hamming<=3 pair is found
+    from json_remedy_spark.functions.dedup import simhash
+
+    fp = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    expect = {
+        (a, b)
+        for a in fp
+        for b in fp
+        if a < b and bin(fp[a] ^ fp[b]).count("1") <= 3
+    }
+    assert set(pairs) == expect
+
+
+def test_lsh_verified_pairs_subset_of_exact(spark, docs):
+    """Fused LSH->jaccard must agree with exact jaccard on every pair
+    it emits (LSH may miss pairs, never invent or mis-score them)."""
+    from json_remedy_spark.functions.dedup import jaccard_pairs, lsh_verified_pairs
+
+    fused = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in lsh_verified_pairs(docs, threshold=0.5).collect()}
+    exact = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in jaccard_pairs(docs, threshold=0.5).collect()}
+    assert fused, "expected at least the exact-dup pairs"
+    for pair, j in fused.items():
+        assert exact[pair] == j
+
+
+def test_lsh_candidates_single_signature_materialization(spark, docs):
+    """The band self-join must read ONE persisted signature
+    materialization (InMemoryRelation on both sides), not recompute
+    the minhash MapInPandas kernel per side."""
+    from json_remedy_spark.functions.dedup import lsh_candidate_pairs
+    from json_remedy_spark.plans.explain import executed_plan
+
+    plan = executed_plan(lsh_candidate_pairs(docs))
+    # both join children scan the cache (InMemoryRelation prints its
+    # build plan under each scan, so MapInPandas appears textually —
+    # what matters is that BOTH sides are InMemoryTableScan)
+    assert plan.count("InMemoryTableScan") >= 2
