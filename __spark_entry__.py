@@ -217,7 +217,8 @@ def q_repair_predicates(spark, sf_dir):
     )
 
 
-_NUMBER_RE = r"^-?(0|[1-9][0-9]*)(\.[0-9]+)?([eE][+-]?[0-9]+)?$"
+# leading zeros allowed — reference plain_text_detector.ex pattern
+_NUMBER_RE = r"^-?[0-9]+(\.[0-9]+)?([eE][+-]?[0-9]+)?$"
 
 
 def q_can_repair(spark, sf_dir):

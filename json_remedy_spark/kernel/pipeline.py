@@ -44,7 +44,17 @@ class RepairResult:
 
 
 def to_canonical(value: Any) -> str:
-    return json.dumps(value, ensure_ascii=False, separators=(",", ":"))
+    out = json.dumps(value, ensure_ascii=False, separators=(",", ":"))
+    try:
+        out.encode("utf-8")
+    except UnicodeEncodeError:
+        # lone surrogates (json.loads accepts the "\uD83D" escape) are
+        # legal in a Python str but NOT utf-8-encodable — they would
+        # poison the Arrow serialization of the repaired column and
+        # kill the task.  Re-escape just those code points; everything
+        # else stays raw utf-8.
+        out = out.encode("utf-8", "backslashreplace").decode("utf-8")
+    return out
 
 
 def is_plain_text(s: str) -> bool:
@@ -159,9 +169,16 @@ def repair(
     s: str | bytes,
     *,
     strict_mode: bool = False,
+    normalize_escapes: bool = False,
     max_bytes: int = MAX_DOC_BYTES,
 ) -> RepairResult:
-    """Main entry — mirrors ``JsonRemedy.repair/2`` (lib/json_remedy.ex:86)."""
+    """Main entry — mirrors ``JsonRemedy.repair/2`` (lib/json_remedy.ex:86).
+
+    ``normalize_escapes`` mirrors the reference's DEFAULT-OFF
+    ``:enable_escape_normalization`` flag
+    (layer3/syntax_normalization.ex:463-479): literal ``\\uXXXX`` /
+    ``\\xXX`` / ``\\t\\n\\r\\b\\f`` sequences anywhere in the text are
+    converted to real characters before the tolerant parse."""
     log: list = []
     if isinstance(s, bytes):
         s = cleaning.normalize_encoding(s, log)
@@ -195,6 +212,8 @@ def repair(
             v = _unwrap_fenced_strings(v, log)
             return RepairResult(ok=True, value=v, repaired=to_canonical(v), repairs=log)
     work = prepass.apply(work, log)
+    if normalize_escapes:
+        work = prepass.normalize_escape_sequences(work, log)
 
     parser = TolerantParser(work, log=log)
     try:

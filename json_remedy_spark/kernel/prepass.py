@@ -149,3 +149,43 @@ def apply(s: str, log: list) -> str:
     s = filter_ellipsis(s, log)
     s = filter_keywords(s, log)
     return s
+
+
+# Literal escape-sequence normalization — reference
+# layer3/hardcoded_patterns.ex:145-288, gated DEFAULT-OFF behind
+# `:enable_escape_normalization` (syntax_normalization.ex:463-479)
+# because it rewrites escapes blindly across the whole text, including
+# already-valid JSON escapes.
+_UNICODE_ESC = re.compile(r"\\u([0-9a-fA-F]{4})(?:\\u([0-9a-fA-F]{4}))?")
+_HEX_ESC = re.compile(r"\\x([0-9a-fA-F]{2})")
+_STD_ESCAPES = {"t": "\t", "n": "\n", "r": "\r", "b": "\b", "f": "\f"}
+
+
+def normalize_escape_sequences(s: str, log: list | None = None) -> str:
+    """Convert literal ``\\uXXXX`` / ``\\xXX`` / ``\\t\\n\\r\\b\\f``
+    sequences anywhere in the text to their actual characters.
+
+    Pinned delta vs the reference: a ``\\uD800-\\uDFFF`` pair combines
+    into the astral code point and a LONE surrogate escape is left as
+    literal text (the reference's ``<<codepoint::utf8>>`` would raise
+    on it; leaving it textual keeps the output utf-8-encodable)."""
+
+    def uni(m):
+        hi = int(m.group(1), 16)
+        if m.group(2) is not None:
+            lo = int(m.group(2), 16)
+            if 0xD800 <= hi <= 0xDBFF and 0xDC00 <= lo <= 0xDFFF:
+                return chr(0x10000 + ((hi - 0xD800) << 10) + (lo - 0xDC00))
+            return _one(hi) + _one(lo)
+        return _one(hi)
+
+    def _one(cp):
+        return chr(cp) if not (0xD800 <= cp <= 0xDFFF) else "\\u%04x" % cp
+
+    out = _UNICODE_ESC.sub(uni, s)
+    out = _HEX_ESC.sub(lambda m: chr(int(m.group(1), 16)), out)
+    for ch, repl in _STD_ESCAPES.items():
+        out = out.replace("\\" + ch, repl)
+    if out != s and log is not None:
+        log.append({"layer": "layer3", "action": "normalized literal escape sequences", "position": 0})
+    return out

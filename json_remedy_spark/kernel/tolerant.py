@@ -25,7 +25,7 @@ from typing import Any
 # Sentinel: "nothing parsed here, drop it" (e.g. spurious opener).
 SKIP = object()
 
-_WS = " \t\n\r"
+_WS = " \t\n\r\u00a0\u1680\u2000\u2001\u2002\u2003\u2004\u2005\u2006\u2007\u2008\u2009\u200a\u202f\u205f\u3000\ufeff"
 _QUOTES = {'"', "'", "“", "”", "‘", "’"}
 _LITERALS = {
     "true": True,
@@ -43,7 +43,13 @@ _LITERALS = {
 # Reference literal table: lib/json_remedy/layer3/literal_processors.ex:17-25
 
 _NUM_START = set("0123456789-.")
-_NONWS = re.compile(r"[^ \t\n\r]")
+# Between-token whitespace includes the common exotic Unicode spaces
+# web text carries (NBSP, en/em quads, narrow NBSP, ideographic space,
+# BOM/ZWNBSP) — the reference's ASCII-only skip loop turns
+# `{ "name": "Alice"}` into garbage keys; INSIDE strings
+# these characters are preserved untouched (string content never goes
+# through _skip_ws).
+_NONWS = re.compile("[^ \\t\\n\\r\\u00a0\\u1680\\u2000-\\u200a\\u202f\\u205f\\u3000\\ufeff]")
 # chars the string scanner must stop at; everything else bulk-copies
 _STR_SPECIAL = re.compile(r"[\\\"'“”‘’\n\}\]]")
 _IDENT = re.compile(r"[A-Za-z0-9_$-￿]")
@@ -661,7 +667,18 @@ class TolerantParser:
             hexs = self.s[self.i : self.i + 4]
             if len(hexs) == 4 and all(h in "0123456789abcdefABCDEF" for h in hexs):
                 self.i += 4
-                return chr(int(hexs, 16))
+                cp = int(hexs, 16)
+                # combine a \uD800-\uDBFF \uDC00-\uDFFF surrogate-pair
+                # escape sequence like json.loads does; a lone
+                # surrogate stays lone (re-escaped at serialization)
+                if 0xD800 <= cp <= 0xDBFF and self.s[self.i : self.i + 2] == "\\u":
+                    lo_hex = self.s[self.i + 2 : self.i + 6]
+                    if len(lo_hex) == 4 and all(h in "0123456789abcdefABCDEF" for h in lo_hex):
+                        lo = int(lo_hex, 16)
+                        if 0xDC00 <= lo <= 0xDFFF:
+                            self.i += 6
+                            return chr(0x10000 + ((cp - 0xD800) << 10) + (lo - 0xDC00))
+                return chr(cp)
         if ch == "x":
             hexs = self.s[self.i : self.i + 2]
             if len(hexs) == 2 and all(h in "0123456789abcdefABCDEF" for h in hexs):
