@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from json_remedy_spark.functions import dedup, langid, quality, scrub, textstats
 from json_remedy_spark.functions.dedup import MINHASH_K, LSH_BANDS
-from json_remedy_spark.functions.multimodal import N_FEATURES as _N_FEATURES
+from json_remedy_spark.functions.multimodal import N_FEATURES as _N_FEATURES, N_FRAMES as _N_FRAMES
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -346,6 +346,40 @@ def q_media_features(spark, sf_dir):
     )
 
 
+def _docs_as_binary(spark, sf_dir):
+    return _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.encode(F.col("text"), "utf-8").alias("html"),
+    )
+
+
+def q_media_meta(spark, sf_dir):
+    """Magic-byte sniff over opaque binary payloads.  Only the
+    ASCII-representable magics (GIF8 / RIFF / webm EBML / <html) can
+    ever occur in utf-8-encoded text, so the DuckDB oracle enumerates
+    exactly those prefixes."""
+    from json_remedy_spark.functions.multimodal import media_meta
+
+    return media_meta(_docs_as_binary(spark, sf_dir)).select(
+        "url", "media_type", F.col("n_bytes").cast("long").alias("n_bytes")
+    )
+
+
+def q_frame_sample(spark, sf_dir):
+    """Cardinality-changing frame sampler (1 doc -> N_FRAMES rows).
+    The digest column has no SQL-reproducible form (DuckDB md5 takes
+    VARCHAR only, slices are raw bytes), so the oracle checks the
+    fan-out + exact per-frame byte counts; digest correctness is
+    pinned by the pytest unit."""
+    from json_remedy_spark.functions.multimodal import frame_sample
+
+    return frame_sample(_docs_as_binary(spark, sf_dir)).select(
+        "url",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.col("frame_bytes").cast("long").alias("frame_bytes"),
+    )
+
+
 def q_lsh_ann_topk(spark, sf_dir):
     from json_remedy_spark.functions.similarity import lsh_bucketed_topk
 
@@ -428,6 +462,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repair_ok_fastpath": q_repair_ok_fastpath,
         "winnow_fingerprints": q_winnow_fingerprints,
         "media_features": q_media_features,
+        "media_meta": q_media_meta,
+        "frame_sample": q_frame_sample,
         # rows-only:
         "ivf_ann_topk": q_ivf_ann_topk,
         "repair_documents": q_repair_documents,
@@ -714,6 +750,30 @@ def oracle_sql() -> dict[str, str]:
                    ((coalesce(c.c, 0) * 1000000) // greatest(g.nb, 1)) / 1000000 AS value,
                    g.n_bytes AS n_bytes
             FROM grid g LEFT JOIN cnt c ON c.url = g.url AND c.v = g.feature_idx
+        """,
+        "media_meta": """
+            SELECT concat('doc://', doc_id) AS url,
+                   CASE
+                     WHEN starts_with(text, 'GIF8') THEN 'image/gif'
+                     WHEN starts_with(text, 'RIFF') THEN 'audio/wav'
+                     WHEN starts_with(text, chr(26) || 'E' || chr(2019)) THEN 'video/webm'
+                     WHEN starts_with(text, '<html') THEN 'text/html'
+                     ELSE 'application/octet-stream'
+                   END AS media_type,
+                   octet_length(encode(text))::BIGINT AS n_bytes
+            FROM documents
+        """,
+        "frame_sample": f"""
+            WITH b AS (
+              SELECT concat('doc://', doc_id) AS url,
+                     octet_length(encode(text))::BIGINT AS nb
+              FROM documents
+            )
+            SELECT url,
+                   i AS frame_idx,
+                   least(greatest(nb - i * greatest(nb // {_N_FRAMES}, 1), 0),
+                         greatest(nb // {_N_FRAMES}, 1))::BIGINT AS frame_bytes
+            FROM (SELECT url, nb, unnest(range(0, {_N_FRAMES})) AS i FROM b)
         """,
         "event_metrics": """
             SELECT event_type, count(*)::BIGINT AS n,

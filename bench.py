@@ -211,9 +211,10 @@ def main():
             }
             p["sane"] = p["kernel_ceiling"] >= SANE_CEILING
             passes.append(p)
-            if p["sane"] and (
-                p["efficiency"] >= 0.8 or p["efficiency"] / p["kernel_ceiling"] >= 0.9
-            ):
+            # early-stop only on the STRONG criterion (raw >= 0.8 on a
+            # sane pass); a vs-ceiling-only pass is kept but later
+            # passes may hit a quieter window and beat it outright
+            if p["sane"] and p["efficiency"] >= 0.8:
                 break
         sane = [p for p in passes if p["sane"]] or passes
         best = max(sane, key=lambda p: p["efficiency"])

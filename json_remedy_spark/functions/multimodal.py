@@ -17,7 +17,7 @@ import hashlib
 
 MEDIA_META_SCHEMA = "url string, media_type string, n_bytes long"
 IMAGE_FEATURES_SCHEMA = "url string, feature array<double>, n_bytes long"
-FRAME_SAMPLE_SCHEMA = "url string, frame_idx int, frame_digest string"
+FRAME_SAMPLE_SCHEMA = "url string, frame_idx int, frame_bytes int, frame_digest string"
 
 _MAGIC = [
     (b"\x89PNG", "image/png"),
@@ -95,14 +95,18 @@ def frame_sample(docs, url_col: str = "url", bin_col: str = "html", n_frames: in
 
     def run(batches):
         for pdf in batches:
-            urls, idxs, digests = [], [], []
+            urls, idxs, sizes, digests = [], [], [], []
             for u, b in zip(pdf[url_col], pdf[bin_col]):
                 raw = bytes(b or b"")
                 step = max(len(raw) // n_frames, 1)
                 for i in range(n_frames):
+                    chunk = raw[i * step : (i + 1) * step]
                     urls.append(u)
                     idxs.append(i)
-                    digests.append(hashlib.md5(raw[i * step : (i + 1) * step]).hexdigest())
-            yield pd.DataFrame({"url": urls, "frame_idx": idxs, "frame_digest": digests})
+                    sizes.append(len(chunk))
+                    digests.append(hashlib.md5(chunk).hexdigest())
+            yield pd.DataFrame(
+                {"url": urls, "frame_idx": idxs, "frame_bytes": sizes, "frame_digest": digests}
+            )
 
     return docs.mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA)
