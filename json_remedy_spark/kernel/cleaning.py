@@ -79,6 +79,8 @@ def remove_code_fences(s: str, log: list) -> str:
 def remove_comments(s: str, log: list) -> str:
     """// line comments and nested /* */ block comments, outside strings
     (content_cleaning.ex:69-77, 469-619)."""
+    if "//" not in s and "/*" not in s:  # C-speed guard: nothing to strip
+        return s
     out: list[str] = []
     i, n = 0, len(s)
     in_str = False
