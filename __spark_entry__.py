@@ -46,11 +46,34 @@ def _docs_as_webpages(docs: DataFrame) -> DataFrame:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: full quality-filter DAG over sf0.001 documents."""
+    """Flagship: full quality-filter DAG over sf0.001 — the prose
+    documents table UNION web pages with embedded JSON constructed
+    from orders (valid / truncated / single-quoted variants), so the
+    smoke-check output exercises every branch: fast path, tolerant
+    repairs, plain-text drops, keep/drop fusion."""
     from json_remedy_spark.operators.pipeline import quality_filter
 
-    docs = _docs_as_webpages(_t(spark, "/root/testdata/sf0.001", "documents"))
-    out = quality_filter(docs)
+    sf = "/root/testdata/sf0.001"
+    docs = _docs_as_webpages(_t(spark, sf, "documents"))
+    o = _t(spark, sf, "orders").withColumn(
+        "payload", F.to_json(F.struct("o_orderkey", "o_orderstatus", "o_orderpriority"))
+    )
+    variant = F.pmod(F.col("o_orderkey"), F.lit(4))
+    body = (
+        F.when(variant == 0, F.col("payload"))
+        .when(variant == 1, F.expr("substring(payload, 1, length(payload) - 1)"))
+        .when(variant == 2, F.translate(F.col("payload"), '"', "'"))
+        .otherwise(F.concat(F.lit("```json\n"), F.col("payload"), F.lit("\n```")))
+    )
+    text = F.concat(F.lit("The order record is "), body)
+    json_docs = o.select(
+        F.concat(F.lit("order://"), F.col("o_orderkey").cast("string")).alias("url"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("warc_ts"),
+        F.encode(text, "utf-8").alias("html"),
+        text.alias("text"),
+        F.lit("en").alias("lang"),
+    )
+    out = quality_filter(docs.unionByName(json_docs))
     return out.select(
         "url", "lang_id", "ok", "fast_path", "n_repairs", "keep",
         F.round("ppl", 4).alias("ppl"), "repaired", "scrubbed",

@@ -281,3 +281,19 @@ def test_lsh_candidates_single_signature_materialization(spark, docs):
     # build plan under each scan, so MapInPandas appears textually —
     # what matters is that BOTH sides are InMemoryTableScan)
     assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_catalog_adapter_falls_back_without_iceberg(spark, tmp_path):
+    """No Iceberg runtime in this sandbox -> the adapter must detect
+    that and commit via the parquet+manifest protocol with identical
+    visibility semantics."""
+    from json_remedy_spark.operators.checkpoint import committed_buckets
+    from json_remedy_spark.sources.catalog import iceberg_available, write_bucketed_table
+
+    assert iceberg_available(spark) is False
+    df = spark.createDataFrame([(f"u{i}", i) for i in range(40)], ["url", "v"])
+    out = str(tmp_path / "tbl")
+    fmt = write_bucketed_table(df, "jrs.db.tbl", out, n_buckets=4)
+    assert fmt == "parquet+manifest"
+    assert committed_buckets(out) == {0, 1, 2, 3}
+    assert spark.read.parquet(out + "/part_bucket=*").count() == 40
