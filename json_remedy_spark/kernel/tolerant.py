@@ -858,9 +858,12 @@ class TolerantParser:
         # text-number hybrid: absorb trailing identifier chars when inside
         # a structure (`1notanumber` -> "1notanumber"); at top level the
         # number ends so `123true` splits (multiple_json_detector.ex:429).
-        if self.ctx and self.i < self.n and _IDENT.match(self.s[self.i]):
+        nxt_ch = self.s[self.i] if self.i < self.n else ""
+        # _IDENT's wide range includes U+00A0..U+FFFF — unicode SPACES
+        # in it are token terminators, never hybrid-absorbed
+        if self.ctx and nxt_ch and nxt_ch not in _WS and _IDENT.match(nxt_ch):
             j = self.i
-            while j < self.n and _IDENT.match(self.s[j]):
+            while j < self.n and self.s[j] not in _WS and _IDENT.match(self.s[j]):
                 j += 1
             token += self.s[self.i : j]
             self.i = j

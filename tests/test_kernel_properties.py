@@ -82,3 +82,53 @@ def test_corrupted_still_repairs(v, op):
     r = repair(s)
     assert r.ok, (op, s[:120], r.error)
     json.loads(r.repaired)  # canonical output must be valid JSON
+
+
+_UNI_SPACES = st.sampled_from([" ", " ", " ", " ", "　"])
+
+
+@given(json_values, _UNI_SPACES)
+@settings(max_examples=60, suppress_health_check=[HealthCheck.too_slow], deadline=None)
+def test_unicode_whitespace_between_tokens_is_transparent(v, sp):
+    """Exotic Unicode spaces between tokens must behave exactly like
+    ASCII spaces UNDER THE TOLERANT PATH (r2 _NONWS extension) — the
+    comparison target is the tolerant parse of the ASCII text, since a
+    unicode-space doc is strict-invalid and can never take the
+    fast path (e.g. the doubled-opener collapse of ``[[]]`` applies to
+    both spellings once the parser sees them)."""
+    from hypothesis import assume
+
+    from json_remedy_spark.kernel import cleaning, prepass
+    from json_remedy_spark.kernel.tolerant import SKIP, TolerantParser
+
+    # compact form has no inter-token spaces, so a space there is
+    # STRING CONTENT — the blanket replace below would corrupt it
+    ascii_text = json.dumps(v, ensure_ascii=False, indent=1)
+    assume(" " not in json.dumps(v, ensure_ascii=False, separators=(",", ":")))
+    # ASCII reference result through the same clean/prepass/tolerant
+    # stages the unicode-space doc must take
+    log: list = []
+    work = prepass.apply(cleaning.clean(ascii_text, log), log)
+    expected = TolerantParser(work).parse()
+    assume(expected is not SKIP)
+    r = repair(ascii_text.replace("\n", sp).replace(" ", sp))
+    assert r.ok and r.value == expected
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=150, suppress_health_check=[HealthCheck.too_slow], deadline=None)
+def test_repaired_text_is_always_utf8_encodable(s):
+    """Arrow-column safety: whatever the input (including literal
+    lone-surrogate escapes), the repaired text must encode to utf-8."""
+    r = repair(s)
+    if r.ok and r.repaired is not None:
+        r.repaired.encode("utf-8")
+
+
+@given(st.integers(0xD800, 0xDBFF))
+@settings(max_examples=40, deadline=None)
+def test_lone_surrogate_escapes_never_poison(cp):
+    r = repair('{"k": "\\u%04x"}' % cp)
+    assert r.ok
+    r.repaired.encode("utf-8")
+    assert json.loads(r.repaired) == {"k": chr(cp)}
