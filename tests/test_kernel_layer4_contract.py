@@ -471,3 +471,54 @@ def test_escape_normalization_flag_on():
     r3 = repair('{"s": "\\uD83D"}', normalize_escapes=True)
     assert r3.ok
     r3.repaired.encode("utf-8")
+
+
+# ------------------------------------------ primitive scalar contract
+# basic_json_validation_test.exs "primitives" + "numeric edge cases"
+
+SCALARS = [
+    ('"simple"', "simple"),
+    ('"with spaces"', "with spaces"),
+    ('"with\\nnewlines"', "with\nnewlines"),
+    ('"with\\ttabs"', "with\ttabs"),
+    ('"with\\"quotes\\""', 'with"quotes"'),
+    ('"unicode: José"', "unicode: José"),
+    ('"emoji: 🚀💯"', "emoji: 🚀💯"),
+    ("42", 42),
+    ("-42", -42),
+    ("3.14", 3.14),
+    ("-3.14", -3.14),
+    ("1.0", 1.0),
+    ("1e10", 1.0e10),
+    ("1E10", 1.0e10),
+    ("1.23e-4", 1.23e-4),
+    ("1.23E+5", 1.23e5),
+    ("9223372036854775807", 9223372036854775807),
+    ("-9223372036854775808", -9223372036854775808),
+    ("0.0", 0.0),
+    ("-0.0", -0.0),
+    ("1.7976931348623157e+308", 1.7976931348623157e308),
+    ("2.2250738585072014e-308", 2.2250738585072014e-308),
+    ('["string", 42, 3.14, true, false, null]', ["string", 42, 3.14, True, False, None]),
+]
+
+
+@pytest.mark.parametrize("inp,exp", SCALARS)
+def test_scalar_primitives_fast_path(inp, exp):
+    assert ok_fast(inp) == exp
+
+
+def test_all_primitives_object():
+    v = ok_fast(
+        '{"string_val": "hello", "int_val": 42, "float_val": 3.14, '
+        '"bool_true": true, "bool_false": false, "null_val": null, '
+        '"empty_array": [], "empty_object": {}}'
+    )
+    assert v["empty_array"] == [] and v["empty_object"] == {}
+
+
+def test_comprehensive_mixed_issues_doc():
+    # layer4_comprehensive_test.exs "mixed issues"
+    assert repaired("{name: 'Alice', active: True, score: 95,}") == {
+        "name": "Alice", "active": True, "score": 95,
+    }
