@@ -307,7 +307,17 @@ def lsh_verified_pairs(
     union sizes come from a per-doc aggregate of the same shingle
     table."""
     cand = lsh_candidate_pairs(docs, id_col, text_col)
-    sh = shingles(docs, id_col, text_col)
+    # shrink the shingle table to docs that appear in ANY candidate
+    # pair before the two intersection joins — at 10^12 docs the
+    # candidate set is a tiny fraction of the corpus and this semi-join
+    # is what keeps the verify stage from shuffling the full shingle
+    # table twice
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = shingles(docs, id_col, text_col).join(cand_docs, "doc_id", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b_sh = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
