@@ -1,12 +1,13 @@
-"""Table-format adapter for the north-rule's Iceberg tables.
+"""Table IO — Iceberg when a catalog is configured, parquet otherwise.
 
-The production deployment writes per-partition commits to an Iceberg
-table (atomic snapshot per bucket, time travel for the resume drill).
-This sandbox ships no Iceberg runtime jar, so the adapter probes the
-classpath once and falls back to the equivalent plain-parquet +
-manifest protocol (``operators/checkpoint.py``) — same commit
-semantics (a bucket is visible only after its manifest/snapshot
-commit), swappable by configuration alone:
+Production (north_rule) targets Iceberg tables partitioned by
+``bucket(url)`` / ``days(warc_ts)`` so Catalyst prunes partitions and
+commits are snapshot-atomic.  The sandbox has no Iceberg runtime jar,
+so the same call sites fall back to parquet directories with
+identical dataframe semantics; the checkpoint manifest
+(operators/checkpoint.py) supplies the atomic-commit half.
+
+Enable the Iceberg path by configuration alone:
 
     spark-submit --packages org.apache.iceberg:iceberg-spark-runtime-3.5_2.13:<v> \\
       --conf spark.sql.catalog.jrs=org.apache.iceberg.spark.SparkCatalog \\
@@ -24,8 +25,26 @@ def iceberg_available(spark: SparkSession) -> bool:
     try:
         spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
         return True
-    except Exception:
+    except Exception:  # noqa: BLE001
         return False
+
+
+def read_table(spark: SparkSession, ref: str) -> DataFrame:
+    """``catalog.db.table`` (Iceberg) or a parquet path."""
+    if "/" not in ref and iceberg_available(spark):
+        return spark.read.table(ref)
+    return spark.read.parquet(ref)
+
+
+def write_table(df: DataFrame, ref: str, mode: str = "append") -> None:
+    spark = df.sparkSession
+    if "/" not in ref and iceberg_available(spark):
+        if mode == "append":
+            df.writeTo(ref).append()
+        else:
+            df.writeTo(ref).createOrReplace()
+        return
+    df.write.mode("overwrite" if mode != "append" else "append").parquet(ref)
 
 
 def write_bucketed_table(
@@ -44,11 +63,11 @@ def write_bucketed_table(
     format actually used ("iceberg" | "parquet+manifest")."""
     spark = df.sparkSession
     if iceberg_available(spark):
-        from pyspark.sql import functions as F  # noqa: F401
+        from pyspark.sql.functions import bucket, col
 
         (
             df.writeTo(identifier)
-            .partitionedBy(_bucket_transform(spark, n_buckets, key))
+            .partitionedBy(bucket(n_buckets, col(key)))
             .using("iceberg")
             .createOrReplace()
         )
@@ -57,9 +76,3 @@ def write_bucketed_table(
 
     run_with_checkpoints(lambda part: part, df, out_dir, n_buckets=n_buckets)
     return "parquet+manifest"
-
-
-def _bucket_transform(spark: SparkSession, n_buckets: int, key: str):
-    from pyspark.sql.functions import bucket, col
-
-    return bucket(n_buckets, col(key))
