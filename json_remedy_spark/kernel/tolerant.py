@@ -275,8 +275,17 @@ class TolerantParser:
                     self._rec("layer3", "removed trailing comma")
                 self.i += 1
                 continue
-            if c not in _QUOTES and not c.isalpha() and c != "_" and not c.isdigit():
-                # garbage char at pair position (e.g. stray backtick)
+            if (
+                c not in _QUOTES
+                and not c.isalpha()
+                and c != "_"
+                and not c.isdigit()
+                and (c.isascii() or c in _WS)
+            ):
+                # garbage char at pair position (e.g. stray backtick);
+                # non-ASCII non-space chars start unquoted keys instead
+                # (reference: `🚀status:` keeps the emoji in the key,
+                # critical/byte_size_vs_string_length_layer_3_test.exs)
                 self._rec("layer1", "skipped non-JSON character in object")
                 self.i += 1
                 continue
