@@ -105,3 +105,89 @@ def test_positions_are_codepoint_indexed():
     r = rep(inp)
     for a in r.repairs:
         assert 0 <= a["position"] <= len(inp)
+
+
+# --------------------------------------------- state-machine stress
+# /root/reference/test/critical/state_managemenet_and_parameter_layer_3_test.exs
+
+
+def test_deeply_nested_state_transitions():
+    inp = """{
+  "level1": {
+    "array": [
+      {'nested_obj': True, items: [1, 2, 3,]},
+      {another: 'string', flag: False},
+      'simple_string_in_array'
+    ],
+    "more_data": None
+  },
+  final_key: NULL
+}"""
+    r = rep(inp)
+    assert r.value == {
+        "level1": {
+            "array": [
+                {"nested_obj": True, "items": [1, 2, 3]},
+                {"another": "string", "flag": False},
+                "simple_string_in_array",
+            ],
+            "more_data": None,
+        },
+        "final_key": None,
+    }
+    assert len(r.repairs) >= 6
+
+
+def test_state_machine_not_confused_by_string_content():
+    inp = """{
+  "json_example": "Use {'key': 'value'} format",
+  "boolean_text": "Set active: True or False",
+  "null_example": "Value can be None or NULL",
+  "quote_mix": 'Use "double quotes" inside single',
+  "comma_text": "Arrays use [1, 2, 3,] format",
+  "colon_text": "Object syntax is key: value",
+  actual_key: 'This should be quoted',
+  real_boolean: True,
+  real_null: None
+}"""
+    r = rep(inp)
+    v = r.value
+    assert v["json_example"] == "Use {'key': 'value'} format"
+    assert v["boolean_text"] == "Set active: True or False"
+    assert v["null_example"] == "Value can be None or NULL"
+    assert v["quote_mix"] == 'Use "double quotes" inside single'
+    assert v["comma_text"] == "Arrays use [1, 2, 3,] format"
+    assert v["colon_text"] == "Object syntax is key: value"
+    assert v["actual_key"] == "This should be quoted"
+    assert v["real_boolean"] is True and v["real_null"] is None
+    assert len(r.repairs) >= 3
+
+
+def test_alternating_contexts():
+    inp = """[
+  {"key1": 'value1', flag1: True},
+  'string_in_array',
+  {"key2": False, data2: None},
+  42,
+  {"key3": NULL, text3: 'more'},
+  [1, 2, {"nested": TRUE}]
+]"""
+    r = rep(inp)
+    assert r.value == [
+        {"key1": "value1", "flag1": True},
+        "string_in_array",
+        {"key2": False, "data2": None},
+        42,
+        {"key3": None, "text3": "more"},
+        [1, 2, {"nested": True}],
+    ]
+    assert len(r.repairs) >= 8
+
+
+def test_repair_is_idempotent_on_its_own_output():
+    # "multiple passes without state corruption": repairing the
+    # canonical output must be a fast-path no-op
+    inp = "{name: 'Alice', active: True, data: None, items: [1, 2, 3,]}"
+    first = rep(inp)
+    second = repair(first.repaired)
+    assert second.ok and second.fast_path and second.repaired == first.repaired
