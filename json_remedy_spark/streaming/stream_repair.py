@@ -81,3 +81,40 @@ def run_once(spark: SparkSession, in_dir: str, out_dir: str, checkpoint_dir: str
         .start()
     )
     q.awaitTermination()
+
+
+def stream_quality_filter(pages: DataFrame) -> DataFrame:
+    """The FULL quality-filter DAG on a streaming web-page frame.
+
+    The batch pipeline (operators/pipeline.py:quality_filter) is
+    map-only until its metrics aggregation, so the same column stages
+    lift onto Structured Streaming unchanged — langid, the fused
+    repair+perplexity Arrow hop, heuristics, scrub, and keep fusion
+    all run per micro-batch with no state.  ``pages`` needs the
+    web-page columns (url, text, lang, ...); output mode: append.
+    """
+    from ..operators.pipeline import quality_filter
+
+    return quality_filter(pages, with_actions=False)
+
+
+def run_quality_filter_stream(
+    spark: SparkSession, in_dir: str, out_dir: str, checkpoint_dir: str
+) -> None:
+    """Drain a parquet directory of web pages through the streaming
+    quality filter exactly once (availableNow) — same code path as a
+    continuous run; exactly-once via the sink checkpoint."""
+    first = spark.read.parquet(in_dir)
+    pages = spark.readStream.schema(first.schema).parquet(in_dir)
+    out = stream_quality_filter(pages).select(
+        "url", "lang_id", "ok", "fast_path", "n_repairs", "keep", "repaired", "scrubbed"
+    )
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()

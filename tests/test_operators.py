@@ -297,3 +297,27 @@ def test_catalog_adapter_falls_back_without_iceberg(spark, tmp_path):
     assert fmt == "parquet+manifest"
     assert committed_buckets(out) == {0, 1, 2, 3}
     assert spark.read.parquet(out + "/part_bucket=*").count() == 40
+
+
+def test_streaming_quality_filter_matches_batch(spark, tmp_path):
+    """The full quality-filter DAG must produce identical rows when run
+    as a stream (availableNow) and as a batch over the same pages."""
+    from json_remedy_spark.operators.pipeline import quality_filter
+    from json_remedy_spark.sources.webpages import synthesize_corpus
+    from json_remedy_spark.streaming.stream_repair import run_quality_filter_stream
+
+    docs, _ = synthesize_corpus(spark, 200, partitions=2)
+    src = str(tmp_path / "pages")
+    docs.write.parquet(src)
+
+    out = str(tmp_path / "stream_out")
+    run_quality_filter_stream(spark, src, out, str(tmp_path / "ckpt"))
+    streamed = {
+        (r["url"], r["keep"], r["repaired"], r["scrubbed"])
+        for r in spark.read.parquet(out).collect()
+    }
+    batch = {
+        (r["url"], r["keep"], r["repaired"], r["scrubbed"])
+        for r in quality_filter(spark.read.parquet(src), with_actions=False).collect()
+    }
+    assert streamed == batch and len(streamed) == 200
