@@ -306,7 +306,11 @@ def lsh_verified_pairs(
     shingles, then once on (doc_b, shingle) to count the intersection;
     union sizes come from a per-doc aggregate of the same shingle
     table."""
-    cand = lsh_candidate_pairs(docs, id_col, text_col)
+    from pyspark import StorageLevel
+
+    # candidates feed BOTH the semi-join key set and the intersection
+    # join — persist so the band self-join runs once
+    cand = lsh_candidate_pairs(docs, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
     # shrink the shingle table to docs that appear in ANY candidate
     # pair before the two intersection joins — at 10^12 docs the
     # candidate set is a tiny fraction of the corpus and this semi-join
