@@ -403,12 +403,24 @@ def q_frame_sample(spark, sf_dir):
     )
 
 
+# Recall-tier ANN knobs for the driver queries.  The synthetic
+# embeddings are near-uniform (true top-5 sits at cos ~0.3, the
+# LSH worst case), so hitting the recall floors (lsh>=0.6, ivf>=0.8)
+# takes low-selectivity settings: 4 planes x 8 tables probes ~half the
+# corpus per query here.  Production embeddings cluster, which moves
+# the same recall to far higher selectivity; the knobs are the
+# contract, these values are the sandbox point on the curve.
+_ANN_TABLES = 8
+_ANN_PLANES = 4
+_IVF_PROBES = 8
+
+
 def q_lsh_ann_topk(spark, sf_dir):
     from json_remedy_spark.functions.similarity import lsh_bucketed_topk
 
     e = _t(spark, sf_dir, "embeddings").withColumn("embedding", F.col("embedding").cast("array<double>"))
     queries = e.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
-    return lsh_bucketed_topk(e, queries, k=5).select(
+    return lsh_bucketed_topk(e, queries, k=5, n_tables=_ANN_TABLES, n_planes=_ANN_PLANES).select(
         F.col("q_id").cast("long").alias("q_id"),
         F.col("vec_id").cast("long").alias("vec_id"),
         F.col("cos").cast("double").alias("cos"),
@@ -445,12 +457,44 @@ def q_ivf_ann_topk(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings").withColumn("embedding", F.col("embedding").cast("array<double>"))
     queries = e.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
-    return ivf_topk(e, queries, k=5).select(
+    return ivf_topk(e, queries, k=5, probes=_IVF_PROBES).select(
         F.col("q_id").cast("long").alias("q_id"),
         F.col("vec_id").cast("long").alias("vec_id"),
         F.col("cos").cast("double").alias("cos"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+def q_ann_recall(spark, sf_dir):
+    """Driver-visible recall contract for both approximate ANN paths
+    (VERDICT r2 #5): recall@5 of LSH-bucketed and IVF-routed top-k
+    against the exact ``cosine_topk`` ground truth.  Rows-only by
+    nature (the approximate methods are sub-1 recall by design); the
+    pytest companion asserts floors (LSH >= 0.6, IVF >= 0.8)."""
+    from json_remedy_spark.functions.similarity import (
+        cosine_topk,
+        ivf_topk,
+        lsh_bucketed_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qs = e.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
+    truth = cosine_topk(e, qs, k=5).select("q_id", "vec_id")
+
+    def recall_row(df, method):
+        hits = df.select("q_id", "vec_id").join(truth, ["q_id", "vec_id"])
+        return hits.groupBy().agg(
+            F.lit(method).alias("method"),
+            F.round(F.count("*") / F.lit(truth.count()), 4).cast("double").alias("recall_at_5"),
+        )
+
+    lsh = recall_row(
+        lsh_bucketed_topk(e, qs, k=5, n_tables=_ANN_TABLES, n_planes=_ANN_PLANES), "lsh"
+    )
+    ivf = recall_row(ivf_topk(e, qs, k=5, probes=_IVF_PROBES), "ivf")
+    return lsh.unionByName(ivf).select("method", "recall_at_5")
 
 
 def q_repair_metrics(spark, sf_dir):
@@ -492,6 +536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repair_documents": q_repair_documents,
         "perplexity": q_perplexity,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "ann_recall": q_ann_recall,
         "repair_metrics": q_repair_metrics,
         "layer_hits": q_layer_hits,
     }
@@ -585,10 +630,12 @@ def _lsh_verified_sql() -> str:
 
 
 def _simhash_near_dup_sql() -> str:
+    cb = dedup._SIMHASH_CHUNK_BITS
+    mask = dedup._SIMHASH_CHUNK_MASK
     return f"""
       WITH fp AS ({_simhash_sql()}),
       banded AS (
-        SELECT doc_id, simhash, band, (simhash >> (8 * band)::INT) & 255 AS chunk
+        SELECT doc_id, simhash, band, (simhash >> ({cb} * band)::INT) & {mask} AS chunk
         FROM (SELECT doc_id, simhash, unnest(range(0, {dedup.SIMHASH_BANDS})) AS band FROM fp)
       )
       SELECT DISTINCT a.doc_id::BIGINT AS doc_a, b.doc_id::BIGINT AS doc_b,
@@ -599,22 +646,88 @@ def _simhash_near_dup_sql() -> str:
 
 
 def _simhash_sql() -> str:
-    # portable hex -> int: 8 nibbles via strpos
+    # portable hex -> int: 8 nibbles via strpos per 32-bit half of the
+    # 64-bit fingerprint (h1 = md5 chars 1-8 -> bits 0-31, h2 = chars
+    # 9-16 -> bits 32-63); bit 63's literal is its signed
+    # two's-complement form (DuckDB raises on `1 << 63`)
     nib = lambda p: f"(strpos('0123456789abcdef', substr(md5(token), {p + 1}, 1)) - 1)"
-    h = " + ".join(f"{nib(p)} * {16 ** (7 - p)}" for p in range(8))
+    h1 = " + ".join(f"{nib(p)} * {16 ** (7 - p)}" for p in range(8))
+    h2 = " + ".join(f"{nib(8 + p)} * {16 ** (7 - p)}" for p in range(8))
+    def bit_test(j):
+        src = "h1" if j < 32 else "h2"
+        return f"({src} & {1 << (j % 32)}) != 0"
     bit_aggs = ", ".join(
-        f"sum(CASE WHEN (h & {1 << j}) != 0 THEN 1 ELSE -1 END) AS b{j}"
+        f"sum(CASE WHEN {bit_test(j)} THEN 1 ELSE -1 END) AS b{j}"
         for j in range(dedup.SIMHASH_BITS)
     )
-    fp = " + ".join(
-        f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(dedup.SIMHASH_BITS)
+    # parens around the literal: `-9223372036854775808::BIGINT` would
+    # cast the POSITIVE (INT128) literal first, then negate -> overflow
+    fp = " | ".join(
+        f"(CASE WHEN b{j} > 0 THEN ({dedup._signed64(1 << j)})::BIGINT ELSE 0 END)"
+        for j in range(dedup.SIMHASH_BITS)
     )
     return f"""
       WITH tok AS (
-        SELECT doc_id, ({h})::BIGINT AS h
+        SELECT doc_id, ({h1})::BIGINT AS h1, ({h2})::BIGINT AS h2
         FROM (SELECT doc_id, unnest(regexp_split_to_array({_NORM}, ' ')) AS token FROM documents)
       ), bits AS (SELECT doc_id, {bit_aggs} FROM tok GROUP BY doc_id)
       SELECT doc_id::BIGINT AS doc_id, ({fp})::BIGINT AS simhash FROM bits
+    """
+
+
+_PPL_TRI_TABLE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "ppl_trigrams.parquet")
+_PPL_BI_TABLE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "ppl_bigrams.parquet")
+
+
+def _perplexity_sql() -> str:
+    """Exact DuckDB oracle for the char-trigram perplexity model: the
+    sparse trained counts live in parquet (functions/perplexity.py
+    ``export_model_tables``), unseen grams fall back to the smoothing
+    constants, and the per-doc score is the mean of
+    ``log(cnt3+k) - log(cnt2+k*V)`` over utf-8 byte trigrams of the
+    lowered 512-char prefix — the same float64 doubles the kernel
+    looks up, so round(4) matches bit-for-bit."""
+    from json_remedy_spark.functions.perplexity import _K, _VOCAB, MAX_SCORED_CHARS
+
+    import numpy as np
+
+    log_k = repr(float(np.log(_K)))          # unseen trigram numerator
+    log_kv = repr(float(np.log(_K * _VOCAB)))  # unseen bigram denominator
+    return f"""
+      WITH b AS (
+        SELECT doc_id,
+               lower(hex(encode(lower(substr(coalesce(text, ''), 1, {MAX_SCORED_CHARS}))))) AS hx,
+               length(coalesce(text, '')) AS n_chars
+        FROM documents
+      ),
+      ids AS (
+        SELECT doc_id, i,
+               CASE WHEN byte >= 32 AND byte < 127 THEN byte - 31 ELSE 0 END AS id
+        FROM (
+          SELECT doc_id, i,
+                 ((strpos('0123456789abcdef', substr(hx, 2 * i - 1, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substr(hx, 2 * i, 1)) - 1)) AS byte
+          FROM (SELECT doc_id, hx, unnest(range(1, length(hx) // 2 + 1)) AS i FROM b)
+        )
+      ),
+      tris AS (
+        SELECT doc_id,
+               (id * {_VOCAB} + lead(id, 1) OVER w) * {_VOCAB} + lead(id, 2) OVER w AS tri,
+               (lead(id, 2) OVER w IS NOT NULL) AS full_tri
+        FROM ids WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+      ),
+      scored AS (
+        SELECT t.doc_id,
+               coalesce(tm.log_num, {log_k}) - coalesce(bm.log_den, {log_kv}) AS logp
+        FROM tris t
+        LEFT JOIN read_parquet('{_PPL_TRI_TABLE}') tm ON tm.tri = t.tri
+        LEFT JOIN read_parquet('{_PPL_BI_TABLE}') bm ON bm.bi = t.tri // {_VOCAB}
+        WHERE t.full_tri
+      )
+      SELECT d.doc_id::BIGINT AS doc_id,
+             (CASE WHEN d.n_chars < 3 THEN 20.0 ELSE round(-avg(s.logp), 4) END)::DOUBLE AS ppl
+      FROM b d LEFT JOIN scored s ON s.doc_id = d.doc_id
+      GROUP BY d.doc_id, d.n_chars
     """
 
 
@@ -669,6 +782,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dup": _simhash_near_dup_sql(),
         "lsh_jaccard_verified": _lsh_verified_sql(),
         "cosine_topk": _cosine_topk_sql(),
+        "perplexity": _perplexity_sql(),
         "embedding_near_dup": """
           WITH v AS (
             SELECT vec_id AS id, list_transform(embedding::DOUBLE[], x -> x /

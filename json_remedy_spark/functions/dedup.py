@@ -12,8 +12,8 @@ surface.
                    never the full cross product.
 * ngram jaccard  — exact verification on candidate pairs (or, at small
                    scale, all intersecting pairs via shingle self-join).
-* simhash        — 32-bit sign-of-weighted-bits fingerprint; hamming
-                   band join.
+* simhash        — 64-bit sign-of-weighted-bits fingerprint; hamming
+                   band join on 16-bit chunks.
 * embedding near-dup — see similarity.py (cosine).
 """
 
@@ -146,37 +146,56 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     return src.mapInPandas(gen, schema=schema)
 
 
-def lsh_candidate_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Banded LSH: docs sharing any band signature are candidates.
-
-    Bands come from one ``explode`` over the signature row (not a
-    union of per-band scans — a union would recompute the minhash
-    aggregation once per band per join side)."""
-    from pyspark import StorageLevel
-
-    sig = minhash_signatures(docs, id_col, text_col)
+def banded_signatures(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, bucket) rows from a minhash-signature table —
+    one ``explode`` over the signature row (not a union of per-band
+    scans, which would recompute the signatures once per band per
+    join side)."""
     rows_per_band = MINHASH_K // LSH_BANDS
     band_structs = []
     for b in range(LSH_BANDS):
         cols = [F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
         band_structs.append(F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws("|", *cols)).alias("bucket")))
-    banded = sig.select(
+    return sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    # The signature kernel (shingle + minhash mapInPandas) is by far
-    # the most expensive input — persist so the self-join's two sides
-    # read ONE materialization instead of recomputing it per side.
-    # At 100 TB this is a signature table written bucketed by
-    # (band, bucket) instead of an in-memory cache.
-    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
-    left = banded.alias("a")
-    right = banded.alias("b")
+
+
+def candidate_pairs_from_banded(banded: DataFrame) -> DataFrame:
+    """Distinct candidate pairs from a (doc_id, band, bucket) table —
+    the self-join both the in-memory and the at-rest (bucketed table)
+    paths share."""
     return (
-        left.join(right, ["band", "bucket"])
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bucket"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    handles: list | None = None,
+) -> DataFrame:
+    """Banded LSH: docs sharing any band signature are candidates."""
+    from pyspark import StorageLevel
+
+    sig = minhash_signatures(docs, id_col, text_col)
+    # The signature kernel (shingle + minhash mapInPandas) is by far
+    # the most expensive input — persist so the self-join's two sides
+    # read ONE materialization instead of recomputing it per side.
+    # At 100 TB this is a signature table written bucketed by
+    # (band, bucket) instead of an in-memory cache (see
+    # write_signature_table / candidates_from_signature_table).
+    # Long-lived sessions: pass ``handles`` to receive the persisted
+    # frame for unpersist, or clearCache between jobs.
+    banded = banded_signatures(sig).persist(StorageLevel.MEMORY_AND_DISK)
+    if handles is not None:
+        handles.append(banded)
+    return candidate_pairs_from_banded(banded)
 
 
 def jaccard_pairs(
@@ -222,54 +241,105 @@ def jaccard_pairs(
     )
 
 
-SIMHASH_BITS = 32
+SIMHASH_BITS = 64
+
+
+def _signed64(v: int) -> int:
+    """Two's-complement view of an unsigned 64-bit value — what a
+    BIGINT literal must say in Spark AND DuckDB (neither accepts
+    ``1 << 63`` as an expression; DuckDB raises on the shift)."""
+    return v - (1 << 64) if v >= (1 << 63) else v
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """32-bit SimHash from word tokens.
+    """64-bit SimHash from word tokens (Manku et al. width — 32 bits
+    band into 8-bit chunks whose join blocks go quadratic at 10^9
+    docs; 64/16 keeps per-chunk selectivity at 65,536-way).
 
-    Each token hashes to 32 bits via md5 prefix; fingerprint bit j is
-    set iff more tokens have bit j set than clear.  Pure column algebra
-    (explode + groupBy + bit ops): one shuffle.
+    Each token contributes two md5-prefix 32-bit halves (h1 = hex
+    chars 1-8 -> fingerprint bits 0-31, h2 = chars 9-16 -> bits
+    32-63); fingerprint bit j is set iff more tokens have bit j set
+    than clear.  Bit 63 makes the BIGINT negative — chunk extraction
+    masks after the arithmetic shift so the sign never leaks.
+
+    SimHash is per-document math, so like ``minhash_signatures`` it
+    runs entirely inside one mapInPandas pass with ZERO shuffle — the
+    explode + 64-sum-aggregate column formulation shuffles the full
+    token table and its 64 CASE aggregates blow past whole-stage
+    codegen limits (measured ~5x slower).  The DuckDB oracle
+    reproduces the exact bits from the same md5 hex halves.
     """
-    w = F.split(normalized_text(F.col(text_col)), " ")
-    tok = docs.select(F.col(id_col).alias("doc_id"), F.explode(w).alias("token"))
-    h = F.conv(F.substring(F.md5(F.col("token")), 1, 8), 16, 10).cast("long")
-    tok = tok.select("doc_id", h.alias("h"))
-    bit_sums = tok.groupBy("doc_id").agg(
-        *[
-            F.sum(((F.col("h").bitwiseAND(F.lit(1 << j))) != 0).cast("int") * 2 - 1).alias(f"b{j}")
-            for j in range(SIMHASH_BITS)
-        ]
-    )
-    fp = F.lit(0).cast("long")
-    for j in range(SIMHASH_BITS):
-        fp = fp + F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(0)
-    return bit_sums.select("doc_id", fp.alias("simhash"))
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    src = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
+
+    def gen(batches):
+        one = np.uint64(1)
+        for pdf in batches:
+            fps = []
+            for txt in pdf["text"]:
+                # normalized_text + split(" ") semantics: collapse
+                # whitespace, lower; empty doc -> one "" token (same
+                # as the SQL regexp_split_to_array on '')
+                norm = " ".join((txt or "").lower().split())
+                toks = norm.split(" ")
+                vals = np.array(
+                    [
+                        # h2 << 32 | h1: oracle maps hex chars 1-8 to
+                        # LOW bits, 9-16 to HIGH bits
+                        int((hd := hashlib.md5(t.encode("utf-8")).hexdigest())[8:16] + hd[:8], 16)
+                        for t in toks
+                    ],
+                    dtype=np.uint64,
+                )
+                bitsum = ((vals[:, None] >> shifts[None, :]) & one).sum(axis=0, dtype=np.int64)
+                fp_bits = np.nonzero(2 * bitsum > len(vals))[0]  # majority: sum(2b-1) > 0
+                fp = 0
+                for j in fp_bits:
+                    fp |= 1 << int(j)
+                fps.append(_signed64(fp))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": fps})
+
+    return src.mapInPandas(gen, schema="doc_id long, simhash long")
 
 
-SIMHASH_BANDS = 4  # 4 x 8-bit chunks of the 32-bit fingerprint
+SIMHASH_BANDS = 4  # 4 x 16-bit chunks of the 64-bit fingerprint
+_SIMHASH_CHUNK_BITS = SIMHASH_BITS // SIMHASH_BANDS
+_SIMHASH_CHUNK_MASK = (1 << _SIMHASH_CHUNK_BITS) - 1
 
 
-def simhash_near_dup(
-    docs: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text"
+def simhash_near_dup_from_fingerprints(
+    fp: DataFrame, max_hamming: int = 3, handles: list | None = None
 ) -> DataFrame:
-    """Fuzzy near-duplicate join over SimHash fingerprints.
+    """Near-dup join over a precomputed (doc_id, simhash) table.
 
-    Bands the 32-bit fingerprint into SIMHASH_BANDS byte chunks and
-    joins on chunk equality; pigeonhole gives EXACT recall for the
-    default ``max_hamming=3`` (a pair differing in <= 3 bits cannot
-    differ in all 4 bands).  Candidates verify with
+    Bands the 64-bit fingerprint into SIMHASH_BANDS 16-bit chunks and
+    joins on chunk equality; pigeonhole gives EXACT recall for
+    ``max_hamming <= SIMHASH_BANDS - 1`` (a pair differing in <= 3
+    bits cannot differ in all 4 bands).  Candidates verify with
     ``bit_count(xor) <= max_hamming``.  One shuffle on (band, chunk),
     never all-pairs; the fingerprint table materializes once and feeds
-    both join sides."""
+    both join sides (pass ``handles`` to receive the persisted
+    DataFrame for caller-controlled ``unpersist``)."""
     from pyspark import StorageLevel
 
-    fp = simhash(docs, id_col, text_col)
+    if max_hamming >= SIMHASH_BANDS:
+        # exact-recall contract: k differing bits can dodge at most k
+        # bands, so recall is only guaranteed for k < SIMHASH_BANDS
+        raise ValueError(
+            f"max_hamming={max_hamming} breaks the exact-recall pigeonhole "
+            f"bound (needs max_hamming < SIMHASH_BANDS = {SIMHASH_BANDS})"
+        )
     chunk_structs = [
         F.struct(
             F.lit(b).alias("band"),
-            F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(255)).alias("chunk"),
+            F.shiftright(F.col("simhash"), _SIMHASH_CHUNK_BITS * b)
+            .bitwiseAND(F.lit(_SIMHASH_CHUNK_MASK))
+            .alias("chunk"),
         )
         for b in range(SIMHASH_BANDS)
     ]
@@ -278,6 +348,8 @@ def simhash_near_dup(
         .select("doc_id", "simhash", F.col("bc.band").alias("band"), F.col("bc.chunk").alias("chunk"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    if handles is not None:
+        handles.append(banded)
     return (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "chunk"])
@@ -292,25 +364,67 @@ def simhash_near_dup(
     )
 
 
+def simhash_near_dup(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    handles: list | None = None,
+) -> DataFrame:
+    """Fuzzy near-duplicate join over SimHash fingerprints (compute
+    fingerprints, then the banded join of
+    ``simhash_near_dup_from_fingerprints``)."""
+    return simhash_near_dup_from_fingerprints(
+        simhash(docs, id_col, text_col), max_hamming, handles=handles
+    )
+
+
+def minhash_from_shingles(sh: DataFrame) -> DataFrame:
+    """Minhash signatures derived from an ALREADY-MATERIALIZED
+    (doc_id, shingle) table: the same 48-bit md5-prefix base hash and
+    affine family as ``minhash_signatures``, but as a groupBy-min over
+    the exploded table instead of a second shingle kernel pass.
+    ``h*A + B < 2^62`` stays exact in BIGINT arithmetic, so the
+    integers are identical to the kernel's."""
+    h = F.conv(F.substring(F.md5(F.col("shingle")), 1, 12), 16, 10).cast("long")
+    hashed = sh.select("doc_id", h.alias("h"))
+    return hashed.groupBy("doc_id").agg(
+        *[
+            F.min((F.col("h") * F.lit(MINHASH_A[k]) + F.lit(MINHASH_B[k])) % F.lit(MINHASH_P)).alias(f"mh{k}")
+            for k in range(MINHASH_K)
+        ]
+    )
+
+
 def lsh_verified_pairs(
     docs: DataFrame,
     threshold: float = 0.8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    handles: list | None = None,
 ) -> DataFrame:
     """The composed 100 TB fuzzy-dedup recipe: banded-LSH candidate
     pairs, then EXACT n-gram Jaccard computed ONLY for those candidates
     — the full shingle self-join of ``jaccard_pairs`` never happens.
 
-    Join shape: candidates (small) shuffle once on doc_a to pick up A's
+    The shingle kernel (the dominant map cost at scale) runs EXACTLY
+    ONCE: the exploded (doc_id, shingle) table persists and feeds both
+    the minhash aggregation (``minhash_from_shingles``) and the verify
+    joins.  Candidates (small) shuffle once on doc_a to pick up A's
     shingles, then once on (doc_b, shingle) to count the intersection;
-    union sizes come from a per-doc aggregate of the same shingle
-    table."""
+    union sizes come from a per-doc aggregate of the same table.
+    Long-lived sessions: pass ``handles`` to receive the persisted
+    frames for unpersist, or clearCache between jobs."""
     from pyspark import StorageLevel
 
+    sh_all = shingles(docs, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
     # candidates feed BOTH the semi-join key set and the intersection
     # join — persist so the band self-join runs once
-    cand = lsh_candidate_pairs(docs, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    cand = candidate_pairs_from_banded(
+        banded_signatures(minhash_from_shingles(sh_all))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    if handles is not None:
+        handles.extend([sh_all, cand])
     # shrink the shingle table to docs that appear in ANY candidate
     # pair before the two intersection joins — at 10^12 docs the
     # candidate set is a tiny fraction of the corpus and this semi-join
@@ -321,7 +435,7 @@ def lsh_verified_pairs(
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh = shingles(docs, id_col, text_col).join(cand_docs, "doc_id", "left_semi")
+    sh = sh_all.join(cand_docs, "doc_id", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b_sh = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

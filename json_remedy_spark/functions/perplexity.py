@@ -8,6 +8,13 @@ plan shape, reproducible numbers.
 
 Scoring is fully vectorized: each Arrow batch is scored with numpy
 (ord-array trigram hashing -> table lookup), no per-row Python loop.
+
+The model doubles as its own DuckDB oracle: ``export_model_tables``
+writes the sparse trigram/bigram count tables to parquet, and the
+score is then SQL-expressible as a join + per-doc mean of
+``log(cnt3 + k) - log(cnt2 + k*V)`` with smoothing defaults for
+unseen grams (see ``__spark_entry__._perplexity_sql``).  Everything
+is float64 end-to-end so the two engines agree to rounding.
 """
 
 
@@ -15,6 +22,7 @@ import numpy as np
 
 _VOCAB = 97  # printable ASCII band: chars mapped to [0,96]
 _K = 0.5  # add-k smoothing
+MAX_SCORED_CHARS = 512  # score prefix only: O(1) per doc at any scale
 
 
 def _char_ids(s: str) -> np.ndarray:
@@ -23,7 +31,8 @@ def _char_ids(s: str) -> np.ndarray:
     return a
 
 
-def _train() -> np.ndarray:
+def _train_counts() -> tuple[np.ndarray, np.ndarray]:
+    """(trigram counts, bigram-prefix totals) over the seeded corpus."""
     from ..sources.webpages import _PROSE
 
     counts = np.zeros(_VOCAB * _VOCAB * _VOCAB, dtype=np.float64)
@@ -32,13 +41,41 @@ def _train() -> np.ndarray:
         tri = (ids[:-2] * _VOCAB + ids[1:-1]) * _VOCAB + ids[2:]
         np.add.at(counts, tri, 1.0)
     bi = counts.reshape(_VOCAB * _VOCAB, _VOCAB).sum(axis=1)
-    logp = np.log((counts.reshape(_VOCAB * _VOCAB, _VOCAB) + _K)) - np.log(
+    return counts, bi
+
+
+def _train() -> np.ndarray:
+    counts, bi = _train_counts()
+    logp = np.log(counts.reshape(_VOCAB * _VOCAB, _VOCAB) + _K) - np.log(
         (bi + _K * _VOCAB)
     )[:, None]
-    return logp.reshape(-1).astype(np.float32)
+    return logp.reshape(-1)  # float64: exact parity with the SQL oracle
 
 
 _LOGP = _train()
+
+
+def export_model_tables(tri_path: str, bi_path: str) -> tuple[int, int]:
+    """Write the SPARSE model to parquet for the DuckDB oracle:
+    trigrams with count > 0 as (tri, log_num = log(cnt3 + k)) and
+    bigram prefixes with count > 0 as (bi, log_den = log(cnt2 + k*V)).
+    Unseen grams fall back to the smoothing constants log(k) /
+    log(k*V) via COALESCE in the SQL.  Returns the two row counts."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    counts, bi = _train_counts()
+    tri_idx = np.nonzero(counts)[0]
+    bi_idx = np.nonzero(bi)[0]
+    pq.write_table(
+        pa.table({"tri": tri_idx.astype(np.int64), "log_num": np.log(counts[tri_idx] + _K)}),
+        tri_path,
+    )
+    pq.write_table(
+        pa.table({"bi": bi_idx.astype(np.int64), "log_den": np.log(bi[bi_idx] + _K * _VOCAB)}),
+        bi_path,
+    )
+    return len(tri_idx), len(bi_idx)
 
 
 def score_texts(texts) -> np.ndarray:
@@ -48,7 +85,7 @@ def score_texts(texts) -> np.ndarray:
         if not s or len(s) < 3:
             out[i] = 20.0
             continue
-        ids = _char_ids(s[:512])
+        ids = _char_ids(s[:MAX_SCORED_CHARS])
         if len(ids) < 3:
             out[i] = 20.0
             continue

@@ -42,6 +42,21 @@ def _np_unit(mat: np.ndarray) -> np.ndarray:
 # mapInPandas closures, and the decorator needs an active SparkContext.
 
 
+def _require_numeric_id(df: DataFrame, col: str) -> None:
+    """Fail fast on non-numeric id columns: the kernels cast ids to
+    long, and a silent cast('long') would turn string ids into NULLs
+    that collapse or vanish from the output (ADVICE r2)."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    dt = df.schema[col].dataType
+    if not isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+        raise TypeError(
+            f"column {col!r} must be an integer type (got {dt.simpleString()}); "
+            "string ids would become NULL under the long cast — map them to a "
+            "numeric surrogate first (e.g. xxhash64)"
+        )
+
+
 def _make_unit_udf():
     @pandas_udf("array<double>")
     def unit_udf(vecs: pd.Series) -> pd.Series:
@@ -81,10 +96,17 @@ def cosine_topk(
     q_id_col: str = "q_id",
     col: str = "embedding",
 ) -> DataFrame:
-    """Exact brute-force top-k.  Scale shape: |Q| is small by contract
-    (it is collected and broadcast); the corpus streams once map-only,
-    each batch emitting its local winners, so no |N| x |Q| row set ever
-    materializes and the only shuffle is the tiny final ranking."""
+    """Exact brute-force top-k.
+
+    Contracts (fail-fast): ids must be integer-typed (they travel as
+    longs through the Arrow kernels), and |Q| must be small — the
+    query set is COLLECTED to the driver (``toPandas``) and broadcast,
+    so queries bound driver memory, never the corpus.  The corpus
+    streams once map-only, each batch emitting its local winners, so
+    no |N| x |Q| row set ever materializes and the only shuffle is the
+    tiny final ranking."""
+    _require_numeric_id(vectors, id_col)
+    _require_numeric_id(queries, q_id_col)
     q_pdf = queries.select(F.col(q_id_col).cast("long").alias("q_id"), F.col(col).alias("emb")).toPandas()
     q_ids = q_pdf["q_id"].to_numpy()
     Q = _np_unit(np.array(q_pdf["emb"].tolist(), dtype=np.float64))
@@ -127,10 +149,13 @@ def cosine_pairs_exact(
 ) -> DataFrame:
     """Exact all-pairs cosine >= threshold over a BOUNDED vector set
     (the O(n^2) verifier the near-dup oracle runs; use
-    ``embedding_near_dup`` for the banded-LSH scale path).  The whole
-    (bounded) set broadcasts as one numpy matrix; each Arrow batch
-    scores a block row against it — only >= threshold pairs ever
-    materialize as rows."""
+    ``embedding_near_dup`` for the banded-LSH scale path).  Contracts
+    (fail-fast on ids): integer-typed ids only, and the WHOLE set is
+    collected (``toPandas``) and broadcast as one numpy matrix — the
+    caller bounds its size; each Arrow batch scores a block row
+    against it, and only >= threshold pairs ever materialize as
+    rows."""
+    _require_numeric_id(vectors, id_col)
     pdf = vectors.select(F.col(id_col).cast("long").alias("id"), F.col(col).alias("emb")).toPandas()
     ids = pdf["id"].to_numpy()
     M = _np_unit(np.array(pdf["emb"].tolist(), dtype=np.float64))
@@ -157,16 +182,27 @@ def cosine_pairs_exact(
     ).where(F.col("cos") >= threshold)
 
 
-N_PLANES = 8
+N_PLANES = 8   # sandbox default; at scale pass n_planes=recommended_planes(N)
 N_TABLES = 4
 
 
-def _plane_matrix(dims: int, table: int = 0):
+def recommended_planes(n_vectors: int) -> int:
+    """log2(N)-scaled plane count: each LSH table has 2^planes buckets,
+    so planes ~ log2(N) keeps expected bucket occupancy O(1) and the
+    per-table candidate volume LINEAR in N instead of quadratic.  At
+    10^9 vectors this returns 30; the sandbox floor is 8."""
+    import math
+
+    return max(8, int(math.ceil(math.log2(max(n_vectors, 2)))))
+
+
+def _plane_matrix(dims: int, table: int = 0, n_planes: int = N_PLANES):
     """Deterministic hyperplanes: md5(plane:dim) -> uniform [-1, 1).
     Table 0 keeps the round-1 seeding; tables > 0 are independent
-    banded variants."""
-    m = np.empty((dims, N_PLANES), dtype=np.float64)
-    for p in range(N_PLANES):
+    banded variants.  Plane p's row is the same for every n_planes, so
+    growing the plane count only APPENDS planes (prefix-stable)."""
+    m = np.empty((dims, n_planes), dtype=np.float64)
+    for p in range(n_planes):
         for d in range(dims):
             key = f"{p}:{d}" if table == 0 else f"t{table}:{p}:{d}"
             h = int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
@@ -174,39 +210,49 @@ def _plane_matrix(dims: int, table: int = 0):
     return m
 
 
-def with_lsh_bucket(df: DataFrame, col: str = "embedding", out: str = "bucket") -> DataFrame:
-    """Sign pattern over N_PLANES deterministic hyperplanes -> int
+def with_lsh_bucket(
+    df: DataFrame, col: str = "embedding", out: str = "bucket", n_planes: int = N_PLANES
+) -> DataFrame:
+    """Sign pattern over ``n_planes`` deterministic hyperplanes -> long
     bucket, vectorized: one numpy matmul per Arrow batch."""
 
-    @pandas_udf("int")
+    @pandas_udf("long")
     def bucket_udf(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
-            return pd.Series([], dtype="int32")
+            return pd.Series([], dtype="int64")
         mat = np.array(vecs.tolist(), dtype=np.float64)
-        planes = _plane_matrix(mat.shape[1])
+        planes = _plane_matrix(mat.shape[1], n_planes=n_planes)
         signs = (mat @ planes) > 0
-        weights = (1 << np.arange(N_PLANES)).astype(np.int64)
-        return pd.Series((signs @ weights).astype("int32"))
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
+        return pd.Series((signs @ weights).astype("int64"))
 
     return df.withColumn(out, bucket_udf(F.col(col)))
 
 
-def with_lsh_tables(df: DataFrame, col: str = "unit", n_tables: int = N_TABLES) -> DataFrame:
-    """Per-table sign-pattern buckets (array<int>, one per table) —
-    the banded/multi-table amplification: near-identical vectors agree
-    in at least one table with overwhelming probability while each
-    table's buckets stay 2^N_PLANES-way selective."""
+def with_lsh_tables(
+    df: DataFrame, col: str = "unit", n_tables: int = N_TABLES, n_planes: int = N_PLANES
+) -> DataFrame:
+    """Per-table sign-pattern buckets (array<long>, one per table) —
+    the banded/multi-table AND-OR amplification.
 
-    @pandas_udf("array<int>")
+    ``n_planes`` sets SELECTIVITY: each table's buckets are
+    2^n_planes-way, so more planes shrink bucket blocks (fewer
+    candidates, lower per-table recall).  ``n_tables`` sets RECALL:
+    a pair is a candidate if it collides in ANY table, so more tables
+    only ADD candidates (OR-amplification) — they never shrink blocks.
+    Scale rule: n_planes ~ log2(N) (see ``recommended_planes``),
+    n_tables from the target recall at the cosine threshold."""
+
+    @pandas_udf("array<long>")
     def tables_udf(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
         mat = np.array(vecs.tolist(), dtype=np.float64)
-        weights = (1 << np.arange(N_PLANES)).astype(np.int64)
+        weights = (1 << np.arange(n_planes)).astype(np.int64)
         cols = []
         for t in range(n_tables):
-            signs = (mat @ _plane_matrix(mat.shape[1], t)) > 0
-            cols.append((signs @ weights).astype("int32"))
+            signs = (mat @ _plane_matrix(mat.shape[1], t, n_planes=n_planes)) > 0
+            cols.append((signs @ weights).astype("int64"))
         stacked = np.stack(cols, axis=1)
         return pd.Series([row.tolist() for row in stacked])
 
@@ -220,17 +266,30 @@ def lsh_bucketed_topk(
     id_col: str = "vec_id",
     q_id_col: str = "q_id",
     col: str = "embedding",
+    n_tables: int = N_TABLES,
+    n_planes: int = N_PLANES,
 ) -> DataFrame:
-    """ANN: exact cosine only among bucket-mates (recall < 1 by design)."""
-    v = with_lsh_bucket(with_unit_norm(vectors, col), col).select(
-        F.col(id_col).alias("vec_id"), F.col("unit").alias("v_unit"), "bucket"
+    """ANN: exact cosine only among bucket-mates of ANY of ``n_tables``
+    independent LSH tables (recall < 1 by design; OR over tables
+    amplifies it, planes-per-table bound the candidate volume — the
+    same AND-OR layout as ``embedding_near_dup``).  A (query, vector)
+    pair colliding in several tables scores once via the max-agg."""
+    v = with_lsh_tables(with_unit_norm(vectors, col), "unit", n_tables, n_planes).select(
+        F.col(id_col).alias("vec_id"),
+        F.col("unit").alias("v_unit"),
+        F.posexplode("tables").alias("tbl", "bucket"),
     )
-    q = with_lsh_bucket(with_unit_norm(queries, col), col).select(
-        F.col(q_id_col).alias("q_id"), F.col("unit").alias("q_unit"), "bucket"
+    q = with_lsh_tables(with_unit_norm(queries, col), "unit", n_tables, n_planes).select(
+        F.col(q_id_col).alias("q_id"),
+        F.col("unit").alias("q_unit"),
+        F.posexplode("tables").alias("tbl", "bucket"),
     )
     dot = make_dot_udf()
-    scored = v.join(F.broadcast(q), "bucket").select(
-        "q_id", "vec_id", F.round(dot(F.col("v_unit"), F.col("q_unit")), 6).alias("cos")
+    scored = (
+        v.join(F.broadcast(q), ["tbl", "bucket"])
+        .select("q_id", "vec_id", F.round(dot(F.col("v_unit"), F.col("q_unit")), 6).alias("cos"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.max("cos").alias("cos"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -240,17 +299,39 @@ N_IVF_CELLS = 16
 N_IVF_PROBES = 4
 
 
-def _ivf_centroids(vectors: DataFrame, col: str, cells: int):
+def _ivf_centroids(vectors: DataFrame, col: str, cells: int, refine: int = 1):
     """Deterministic centroids: the ``cells`` vectors with the smallest
-    md5(vec_id) act as seeds (k-means++ without iteration — adequate
-    for routing, reproducible, no fit step to ship)."""
+    md5(vec_id) act as seeds, then ``refine`` Lloyd iterations sharpen
+    them (assign every vector to its nearest cell, recompute means —
+    one distributed agg per iteration, only ``cells x dims`` numbers
+    ever reach the driver).  Deterministic end-to-end, no fit artifact
+    to ship."""
     seed_rows = (
         vectors.select(F.col(col).alias("v"), F.md5(F.col("vec_id").cast("string")).alias("h"))
         .orderBy("h")
         .limit(cells)
         .collect()
     )
-    return np.array([r["v"] for r in seed_rows], dtype=np.float64)
+    cen = np.array([r["v"] for r in seed_rows], dtype=np.float64)
+    for _ in range(refine):
+        assigned = with_ivf_cell(vectors, cen, col, n_probes=1).select(
+            F.element_at("ivf_cells", 1).alias("cell"), F.col(col).alias("v")
+        )
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = cen.copy()  # empty cells keep their seed
+        by_cell: dict = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+        for c, dims in by_cell.items():
+            for p, m in dims.items():
+                new[c, p] = m
+        cen = new
+    return cen
 
 
 def with_ivf_cell(df: DataFrame, centroids, col: str = "embedding", n_probes: int = 1) -> DataFrame:
@@ -312,18 +393,27 @@ def embedding_near_dup(
     id_col: str = "vec_id",
     col: str = "embedding",
     n_tables: int = N_TABLES,
+    n_planes: int | None = None,
 ) -> DataFrame:
     """Self-join near-duplicate pairs — the 100 TB scale path.
 
     Banded multi-table LSH: a pair is a candidate iff it shares the
-    full sign-pattern bucket of ANY of ``n_tables`` independent tables
-    (OR-amplified recall; each table stays 2^N_PLANES-way selective, so
-    bucket blocks shrink as tables are added rather than widening one
-    coarse bucket).  Candidates score with the Arrow dot kernel; a pair
+    full sign-pattern bucket of ANY of ``n_tables`` independent tables.
+    The two knobs pull in opposite directions: ``n_planes`` sets each
+    table's SELECTIVITY (2^n_planes buckets — more planes mean smaller
+    bucket blocks and fewer candidates), while ``n_tables`` sets
+    RECALL (OR over tables only ever ADDS candidates).  Default
+    ``n_planes=None`` scales to ~log2(N) via ``recommended_planes``
+    (one count() pass — cheap parquet metadata in practice); pass an
+    explicit value to skip the count.  At 10^9 vectors that is ~30
+    planes; a fixed 8 would leave ~N/256-vector blocks per bucket and
+    go quadratic.  Candidates score with the Arrow dot kernel; a pair
     colliding in several tables scores identically in each, so the
     trailing ``distinct`` dedupes exactly."""
+    if n_planes is None:
+        n_planes = recommended_planes(vectors.count())
     dot = make_dot_udf()
-    v = with_lsh_tables(with_unit_norm(vectors, col), "unit", n_tables).select(
+    v = with_lsh_tables(with_unit_norm(vectors, col), "unit", n_tables, n_planes=n_planes).select(
         F.col(id_col).alias("id"), "unit", F.posexplode("tables").alias("tbl", "bucket")
     )
     pairs = (

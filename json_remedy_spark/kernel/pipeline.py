@@ -171,8 +171,26 @@ def repair(
     strict_mode: bool = False,
     normalize_escapes: bool = False,
     max_bytes: int = MAX_DOC_BYTES,
+    fast_path_optimization: bool = True,
+    enable_object_merging: bool = True,
+    enable_multiple_json_aggregation: bool = True,
+    enable_early_hardcoded_patterns: bool = True,
 ) -> RepairResult:
     """Main entry — mirrors ``JsonRemedy.repair/2`` (lib/json_remedy.ex:86).
+
+    Reference option parity (all default-on, matching
+    lib/json_remedy.ex:90,355,389,398 and the app-env defaults):
+
+    * ``fast_path_optimization`` — off skips BOTH decode fast paths
+      (the whole-input ``json.loads`` of ex:118-127 and our span fast
+      path) and routes everything through the full pipeline.
+    * ``enable_object_merging`` — off disables the
+      ``{"a":1}, "b":2}`` boundary merge (layer3/object_merger.ex).
+    * ``enable_multiple_json_aggregation`` — off disables the
+      multi-value detector (utils/multiple_json_detector.ex); only the
+      first top-level value parses.
+    * ``enable_early_hardcoded_patterns`` — off skips the
+      hardcoded-pattern prepass block (ex:398-414).
 
     ``normalize_escapes`` mirrors the reference's DEFAULT-OFF
     ``:enable_escape_normalization`` flag
@@ -190,32 +208,39 @@ def repair(
         return RepairResult(ok=True, value="", repaired='""',
                             repairs=[{"layer": "guard", "action": "oversize document dropped", "position": 0}])
 
-    # fast path (lib/json_remedy.ex:118-127)
-    v = _fast_path(s)
-    if v is not SKIP:
-        return RepairResult(ok=True, value=v, repaired=to_canonical(v), fast_path=True)
+    # fast path (lib/json_remedy.ex:118-127), gated by the option (ex:90,119)
+    if fast_path_optimization:
+        v = _fast_path(s)
+        if v is not SKIP:
+            return RepairResult(ok=True, value=v, repaired=to_canonical(v), fast_path=True)
 
     if is_plain_text(s):
         return RepairResult(ok=True, value="", repaired='""',
                             repairs=[{"layer": "layer1", "action": "plain text replaced with empty string", "position": 0}])
 
-    v = _span_fast_path(s)
-    if v is not SKIP:
-        log.append({"layer": "layer1", "action": "extracted valid JSON value (span fast path)", "position": 0})
-        v = _unwrap_fenced_strings(v, log)
-        return RepairResult(ok=True, value=v, repaired=to_canonical(v), repairs=log, fast_path=True)
+    if fast_path_optimization:
+        v = _span_fast_path(s)
+        if v is not SKIP:
+            log.append({"layer": "layer1", "action": "extracted valid JSON value (span fast path)", "position": 0})
+            v = _unwrap_fenced_strings(v, log)
+            return RepairResult(ok=True, value=v, repaired=to_canonical(v), repairs=log, fast_path=True)
 
     work = cleaning.clean(s, log)
-    if work != s:
+    if work != s and fast_path_optimization:
         v = _fast_path(work)
         if v is not SKIP:
             v = _unwrap_fenced_strings(v, log)
             return RepairResult(ok=True, value=v, repaired=to_canonical(v), repairs=log)
-    work = prepass.apply(work, log)
+    work = prepass.apply(work, log, early_hardcoded=enable_early_hardcoded_patterns)
     if normalize_escapes:
         work = prepass.normalize_escape_sequences(work, log)
 
-    parser = TolerantParser(work, log=log)
+    parser = TolerantParser(
+        work,
+        log=log,
+        object_merging=enable_object_merging,
+        multi_value=enable_multiple_json_aggregation,
+    )
     try:
         value = parser.parse()
     except RecursionError:

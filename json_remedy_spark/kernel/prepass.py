@@ -140,12 +140,19 @@ def fix_unclosed_string_before_delimiter(s: str, log: list) -> str:
     return s
 
 
-def apply(s: str, log: list) -> str:
-    """All pre-passes, reference order (lib/json_remedy.ex:395-414)."""
-    s = normalize_smart_quotes(s, log)
-    s = extract_fenced_json_in_strings(s, log)
-    s = fix_fence_terminators(s, log)
-    s = fix_unclosed_string_before_delimiter(s, log)
+def apply(s: str, log: list, *, early_hardcoded: bool = True) -> str:
+    """All pre-passes, reference order (lib/json_remedy.ex:395-414).
+
+    ``early_hardcoded`` mirrors ``:enable_early_hardcoded_patterns``
+    (default on): off skips the hardcoded-pattern block (smart quotes,
+    fence-in-string extraction, fence terminators, unclosed string
+    before delimiter — json_remedy.ex:398-414) while the ellipsis /
+    keyword layer-3 passes still run."""
+    if early_hardcoded:
+        s = normalize_smart_quotes(s, log)
+        s = extract_fenced_json_in_strings(s, log)
+        s = fix_fence_terminators(s, log)
+        s = fix_unclosed_string_before_delimiter(s, log)
     s = filter_ellipsis(s, log)
     s = filter_keywords(s, log)
     return s

@@ -81,12 +81,24 @@ class TolerantParser:
         Mutable list receiving repair-action dicts.
     """
 
-    def __init__(self, s: str, log: list | None = None):
+    def __init__(
+        self,
+        s: str,
+        log: list | None = None,
+        *,
+        object_merging: bool = True,
+        multi_value: bool = True,
+    ):
+        # flags mirror the reference's app-env toggles (defaults on):
+        # object_merging  <- :enable_object_merging (json_remedy.ex:389)
+        # multi_value     <- :enable_multiple_json_aggregation (ex:355)
         self.s = s
         self.n = len(s)
         self.i = 0
         self.ctx: list[str] = []
         self.log = log if log is not None else []
+        self.object_merging = object_merging
+        self.multi_value = multi_value
         self._dangling_key: str | None = None
         j = 0
         while j < self.n and s[j] in _WS:
@@ -130,6 +142,11 @@ class TolerantParser:
         """
         saw_garbage_box = [False]
         first = self._parse_top(saw_garbage_box)
+        if not self.multi_value:
+            # :enable_multiple_json_aggregation off -> single-value
+            # pipeline (reference json_remedy.ex:355-376 skips the
+            # MultipleJsonDetector entirely)
+            return first
         values = []
         if first is not SKIP:
             values.append(first)
@@ -377,7 +394,7 @@ class TolerantParser:
         c = self._skip_ws()
         if c == "}":
             self.i += 1
-            if self._merge_continuation_probe():
+            if self.object_merging and self._merge_continuation_probe():
                 self.i = save
                 return SKIP
             return {}
@@ -424,8 +441,11 @@ class TolerantParser:
 
         After consuming `}`, if `, "key": …` follows, absorb the pairs
         into the object we are still building; `, []` / `, {}` trailing
-        empties are dropped.
+        empties are dropped.  Gated by ``object_merging``
+        (:enable_object_merging, default on).
         """
+        if not self.object_merging:
+            return False
         save = self.i
         c, j = self._next_nonws(self.i)
         if c != ",":

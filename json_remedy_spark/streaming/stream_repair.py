@@ -99,13 +99,25 @@ def stream_quality_filter(pages: DataFrame) -> DataFrame:
 
 
 def run_quality_filter_stream(
-    spark: SparkSession, in_dir: str, out_dir: str, checkpoint_dir: str
+    spark: SparkSession,
+    in_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    schema: str | None = None,
 ) -> None:
     """Drain a parquet directory of web pages through the streaming
     quality filter exactly once (availableNow) — same code path as a
-    continuous run; exactly-once via the sink checkpoint."""
-    first = spark.read.parquet(in_dir)
-    pages = spark.readStream.schema(first.schema).parquet(in_dir)
+    continuous run; exactly-once via the sink checkpoint.
+
+    ``schema`` defaults to the canonical web-page shape (north_rule
+    input_hint; sources/webpages.CORPUS_SCHEMA plus any extra columns
+    the writer added are NOT inferred) — pass an explicit DDL string
+    for other layouts.  No batch pre-read of the input directory
+    happens either way (a second full-directory listing per trigger at
+    production scale, VERDICT r2 #8)."""
+    from ..sources.webpages import CORPUS_SCHEMA
+
+    pages = spark.readStream.schema(schema or CORPUS_SCHEMA).parquet(in_dir)
     out = stream_quality_filter(pages).select(
         "url", "lang_id", "ok", "fast_path", "n_repairs", "keep", "repaired", "scrubbed"
     )

@@ -49,9 +49,9 @@ def test_simhash_hamming(spark, docs):
 
     fp = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
     assert fp[0] == fp[1] == fp[4]
-    ham_near = bin(fp[0] ^ fp[2]).count("1")
-    ham_far = bin(fp[0] ^ fp[3]).count("1")
-    assert ham_near < ham_far
+    # mask to unsigned 64: fingerprints with bit 63 set are negative longs
+    ham = lambda a, b: bin((a ^ b) & ((1 << 64) - 1)).count("1")
+    assert ham(fp[0], fp[2]) < ham(fp[0], fp[3])
 
 
 def test_cosine_topk_exact(spark):
@@ -248,13 +248,163 @@ def test_simhash_near_dup_bands(spark, docs):
     from json_remedy_spark.functions.dedup import simhash
 
     fp = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    mask64 = (1 << 64) - 1
     expect = {
         (a, b)
         for a in fp
         for b in fp
-        if a < b and bin(fp[a] ^ fp[b]).count("1") <= 3
+        if a < b and bin((fp[a] ^ fp[b]) & mask64).count("1") <= 3
     }
     assert set(pairs) == expect
+
+
+def test_simhash_pigeonhole_exact_recall(spark):
+    """Planted <=3-bit flips (including in the sign-carrying top band)
+    must ALL surface: 4 x 16-bit bands + pigeonhole => exact recall at
+    max_hamming = 3."""
+    import hashlib
+
+    from json_remedy_spark.functions.dedup import (
+        _signed64,
+        simhash_near_dup_from_fingerprints,
+    )
+
+    rng_bits = lambda s: int(hashlib.md5(s.encode()).hexdigest()[:16], 16)
+    rows, expect = [], set()
+    for i in range(200):
+        base = rng_bits(f"base-{i}")
+        rows.append((2 * i, _signed64(base)))
+        # flip 1-3 bits, biased to cover every band incl. bit 63
+        flips = [(rng_bits(f"flip-{i}-{j}") % 64) for j in range(1 + i % 3)]
+        if i % 7 == 0:
+            flips[0] = 63
+        part = base
+        for f in set(flips):
+            part ^= 1 << f
+        rows.append((2 * i + 1, _signed64(part)))
+        if part != base:
+            expect.add((2 * i, 2 * i + 1))
+    fp = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in simhash_near_dup_from_fingerprints(fp, max_hamming=3).collect()
+    }
+    assert expect <= got  # exact recall: every planted pair found
+    # verification is exact too: nothing beyond hamming<=3 sneaks in
+    by_id = dict(rows)
+    mask64 = (1 << 64) - 1
+    for a, b in got:
+        assert bin((by_id[a] ^ by_id[b]) & mask64).count("1") <= 3
+
+
+def test_simhash_max_hamming_guard(spark, docs):
+    """max_hamming >= SIMHASH_BANDS would silently lose recall — the
+    exact-recall contract is enforced (ADVICE r2)."""
+    from json_remedy_spark.functions.dedup import simhash_near_dup
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_dup(docs, max_hamming=4)
+
+
+def test_simhash_band_selectivity_vs_8bit(spark):
+    """Candidate volume: 16-bit chunks of a 64-bit fingerprint vs the
+    old 8-bit chunks of its low 32 bits, on 50k uniform fingerprints.
+    Expected ratio is 65536/256 = 256x fewer candidate pairs; assert a
+    conservative 200x (the sum over 4x65536 blocks concentrates to
+    within ~1%)."""
+    fp = spark.range(50_000).select(F.xxhash64(F.col("id")).alias("simhash"))
+
+    def pair_count(chunk_bits, n_bands):
+        mask = (1 << chunk_bits) - 1
+        chunks = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(F.col("simhash"), chunk_bits * b)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("chunk"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+        blocks = (
+            fp.select(F.explode(chunks).alias("bc"))
+            .groupBy("bc.band", "bc.chunk")
+            .agg(F.count("*").alias("n"))
+        )
+        return blocks.agg(
+            F.sum(F.col("n") * (F.col("n") - 1) / 2).alias("pairs")
+        ).collect()[0]["pairs"]
+
+    old = pair_count(8, 4)   # round-2 layout: 4 x 8-bit chunks
+    new = pair_count(16, 4)  # 4 x 16-bit chunks (Manku-style)
+    assert new > 0  # 50k docs into 4*65536 blocks still collide
+    assert old / new >= 200, f"selectivity ratio only {old / new:.0f}x"
+
+
+def test_lsh_plane_count_shrinks_buckets(spark):
+    """More planes => smaller bucket blocks (selectivity knob): the max
+    and mean bucket occupancy with 12 planes must be below the 8-plane
+    occupancy on the same vectors."""
+    from json_remedy_spark.functions.similarity import with_lsh_bucket
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+
+    def occupancy(n_planes):
+        counts = (
+            with_lsh_bucket(emb, n_planes=n_planes)
+            .groupBy("bucket")
+            .agg(F.count("*").alias("n"))
+            .agg(F.max("n").alias("mx"), F.avg("n").alias("avg"))
+            .collect()[0]
+        )
+        return counts["mx"], counts["avg"]
+
+    mx8, avg8 = occupancy(8)
+    mx12, avg12 = occupancy(12)
+    assert mx12 < mx8 and avg12 < avg8
+
+
+def test_recommended_planes_log_scaled():
+    from json_remedy_spark.functions.similarity import recommended_planes
+
+    assert recommended_planes(100) == 8          # sandbox floor
+    assert recommended_planes(1_000_000) == 20
+    assert recommended_planes(10**9) == 30
+
+
+def test_cosine_topk_rejects_string_ids(spark):
+    """String ids would silently become NULL under the long cast —
+    the contract fails fast instead (ADVICE r2)."""
+    from json_remedy_spark.functions.similarity import cosine_topk
+
+    vecs = spark.createDataFrame([("a", [1.0, 0.0])], ["vec_id", "embedding"])
+    q = spark.createDataFrame([(1, [1.0, 0.0])], ["q_id", "embedding"])
+    with pytest.raises(TypeError, match="integer type"):
+        cosine_topk(vecs, q, k=1)
+
+
+def test_embedding_near_dup_plane_default_and_parity(spark):
+    """The log2(N)-scaled default must still find the pairs the exact
+    verifier finds at a high threshold (identical-ish vectors collide
+    in every table)."""
+    from json_remedy_spark.functions.similarity import (
+        cosine_pairs_exact,
+        embedding_near_dup,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .where(F.col("vec_id") < 300)
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    )
+    exact = {(r["id_a"], r["id_b"]) for r in cosine_pairs_exact(emb, threshold=0.99).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in embedding_near_dup(emb, threshold=0.99).collect()}
+    assert lsh <= exact  # never invents pairs
+    if exact:
+        assert len(lsh) / len(exact) >= 0.5  # OR-amplified recall at cos>=0.99
 
 
 def test_lsh_verified_pairs_subset_of_exact(spark, docs):
