@@ -198,6 +198,48 @@ def lsh_candidate_pairs(
     return candidate_pairs_from_banded(banded)
 
 
+def write_signature_table(
+    docs: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 8,
+    identifier: str = "jrs.db.lsh_signatures",
+) -> str:
+    """Materialize the banded LSH signature table AT REST — the 100 TB
+    form of ``lsh_candidate_pairs``'s in-memory persist.
+
+    The expensive map pass (shingle + minhash kernel) runs once and
+    lands bucketed by the band signature (``bucket``), so the
+    candidate self-join over the stored table co-locates identical
+    join keys.  Resume-safe: the write goes through the checkpoint
+    manifest (or an Iceberg snapshot when a catalog is configured), so
+    a killed signature job recomputes only uncommitted buckets and the
+    candidate step never has to re-run the kernel.  Returns the format
+    actually used ("iceberg" | "parquet+manifest")."""
+    from json_remedy_spark.sources.catalog import write_bucketed_table
+
+    banded = banded_signatures(minhash_signatures(docs, id_col, text_col))
+    return write_bucketed_table(banded, identifier, out_dir, n_buckets=n_buckets, key="bucket")
+
+
+def read_signature_table(spark, out_dir: str) -> DataFrame:
+    """The stored (doc_id, band, bucket) table written by
+    ``write_signature_table`` (parquet+manifest layout; the
+    underscore-prefixed manifest directory is invisible to parquet
+    discovery)."""
+    return spark.read.parquet(out_dir).select("doc_id", "band", "bucket")
+
+
+def lsh_candidate_pairs_from_table(spark, out_dir: str) -> DataFrame:
+    """Candidate pairs computed from the AT-REST signature table —
+    byte-identical results to ``lsh_candidate_pairs`` (same
+    ``candidate_pairs_from_banded`` self-join), but the signature
+    kernel never re-runs: both join sides scan the stored, bucketed
+    parquet."""
+    return candidate_pairs_from_banded(read_signature_table(spark, out_dir))
+
+
 def jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -54,10 +54,15 @@ def run_with_checkpoints(
     docs: DataFrame,
     out_dir: str,
     n_buckets: int = 8,
+    key: str = "url",
 ) -> list:
     """Run ``pipeline_fn(bucket_df)`` per uncommitted bucket, writing
-    results + manifest.  Returns list of buckets computed this run."""
-    docs_b = with_bucket(docs, n_buckets).cache()
+    results + manifest.  Returns list of buckets computed this run.
+
+    ``key`` is the bucketing column (must match across resume runs —
+    the manifest records bucket ids, not the key, so changing it
+    between runs of the same ``out_dir`` would mis-assign rows)."""
+    docs_b = with_bucket(docs, n_buckets, key=key).cache()
     done = committed_buckets(out_dir)
     computed = []
     for b in range(n_buckets):

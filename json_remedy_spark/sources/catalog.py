@@ -74,5 +74,5 @@ def write_bucketed_table(
         return "iceberg"
     from json_remedy_spark.operators.checkpoint import run_with_checkpoints
 
-    run_with_checkpoints(lambda part: part, df, out_dir, n_buckets=n_buckets)
+    run_with_checkpoints(lambda part: part, df, out_dir, n_buckets=n_buckets, key=key)
     return "parquet+manifest"

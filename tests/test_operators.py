@@ -130,6 +130,49 @@ def test_checkpoint_resume(spark, tmp_path):
     assert total > 0
 
 
+def test_lsh_signature_table_at_rest(spark, tmp_path):
+    """The 100 TB LSH form: signatures land bucketed at rest once;
+    candidates from the stored table match the in-memory path exactly,
+    and a killed signature job resumes bucket-by-bucket."""
+    import shutil
+
+    from json_remedy_spark.functions.dedup import (
+        lsh_candidate_pairs,
+        lsh_candidate_pairs_from_table,
+        write_signature_table,
+    )
+    from json_remedy_spark.operators.checkpoint import committed_buckets
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select("doc_id", "text")
+    out = str(tmp_path / "sigs")
+    fmt = write_signature_table(docs, out, n_buckets=4)
+    assert fmt == "parquet+manifest" and committed_buckets(out) == {0, 1, 2, 3}
+    mem = {(r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs(docs).collect()}
+    stored = {(r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs_from_table(spark, out).collect()}
+    assert stored == mem and stored
+
+    # resume drill: lose one committed bucket; the rewrite recomputes
+    # ONLY that bucket (manifest-driven) and restores exact parity
+    shutil.rmtree(os.path.join(out, "part_bucket=2"))
+    os.remove(os.path.join(out, "_manifest", "bucket-2.json"))
+    assert committed_buckets(out) == {0, 1, 3}
+    write_signature_table(docs, out, n_buckets=4)
+    assert committed_buckets(out) == {0, 1, 2, 3}
+    stored2 = {(r["doc_a"], r["doc_b"]) for r in lsh_candidate_pairs_from_table(spark, out).collect()}
+    assert stored2 == mem
+
+
+def test_checkpoint_key_threading(spark, tmp_path):
+    """run_with_checkpoints buckets by the caller's key column (the
+    catalog fallback used to hardcode 'url')."""
+    from json_remedy_spark.operators.checkpoint import run_with_checkpoints
+
+    df = spark.range(50).select(F.col("id").alias("doc_id"), F.md5(F.col("id").cast("string")).alias("h"))
+    out = str(tmp_path / "keyed")
+    run_with_checkpoints(lambda p: p, df, out, n_buckets=3, key="doc_id")
+    assert spark.read.parquet(out).count() == 50
+
+
 def test_salted_repartition_is_deterministic_data(spark):
     from json_remedy_spark.operators.pipeline import salted_repartition
 
