@@ -122,12 +122,47 @@ NUMBERS = [
     ('{"population": 1,234,567}', {"population": 1234567}),
     ('{"amount": 1,234.56}', {"amount": 1234.56}),
     ('{"key": 1e10}', {"key": 1.0e10}),
+    # long tail (number_edge_cases_test.exs:29-34, 280-344, 346-404)
+    ('{"value": 1_234.5_6}', {"value": 1234.56}),
+    ('{"key": 2.5e+5}', {"key": 2.5e5}),
+    ('{"key": 3.14e-2}', {"key": 3.14e-2}),
+    ('{"key": 5e}', {"key": 5}),
+    ('{"fraction": 1/3, "range": 10-20, "decimal": .5, "version": 1.0.0}',
+     {"fraction": "1/3", "range": "10-20", "decimal": 0.5, "version": "1.0.0"}),
+    ("[1, .5, 1/2, 10-20, 1.1.1, 42]", [1, 0.5, "1/2", "10-20", "1.1.1", 42]),
+    ('{"outer": {"inner": 1/3, "value": .75}}', {"outer": {"inner": "1/3", "value": 0.75}}),
+    ('{"pi": 3.14159}', {"pi": 3.14159}),
+    ('{"temp": -273.15}', {"temp": -273.15}),
+    ('{"value": 0}', {"value": 0}),
+    ('{"bignum": 9007199254740991}', {"bignum": 9007199254740991}),
+    ('{"value": 123€}', {"value": "123€"}),
+    ('{"price": $100}', {"price": "$100"}),
+    ('{"neg": -1,234}', {"neg": -1234}),
 ]
 
 
 @pytest.mark.parametrize("inp,exp", NUMBERS)
 def test_numbers(inp, exp):
     assert rep(inp) == exp
+
+
+def test_many_number_edge_cases_document():
+    # number_edge_cases_test.exs:407-429 — 100 mixed-format pairs in one
+    # doc; each format class must land on its table-row behavior
+    pairs = []
+    for i in range(1, 101):
+        if i % 4 == 0:
+            pairs.append(f'"key{i}": {i}/{i + 1}')
+        elif i % 4 == 1:
+            pairs.append(f'"key{i}": .{i}')
+        elif i % 4 == 2:
+            pairs.append(f'"key{i}": {i}-{i + 10}')
+        else:
+            pairs.append(f'"key{i}": {i}.{i}.{i}')
+    result = rep("{" + ", ".join(pairs) + "}")
+    assert isinstance(result, dict) and len(result) == 100
+    assert result["key1"] == 0.1 and result["key4"] == "4/5"
+    assert result["key2"] == "2-12" and result["key3"] == "3.3.3"
 
 
 # ------------------------------------------------- ellipsis (pattern3)

@@ -63,3 +63,94 @@ def test_doctype_error_page():
     assert resp["status"] == 503
     assert resp["body"].startswith("<!DOCTYPE HTML")
     assert "Service Unavailable" in resp["body"]
+
+
+def test_html_table_with_commas():
+    # :69-87 — commas and currency inside <td> stay inside the value
+    r = rep(
+        '{\n  "report": {\n    "title": "Sales Summary",\n'
+        '    "content":<table>\n'
+        "<tr><td>Widget A</td><td>$4,500</td></tr>\n"
+        "<tr><td>Widget B</td><td>$6,000</td></tr>\n"
+        "</table>,\n    \"total\": 10500\n  }\n}"
+    )
+    rep_ = r["report"]
+    assert rep_["title"] == "Sales Summary"
+    assert "$4,500" in rep_["content"] and "$6,000" in rep_["content"]
+    assert rep_["total"] == 10500
+
+
+def test_html_quotes_in_content():
+    # :89-94
+    r = rep('{"snippet":<div><p>User said: "Hello World"</p></div>}')
+    assert 'User said: "Hello World"' in r["snippet"]
+
+
+def test_html_windows_newlines():
+    # :96-105 — \r\n inside the HTML body survives
+    r = rep(
+        '\n  {"responses": [{"id":"33","status":503,'
+        '"headers":{"Content-Type":"text/html; charset=us-ascii"},'
+        '"body":<!DOCTYPE HTML PUBLIC "-//W3C//DTD HTML 4.01//EN"'
+        '"http://www.w3.org/TR/html4/strict.dtd"><HTML><HEAD>'
+        "<TITLE>Service Unavailable</TITLE>"
+        '<META HTTP-EQUIV="Content-Type" Content="text/html; charset=us-ascii">'
+        "</HEAD><BODY><h2>Application Request Queue Full</h2><hr>"
+        "<p>HTTP Error 503. The application request queue is full.</p>\r\n"
+        "</BODY></HTML>}]}\n"
+    )
+    body = r["responses"][0]["body"]
+    assert "\r\n" in body and "Application Request Queue Full" in body
+
+
+def test_html_inline_style_braces():
+    # :114-119 — JSON-like braces inside a style attribute are inert
+    r = rep('{"widget":<div style="font: {size: 12px}">Text</div>}')
+    assert "font: {size: 12px}" in r["widget"]
+
+
+def test_html_array_with_jsonlike_content():
+    # :121-133
+    r = rep(
+        '{\n  "alerts": [\n'
+        '    <div class="alert">Error: {code: 500}</div>,\n'
+        '    <div class="warning">Warning: {timeout: true}</div>\n  ]\n}'
+    )
+    assert len(r["alerts"]) == 2
+    assert "code: 500" in r["alerts"][0] and "timeout: true" in r["alerts"][1]
+
+
+def test_html_nested_data_attributes():
+    # :135-144 — single-quoted JSON inside a data attribute survives
+    r = rep(
+        '{\n  "element":<div data-meta=\'{"views":1000,"likes":50}\'>\n'
+        "    <h3>Title</h3>\n  </div>\n}"
+    )
+    assert 'data-meta=\'{"views":1000,"likes":50}\'' in r["element"]
+
+
+def test_html_script_tag_with_json():
+    # :146-157
+    r = rep(
+        '{\n  "config":<div>\n    <script type="application/json">\n'
+        '      {"embedded": "data"}\n    </script>\n  </div>\n}'
+    )
+    assert '{"embedded": "data"}' in r["config"]
+
+
+def test_html_self_closing_tag():
+    # :159-164
+    r = rep('{"image":<img src="test.jpg" alt="Test" />}')
+    assert r["image"] == '<img src="test.jpg" alt="Test" />'
+
+
+def test_html_comment_inside_value():
+    # :166-171
+    r = rep('{"content":<div><!-- Comment -->Text</div>}')
+    assert r["content"] == "<div><!-- Comment -->Text</div>"
+
+
+def test_html_deeply_nested():
+    # :173-178
+    r = rep('{"html":<div><ul><li><a href="#">Link</a></li></ul></div>}')
+    assert '<a href="#">Link</a>' in r["html"]
