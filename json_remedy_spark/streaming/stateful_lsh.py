@@ -1,0 +1,114 @@
+"""Streaming FUZZY dedup: minhash-LSH candidate detection over a
+document stream via band-keyed ``applyInPandasWithState``.
+
+Extends the stateful exact dedup (stateful_dedup.py) to near-
+duplicates — the reference's stream surface is stateless per-item
+(lib/json_remedy.ex:204-216); this operator is graft-mandated scale
+plumbing, not reference parity.
+
+Shape:
+
+1. The batch signature kernel lifts to streaming UNCHANGED —
+   ``minhash_signatures`` / ``banded_signatures`` are stateless
+   mapInPandas / explode stages, so the exact same affine minhash
+   family (functions/dedup.py) produces the exact same (band, bucket)
+   keys batch and stream.
+2. State is keyed by (band, bucket): one representative doc_id per
+   occupied bucket (the smallest doc_id ever seen there — smallest,
+   not first-in-shuffle-order, so output is deterministic).  Every
+   later doc landing in an occupied bucket emits a candidate pair
+   ``(doc_id, rep_doc_id)`` — the streaming analogue of
+   ``lsh_candidate_pairs``, with the bucket representative standing in
+   for the full within-bucket self-join (state stays O(1) per bucket,
+   not O(docs)).
+3. A doc is a near-dup candidate if ANY band collides, so consumers
+   ``dropDuplicates(["doc_id", "rep_doc_id"])`` downstream (pairs can
+   arrive once per colliding band); exact jaccard verification runs in
+   batch over the emitted candidates (``jaccard_pairs`` on the pair
+   set), mirroring the batch ``lsh_verified_pairs`` recipe.
+
+Scale: state is one (long, long) per occupied bucket, shuffled to a
+stable state partition by the bucket key.  At 10^12 docs pair with a
+GroupStateTimeout TTL or periodic state compaction, same as the exact
+operator.
+"""
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from json_remedy_spark.functions.dedup import banded_signatures, minhash_signatures
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("band", IntegerType()),
+        StructField("bucket", StringType()),
+        StructField("doc_id", LongType()),
+        StructField("rep_doc_id", LongType()),
+    ]
+)
+# (representative doc_id, total docs routed to this bucket)
+STATE_SCHEMA = StructType([StructField("rep", LongType()), StructField("n_seen", LongType())])
+
+
+def _lsh_fn(key, pdfs, state):
+    import pandas as pd
+
+    band, bucket = key
+    rep, n_seen = (state.get[0], state.get[1]) if state.exists else (None, 0)
+    ids = []
+    for pdf in pdfs:
+        ids.extend(int(d) for d in pdf["doc_id"].dropna())
+    if not ids:
+        return
+    ids.sort()
+    n_new = len(ids)
+    if rep is None:
+        rep, ids = ids[0], ids[1:]
+    state.update((rep, n_seen + n_new))
+    if ids:
+        yield pd.DataFrame(
+            {
+                "band": [band] * len(ids),
+                "bucket": [bucket] * len(ids),
+                "doc_id": ids,
+                "rep_doc_id": [rep] * len(ids),
+            }
+        )
+
+
+def stream_lsh_near_dup(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) stream -> (band, bucket, doc_id, rep_doc_id)
+    candidate-pair stream (stateful, checkpoint-durable)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    banded = banded_signatures(minhash_signatures(docs))
+    return banded.groupBy("band", "bucket").applyInPandasWithState(
+        _lsh_fn,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_once(spark, in_dir: str, out_dir: str, checkpoint_dir: str) -> None:
+    """Drain available input (parquet files of doc_id:long, text:string)
+    and append candidate pairs to ``out_dir``."""
+    schema = StructType([StructField("doc_id", LongType()), StructField("text", StringType())])
+    docs = spark.readStream.schema(schema).parquet(in_dir)
+    q = (
+        stream_lsh_near_dup(docs)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .outputMode("append")
+        .start()
+    )
+    q.awaitTermination()

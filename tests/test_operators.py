@@ -279,6 +279,40 @@ def test_stateful_stream_dedup_across_restarts(spark, tmp_path):
     assert sorted(texts) == ["alpha doc", "beta doc", "gamma doc"]
 
 
+def test_stateful_stream_lsh_near_dup(spark, tmp_path):
+    """Streaming minhash-LSH: band-bucket state emits candidate pairs
+    against the bucket representative, across micro-batches and a
+    restart; candidates match the batch LSH operator's verdicts."""
+    from json_remedy_spark.streaming.stateful_lsh import run_once
+
+    in_dir = tmp_path / "lin"
+    in_dir.mkdir()
+    out = str(tmp_path / "lout")
+    ckpt = str(tmp_path / "lckpt")
+    base = "the quick brown fox jumps over the lazy dog"
+    near = "the quick brown fox jumps over the sleepy dog"
+    other = "completely different text about spark pipelines and arrow batches"
+
+    spark.createDataFrame([(0, base), (3, other)], ["doc_id", "text"]).coalesce(1).write.parquet(
+        str(in_dir / "batch1")
+    )
+    run_once(spark, str(in_dir) + "/*", out, ckpt)
+    assert spark.read.parquet(out).count() == 0  # first occurrences: no pairs
+
+    # restart with new files: an exact dup and a near dup of doc 0
+    spark.createDataFrame([(10, base), (11, near)], ["doc_id", "text"]).coalesce(1).write.parquet(
+        str(in_dir / "batch2")
+    )
+    run_once(spark, str(in_dir) + "/*", out, ckpt)
+    pairs = {
+        (r["doc_id"], r["rep_doc_id"])
+        for r in spark.read.parquet(out).dropDuplicates(["doc_id", "rep_doc_id"]).collect()
+    }
+    assert (10, 0) in pairs  # exact dup collides in every band
+    assert (11, 0) in pairs  # near dup collides in >=1 band (batch parity)
+    assert not any(r in pairs for r in [(3, 0), (0, 3)])
+
+
 def test_simhash_near_dup_bands(spark, docs):
     """Hamming-band join: exact dups at hamming 0, the near-dup pair
     within <= 3 bits; pigeonhole recall is exact at max_hamming=3."""
