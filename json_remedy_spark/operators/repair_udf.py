@@ -84,10 +84,31 @@ def make_repair_udf():
 
 
 def needs_repair_predicate(text: Column) -> Column:
-    """Cheap JVM-side applicability gate (reference supports?/1 set,
-    SURVEY.md §2.2) — used for metrics and to short-circuit clean rows
-    in custom flows.  The main pipeline routes all rows through the UDF
-    because even clean rows need canonical serialization."""
+    """Cheap JVM-side applicability gate — the UNION of the reference's
+    per-layer ``supports?/1`` heuristics (SURVEY.md §2.2):
+
+    * layer 1 (content_cleaning.ex:191-203): fences / comments
+    * layer 3 (syntax_detectors.ex:14-70): single quotes, unquoted
+      keys, Python/SQL literal variants (bare-substring semantics, like
+      the reference — "The value is True" fires too), trailing commas,
+      missing commas (quote/brace/bracket digrams + digit-ws-digit),
+      missing colons (folded into the quote-ws-quote digram)
+    * layer 2 (structural_repair.ex:513-559): delimiter-count imbalance
+      and the eight mismatch digrams — note ``}}``/``{{`` fire on VALID
+      nested JSON by design, same as the reference (supports? means
+      "this layer will look", not "this doc is broken")
+
+    Used for metrics and to short-circuit clean rows in custom flows.
+    The main pipeline routes all rows through the UDF because even
+    clean rows need canonical serialization."""
+
+    def _count(ch_re: str) -> Column:
+        return F.length(text) - F.length(F.regexp_replace(text, ch_re, ""))
+
+    mismatch_digrams = ["}]", "]{", "[}", "{]", "{{", "[[", "}}", "]]"]
+    digrams = F.lit(False)
+    for d in mismatch_digrams + ['" "', "} {", "] ["]:
+        digrams = digrams | text.contains(d)
     return (
         text.contains("```")
         | text.contains("//")
@@ -95,8 +116,10 @@ def needs_repair_predicate(text: Column) -> Column:
         | text.contains("'")
         | text.rlike(r",\s*[}\]]")
         | text.rlike(r"[{,]\s*[A-Za-z_][A-Za-z0-9_]*\s*:")
-        | (
-            F.length(text) - F.length(F.regexp_replace(text, r"\{", ""))
-            != F.length(text) - F.length(F.regexp_replace(text, r"\}", ""))
-        )
+        | text.rlike("True|False|TRUE|FALSE|None|NULL|Null")
+        | text.rlike(r"\d\s+\d")  # digit-ws-digit number sequence
+        | text.rlike(r'\d\s+"')  # number value then string (": 1 " generalized)
+        | digrams
+        | (_count(r"\{") != _count(r"\}"))
+        | (_count(r"\[") != _count(r"\]"))
     )
