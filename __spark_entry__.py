@@ -147,6 +147,18 @@ def q_lsh_jaccard_verified(spark, sf_dir):
     )
 
 
+def q_dedup_components(spark, sf_dir):
+    """Fuzzy-dedup last mile: verified near-dup pairs clustered into
+    connected components, canonical representative = min doc_id;
+    ``is_canonical`` is the keep set."""
+    d = _t(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism)
+    return dedup.near_dup_components(d, threshold=0.5).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("rep_id").cast("long").alias("rep_id"),
+        F.col("is_canonical").alias("is_canonical"),
+    )
+
+
 def q_cosine_topk(spark, sf_dir):
     e = (
         _t(spark, sf_dir, "embeddings")
@@ -516,6 +528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_near_dup": q_simhash_near_dup,
         "lsh_jaccard_verified": q_lsh_jaccard_verified,
+        "dedup_components": q_dedup_components,
         "cosine_topk": q_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "langid": q_langid,
@@ -626,6 +639,44 @@ def _lsh_verified_sql() -> str:
       JOIN sizes sa ON sa.doc_id = doc_a
       JOIN sizes sb ON sb.doc_id = doc_b
       WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    """
+
+
+def _dedup_components_sql() -> str:
+    """Connected components via a recursive CTE: min reachable doc_id
+    over the undirected verified-pair graph — the independent check of
+    the engine's min-label propagation."""
+    return f"""
+      WITH RECURSIVE {_lsh_ctes()},
+      sh AS ({_SHINGLES}),
+      sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_common
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY 1, 2
+      ),
+      verified AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+      ),
+      edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM verified
+        UNION
+        SELECT doc_b, doc_a FROM verified
+      ),
+      reach AS (
+        SELECT doc_id AS u, doc_id AS r FROM documents
+        UNION
+        SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v
+      )
+      SELECT u::BIGINT AS doc_id, min(r)::BIGINT AS rep_id,
+             (u = min(r)) AS is_canonical
+      FROM reach GROUP BY u
     """
 
 
@@ -781,6 +832,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _simhash_sql(),
         "simhash_near_dup": _simhash_near_dup_sql(),
         "lsh_jaccard_verified": _lsh_verified_sql(),
+        "dedup_components": _dedup_components_sql(),
         "cosine_topk": _cosine_topk_sql(),
         "perplexity": _perplexity_sql(),
         "embedding_near_dup": """

@@ -421,6 +421,78 @@ def simhash_near_dup(
     )
 
 
+def components_from_pairs(
+    all_ids: DataFrame, pairs: DataFrame, max_iters: int = 20
+) -> DataFrame:
+    """Connected components over a near-dup pair graph: every doc gets
+    ``rep_id`` = the smallest doc_id reachable through pairs (its
+    canonical representative); singletons keep themselves.
+
+    Min-label propagation: labels start as doc_id; each round every
+    node takes the min of its own label and its neighbors' labels.
+    Converges in O(component diameter) rounds — near-dup components
+    are dense little cliques out of the jaccard verifier, so 2-4 in
+    practice; ``max_iters`` is a fail-LOUD cap (raises rather than
+    returning a silently-unconverged labeling).  Each round is one
+    shuffle join keyed by doc_id; convergence is detected by the
+    monotonically-decreasing label sum, one cheap aggregate per round
+    instead of an old-vs-new join.  At 10^9+ docs with adversarial
+    long-chain graphs, switch to large-star/small-star (Kiveris et
+    al., "Connected Components in MapReduce"), which converges in
+    O(log n) rounds at two joins per round — not needed for the dedup
+    graph shape.
+
+    ``all_ids``: one column ``doc_id``; ``pairs``: ``doc_a``/``doc_b``.
+    Returns (doc_id, rep_id, is_canonical)."""
+    e = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
+    edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
+    # localCheckpoint (eager), NOT persist: each round's labels feed two
+    # operators of the next round, so without lineage truncation the
+    # logical plan DOUBLES per round — a 12-round chain OOMs the driver
+    # just formatting the plan.  On a production cluster prefer
+    # sc.setCheckpointDir + .checkpoint() (executor-loss-safe); the
+    # plan-size math is identical.
+    labels = all_ids.select(F.col("doc_id"), F.col("doc_id").alias("rep_id")).localCheckpoint()
+    prev_sum = labels.agg(F.sum("rep_id")).collect()[0][0]
+    for _ in range(max_iters):
+        neigh = (
+            edges.join(labels.withColumnRenamed("doc_id", "v"), "v")
+            .groupBy(F.col("u").alias("doc_id"))
+            .agg(F.min("rep_id").alias("neigh_min"))
+        )
+        labels = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("rep_id"), F.coalesce("neigh_min", F.col("rep_id"))).alias("rep_id"),
+            )
+            .localCheckpoint()
+        )
+        new_sum = labels.agg(F.sum("rep_id")).collect()[0][0]
+        if new_sum == prev_sum:  # labels only decrease; fixpoint reached
+            edges.unpersist()
+            return labels.select(
+                "doc_id", "rep_id", (F.col("doc_id") == F.col("rep_id")).alias("is_canonical")
+            )
+        prev_sum = new_sum
+    raise ValueError(f"components_from_pairs did not converge in {max_iters} rounds")
+
+
+def near_dup_components(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    handles: list | None = None,
+) -> DataFrame:
+    """The last mile of fuzzy dedup: verified near-dup pairs
+    (``lsh_verified_pairs``) clustered into components, one canonical
+    representative (min doc_id) per cluster.  ``is_canonical`` is the
+    keep set — filtering on it yields the deduplicated corpus."""
+    pairs = lsh_verified_pairs(docs, threshold, id_col, text_col, handles=handles)
+    return components_from_pairs(docs.select(F.col(id_col).alias("doc_id")), pairs)
+
+
 def minhash_from_shingles(sh: DataFrame) -> DataFrame:
     """Minhash signatures derived from an ALREADY-MATERIALIZED
     (doc_id, shingle) table: the same 48-bit md5-prefix base hash and

@@ -279,6 +279,42 @@ def test_stateful_stream_dedup_across_restarts(spark, tmp_path):
     assert sorted(texts) == ["alpha doc", "beta doc", "gamma doc"]
 
 
+def test_components_transitive_closure(spark):
+    """a~b and b~c put a,b,c in ONE component even when a!~c directly;
+    singletons keep themselves; min doc_id is canonical."""
+    from json_remedy_spark.functions.dedup import components_from_pairs
+
+    ids = spark.createDataFrame([(i,) for i in range(6)], ["doc_id"])
+    # chain 0-1-2, pair 4-5, singleton 3
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (4, 5)], ["doc_a", "doc_b"])
+    got = {r["doc_id"]: (r["rep_id"], r["is_canonical"]) for r in components_from_pairs(ids, pairs).collect()}
+    assert got == {
+        0: (0, True), 1: (0, False), 2: (0, False),
+        3: (3, True), 4: (4, True), 5: (4, False),
+    }
+
+
+def test_components_long_chain_converges(spark):
+    """A 12-node path graph needs ~diameter rounds — must converge, not
+    hit the max_iters guard."""
+    from json_remedy_spark.functions.dedup import components_from_pairs
+
+    n = 12
+    ids = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["doc_a", "doc_b"])
+    rows = components_from_pairs(ids, pairs, max_iters=n + 2).collect()
+    assert all(r["rep_id"] == 0 for r in rows) and len(rows) == n
+
+
+def test_near_dup_components_end_to_end(spark, docs):
+    from json_remedy_spark.functions.dedup import near_dup_components
+
+    got = {r["doc_id"]: r["rep_id"] for r in near_dup_components(docs, threshold=0.5).collect()}
+    # docs 0,1,4 identical, 2 near-dup of them, 3 unrelated
+    assert got[0] == got[1] == got[2] == got[4] == 0
+    assert got[3] == 3
+
+
 def test_stateful_stream_lsh_near_dup(spark, tmp_path):
     """Streaming minhash-LSH: band-bucket state emits candidate pairs
     against the bucket representative, across micro-batches and a
