@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from json_remedy_spark.functions import dedup, langid, quality, scrub, textstats
+from json_remedy_spark.functions import corpus, dedup, langid, quality, scrub, textstats
 from json_remedy_spark.functions.dedup import MINHASH_K, LSH_BANDS
 from json_remedy_spark.functions.multimodal import N_FEATURES as _N_FEATURES, N_FRAMES as _N_FRAMES
 
@@ -156,6 +156,41 @@ def q_dedup_components(spark, sf_dir):
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("rep_id").cast("long").alias("rep_id"),
         F.col("is_canonical").alias("is_canonical"),
+    )
+
+
+PACK_BUDGET = 2_000  # tokens per language for the packing query
+SAMPLE_PCT = 10
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: src0 plays the eval set; every other
+    doc is flagged iff it shares a shingle with any src0 doc."""
+    d = _t(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism)
+    ev = d.where(F.col("source") == "src0")
+    corp = d.where(F.col("source") != "src0")
+    return corpus.decontaminate(corp, ev).select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.col("contaminated")
+    )
+
+
+def q_pack_token_budget(spark, sf_dir):
+    """Per-language token packing: deterministic doc_id-ordered prefix
+    whose cumulative token count reaches the budget (floor semantics)."""
+    d = _t(spark, sf_dir, "documents")
+    return corpus.pack_token_budget(d, PACK_BUDGET).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("lang"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic md5-bucket 10% sample, stratified by language."""
+    d = _t(spark, sf_dir, "documents")
+    return corpus.stratified_sample(d, SAMPLE_PCT).select(
+        F.col("doc_id").cast("long").alias("doc_id"), F.col("stratum")
     )
 
 
@@ -529,6 +564,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": q_simhash_near_dup,
         "lsh_jaccard_verified": q_lsh_jaccard_verified,
         "dedup_components": q_dedup_components,
+        "decontaminate": q_decontaminate,
+        "pack_token_budget": q_pack_token_budget,
+        "stratified_sample": q_stratified_sample,
         "cosine_topk": q_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "langid": q_langid,
@@ -677,6 +715,48 @@ def _dedup_components_sql() -> str:
       SELECT u::BIGINT AS doc_id, min(r)::BIGINT AS rep_id,
              (u = min(r)) AS is_canonical
       FROM reach GROUP BY u
+    """
+
+
+def _decontaminate_sql() -> str:
+    return f"""
+      WITH sh AS ({_SHINGLES}),
+      ev AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+      ev_sh AS (SELECT DISTINCT shingle FROM sh JOIN ev USING (doc_id)),
+      corpus AS (SELECT doc_id FROM documents WHERE source <> 'src0'),
+      hits AS (
+        SELECT DISTINCT sh.doc_id FROM sh
+        JOIN ev_sh USING (shingle)
+        JOIN corpus USING (doc_id)
+      )
+      SELECT c.doc_id::BIGINT AS doc_id, (h.doc_id IS NOT NULL) AS contaminated
+      FROM corpus c LEFT JOIN hits h ON h.doc_id = c.doc_id
+    """
+
+
+def _pack_token_budget_sql() -> str:
+    tok = textstats.stats_sql()["token_count"]
+    return f"""
+      WITH t AS (
+        SELECT doc_id, lang, ({tok})::BIGINT AS n_tokens FROM documents
+      ),
+      c AS (
+        SELECT doc_id, lang, n_tokens,
+               sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS cum_tokens
+        FROM t
+      )
+      SELECT doc_id::BIGINT AS doc_id, lang, n_tokens,
+             cum_tokens::BIGINT AS cum_tokens
+      FROM c WHERE cum_tokens - n_tokens < {PACK_BUDGET}
+    """
+
+
+def _stratified_sample_sql() -> str:
+    bucket = _hex_to_int("md5(doc_id::VARCHAR)", 1, 8)
+    return f"""
+      SELECT doc_id::BIGINT AS doc_id, lang AS stratum
+      FROM documents
+      WHERE ({bucket} % 100) < {SAMPLE_PCT}
     """
 
 
@@ -833,6 +913,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dup": _simhash_near_dup_sql(),
         "lsh_jaccard_verified": _lsh_verified_sql(),
         "dedup_components": _dedup_components_sql(),
+        "decontaminate": _decontaminate_sql(),
+        "pack_token_budget": _pack_token_budget_sql(),
+        "stratified_sample": _stratified_sample_sql(),
         "cosine_topk": _cosine_topk_sql(),
         "perplexity": _perplexity_sql(),
         "embedding_near_dup": """

@@ -1,0 +1,103 @@
+"""Corpus-construction operators for training-data pipelines:
+decontamination, token-budget packing, deterministic sampling.
+
+No reference analogue (the reference is a per-document repair library,
+lib/json_remedy.ex) — these are the graft-mandated large-scale ops a
+quality-filter engine feeds.  All three are SQL-expressible and carry
+exact DuckDB oracles in the driver contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from json_remedy_spark.functions.dedup import shingles
+from json_remedy_spark.functions.textstats import token_count
+
+
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag every corpus doc sharing at
+    least one w-word shingle with ANY eval/benchmark document.
+
+    Scale shape: the eval set is tiny next to the corpus, so its
+    DISTINCT shingle set BROADCASTS — the corpus-side shingle kernel
+    (the same zero-shuffle mapInPandas as minhash) streams once
+    map-only against the broadcast hash set; only (doc_id) hits
+    shuffle for the final distinct.  The corpus shingle table is never
+    re-keyed or exchanged.  Returns (doc_id, contaminated) for every
+    corpus doc."""
+    corpus_sh = shingles(docs, id_col, text_col)
+    eval_sh = shingles(eval_docs, id_col, text_col).select("shingle").distinct()
+    hits = (
+        corpus_sh.join(F.broadcast(eval_sh), "shingle")
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(True))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(hits, "doc_id", "left")
+        .select("doc_id", F.coalesce("contaminated", F.lit(False)).alias("contaminated"))
+    )
+
+
+def pack_token_budget(
+    docs: DataFrame,
+    budget: int,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic per-language token packing: take docs in doc_id
+    order until each language's cumulative token count exceeds
+    ``budget`` (the doc that crosses the line is the last one kept —
+    budgets are floors, standard corpus-mix semantics).
+
+    One shuffle: the window partitions by language and orders by
+    doc_id.  Skewed languages are single-partition by definition of
+    the window — at 10^9 docs per language, pre-aggregate to
+    (lang, doc_id, n_tokens) first (this function's input is already
+    that narrow) and let AQE split the sort; the cumulative sum
+    itself is streaming within the partition."""
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(lang_col).alias("lang"),
+            token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        )
+        .withColumn("cum_tokens", F.sum("n_tokens").over(Window.partitionBy("lang").orderBy("doc_id")))
+        .where((F.col("cum_tokens") - F.col("n_tokens")) < budget)
+        .select("doc_id", "lang", "n_tokens", "cum_tokens")
+    )
+
+
+def hash_mod_bucket(id_col: Column, buckets: int = 100) -> Column:
+    """Portable deterministic bucket in [0, buckets): md5-prefix of the
+    stringified id — identical integers in Spark and DuckDB (xxhash64
+    is Spark-only, rand() is nondeterministic; md5 is in both)."""
+    return (
+        F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10).cast("long") % buckets
+    )
+
+
+def stratified_sample(
+    docs: DataFrame,
+    pct: int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic ``pct``-percent sample WITHIN each stratum:
+    keep rows whose md5-derived bucket < pct.  Reproducible across
+    runs, engines, and cluster sizes (no rand(), no sampleBy seeds
+    that depend on partitioning); per-stratum rates stay honest
+    because the hash is independent of the stratum.  Map-only — no
+    shuffle at all."""
+    return docs.where(hash_mod_bucket(F.col(id_col)) < pct).select(
+        F.col(id_col).alias("doc_id"), F.col(strata_col).alias("stratum")
+    )

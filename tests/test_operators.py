@@ -279,6 +279,51 @@ def test_stateful_stream_dedup_across_restarts(spark, tmp_path):
     assert sorted(texts) == ["alpha doc", "beta doc", "gamma doc"]
 
 
+def test_decontaminate_flags_shingle_overlap(spark):
+    from json_remedy_spark.functions.corpus import decontaminate
+
+    corp = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps high"),  # shares "the quick brown" etc.
+            (1, "completely unrelated spark pipeline text"),
+        ],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame([(100, "the quick brown fox sat down")], ["doc_id", "text"])
+    got = {r["doc_id"]: r["contaminated"] for r in decontaminate(corp, ev).collect()}
+    assert got == {0: True, 1: False}
+
+
+def test_pack_token_budget_floor_semantics(spark):
+    """Docs taken in doc_id order; the doc that crosses the budget is
+    the LAST one kept; later docs drop."""
+    from json_remedy_spark.functions.corpus import pack_token_budget
+
+    docs = spark.createDataFrame(
+        [
+            (0, "en", "a b c d"),  # 4 tokens, cum 4
+            (1, "en", "e f g"),  # 3 tokens, cum 7 — crosses budget 6, kept
+            (2, "en", "h i"),  # cum 9 — dropped (prefix sum 7 >= 6)
+            (3, "fr", "x y z"),  # separate stratum, cum 3 < 6 — kept
+        ],
+        ["doc_id", "lang", "text"],
+    )
+    kept = {r["doc_id"]: r["cum_tokens"] for r in pack_token_budget(docs, 6).collect()}
+    assert kept == {0: 4, 1: 7, 3: 3}
+
+
+def test_stratified_sample_deterministic(spark):
+    from json_remedy_spark.functions.corpus import stratified_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = {r["doc_id"] for r in stratified_sample(docs, 10).collect()}
+    b = {r["doc_id"] for r in stratified_sample(docs, 10).collect()}
+    assert a == b and a  # identical across runs, non-empty
+    assert len(a) / docs.count() < 0.25  # ~10% of 500, generous bound
+    sub = {r["doc_id"] for r in stratified_sample(docs, 5).collect()}
+    assert sub <= a  # nested rates: 5% bucket set is a subset of 10%
+
+
 def test_components_transitive_closure(spark):
     """a~b and b~c put a,b,c in ONE component even when a!~c directly;
     singletons keep themselves; min doc_id is canonical."""
