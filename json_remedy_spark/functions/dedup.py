@@ -444,15 +444,39 @@ def components_from_pairs(
 
     ``all_ids``: one column ``doc_id``; ``pairs``: ``doc_a``/``doc_b``.
     Returns (doc_id, rep_id, is_canonical)."""
-    e = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v"))
-    edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
+    # materialize the pair list ONCE before mirroring: the union's two
+    # branches each scan `pairs`, and when pairs is an expensive DAG
+    # (the LSH->jaccard verifier) an unmaterialized union runs it twice
+    p = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).localCheckpoint()
+    # the pair graph is a vanishing fraction of the corpus — size the
+    # propagation shuffle to IT, not to spark.sql.shuffle.partitions:
+    # at 250 pairs a 64-partition loop spends ~1.5 s/round scheduling
+    # empty tasks; at 10^9 pairs this grows back to a real fan-out
+    n_pairs = p.count()
+    parts = max(1, min(2048, n_pairs // 500_000 + 1))
+    edges = (
+        p.union(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .repartition(parts, "v")
+        .persist()
+    )
+    # Iterate ONLY over nodes that appear in some pair: singletons can
+    # never change label, and in a deduped corpus the pair graph is a
+    # vanishing fraction of the table — propagating over all_ids would
+    # shuffle the whole corpus once per round for nothing.  Singletons
+    # rejoin (rep = self) in one final left join.
+    #
     # localCheckpoint (eager), NOT persist: each round's labels feed two
     # operators of the next round, so without lineage truncation the
     # logical plan DOUBLES per round — a 12-round chain OOMs the driver
     # just formatting the plan.  On a production cluster prefer
     # sc.setCheckpointDir + .checkpoint() (executor-loss-safe); the
     # plan-size math is identical.
-    labels = all_ids.select(F.col("doc_id"), F.col("doc_id").alias("rep_id")).localCheckpoint()
+    labels = (
+        edges.select(F.col("u").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("rep_id"))
+        .localCheckpoint()
+    )
     prev_sum = labels.agg(F.sum("rep_id")).collect()[0][0]
     for _ in range(max_iters):
         neigh = (
@@ -471,8 +495,14 @@ def components_from_pairs(
         new_sum = labels.agg(F.sum("rep_id")).collect()[0][0]
         if new_sum == prev_sum:  # labels only decrease; fixpoint reached
             edges.unpersist()
-            return labels.select(
-                "doc_id", "rep_id", (F.col("doc_id") == F.col("rep_id")).alias("is_canonical")
+            return (
+                all_ids.select("doc_id")
+                .join(labels.withColumnRenamed("rep_id", "pair_rep"), "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.coalesce("pair_rep", F.col("doc_id")).alias("rep_id"),
+                )
+                .withColumn("is_canonical", F.col("doc_id") == F.col("rep_id"))
             )
         prev_sum = new_sum
     raise ValueError(f"components_from_pairs did not converge in {max_iters} rounds")
