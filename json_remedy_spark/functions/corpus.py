@@ -21,21 +21,27 @@ def decontaminate(
     eval_docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    broadcast_eval: bool = True,
 ) -> DataFrame:
     """Benchmark decontamination: flag every corpus doc sharing at
     least one w-word shingle with ANY eval/benchmark document.
 
     Scale shape: the eval set is tiny next to the corpus, so its
-    DISTINCT shingle set BROADCASTS — the corpus-side shingle kernel
-    (the same zero-shuffle mapInPandas as minhash) streams once
-    map-only against the broadcast hash set; only (doc_id) hits
-    shuffle for the final distinct.  The corpus shingle table is never
-    re-keyed or exchanged.  Returns (doc_id, contaminated) for every
+    DISTINCT shingle set BROADCASTS by default — the corpus-side
+    shingle kernel (the same zero-shuffle mapInPandas as minhash)
+    streams once map-only against the broadcast hash set; only
+    (doc_id) hits shuffle for the final distinct.  The corpus shingle
+    table is never re-keyed or exchanged.  For an eval set too large
+    to broadcast (executor-memory bound, roughly >100M distinct
+    shingles), pass ``broadcast_eval=False`` to fall back to a shuffle
+    join on the shingle key.  Returns (doc_id, contaminated) for every
     corpus doc."""
     corpus_sh = shingles(docs, id_col, text_col)
     eval_sh = shingles(eval_docs, id_col, text_col).select("shingle").distinct()
+    if broadcast_eval:
+        eval_sh = F.broadcast(eval_sh)
     hits = (
-        corpus_sh.join(F.broadcast(eval_sh), "shingle")
+        corpus_sh.join(eval_sh, "shingle")
         .select("doc_id")
         .distinct()
         .withColumn("contaminated", F.lit(True))
@@ -53,25 +59,49 @@ def pack_token_budget(
     lang_col: str = "lang",
     id_col: str = "doc_id",
     text_col: str = "text",
+    bucket_width: int = 1 << 20,
 ) -> DataFrame:
     """Deterministic per-language token packing: take docs in doc_id
     order until each language's cumulative token count exceeds
     ``budget`` (the doc that crosses the line is the last one kept —
     budgets are floors, standard corpus-mix semantics).
 
-    One shuffle: the window partitions by language and orders by
-    doc_id.  Skewed languages are single-partition by definition of
-    the window — at 10^9 docs per language, pre-aggregate to
-    (lang, doc_id, n_tokens) first (this function's input is already
-    that narrow) and let AQE split the sort; the cumulative sum
-    itself is streaming within the partition."""
+    TWO-PHASE prefix sum — a naive ``Window.partitionBy(lang)`` puts
+    each language's entire history in ONE sort task, a guaranteed
+    straggler at 10^9 docs per language.  Instead:
+
+    1. bucket docs by ``doc_id // bucket_width`` (monotone in doc_id,
+       so bucket order IS doc order) and window WITHIN (lang, bucket)
+       — thousands of parallel sorts, bounded task size;
+    2. aggregate one row per (lang, bucket); the cross-bucket running
+       offsets are a window over that TINY table (rows = langs x
+       buckets, millions at worst), then broadcast back;
+    3. final cumulative = bucket offset + within-bucket cumsum.
+
+    Identical output to the single-window form (the DuckDB oracle
+    cross-checks exactly that)."""
+    t = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(lang_col).alias("lang"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    ).withColumn("bucket", (F.col("doc_id") / bucket_width).cast("long"))
+    within = t.withColumn(
+        "cum_in_bucket",
+        F.sum("n_tokens").over(Window.partitionBy("lang", "bucket").orderBy("doc_id")),
+    )
+    bucket_sums = t.groupBy("lang", "bucket").agg(F.sum("n_tokens").alias("bucket_tokens"))
+    offsets = bucket_sums.withColumn(
+        "offset",
+        F.coalesce(
+            F.sum("bucket_tokens").over(
+                Window.partitionBy("lang").orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("lang", "bucket", "offset")
     return (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.col(lang_col).alias("lang"),
-            token_count(F.col(text_col)).cast("long").alias("n_tokens"),
-        )
-        .withColumn("cum_tokens", F.sum("n_tokens").over(Window.partitionBy("lang").orderBy("doc_id")))
+        within.join(F.broadcast(offsets), ["lang", "bucket"])
+        .withColumn("cum_tokens", F.col("offset") + F.col("cum_in_bucket"))
         .where((F.col("cum_tokens") - F.col("n_tokens")) < budget)
         .select("doc_id", "lang", "n_tokens", "cum_tokens")
     )

@@ -312,6 +312,51 @@ def test_pack_token_budget_floor_semantics(spark):
     assert kept == {0: 4, 1: 7, 3: 3}
 
 
+def test_pack_token_budget_two_phase_matches_single_window(spark):
+    """Force many buckets (width 7) — the offset join must reproduce
+    the single-bucket cumulative exactly."""
+    from json_remedy_spark.functions.corpus import pack_token_budget
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 3 else "fr", "w " * (i % 5 + 1)) for i in range(60)],
+        ["doc_id", "lang", "text"],
+    )
+    multi = sorted(map(tuple, pack_token_budget(docs, 25, bucket_width=7).collect()))
+    single = sorted(map(tuple, pack_token_budget(docs, 25, bucket_width=1 << 20).collect()))
+    assert multi == single and multi
+
+
+def test_components_match_python_union_find(spark):
+    """Randomized cross-check: label propagation == brute union-find."""
+    import random
+
+    from json_remedy_spark.functions.dedup import components_from_pairs
+
+    rng = random.Random(7)
+    for _ in range(3):
+        n = 30
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(18)]
+        edges = [(a, b) for a, b in edges if a != b]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {i: find(i) for i in range(n)}
+
+        ids = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+        pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+        got = {r["doc_id"]: r["rep_id"] for r in components_from_pairs(ids, pairs).collect()}
+        assert got == expected
+
+
 def test_stratified_sample_deterministic(spark):
     from json_remedy_spark.functions.corpus import stratified_sample
 
