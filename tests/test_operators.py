@@ -162,6 +162,33 @@ def test_lsh_signature_table_at_rest(spark, tmp_path):
     assert stored2 == mem
 
 
+def test_py_files_zip_imports(tmp_path):
+    """The --py-files artifact must carry a working package: import the
+    kernel from the zip alone (fresh interpreter, no repo on the path)."""
+    import subprocess
+    import sys as _sys
+
+    from tools.make_dist import build
+
+    zip_path = build(str(tmp_path / "json_remedy_spark.zip"))
+    code = (
+        "import sys; sys.path.insert(0, sys.argv[1])\n"
+        "from json_remedy_spark.kernel import repair\n"
+        "r = repair('{a: 1,}')\n"
+        "assert r.ok and r.repaired == '{\"a\":1}', r\n"
+        "print('zip-import-ok')\n"
+    )
+    out = subprocess.run(
+        [_sys.executable, "-c", code, zip_path],
+        capture_output=True,
+        text=True,
+        cwd=str(tmp_path),  # away from the repo so the zip is the only source
+        env={"PATH": os.environ.get("PATH", "")},
+        timeout=120,
+    )
+    assert out.returncode == 0 and "zip-import-ok" in out.stdout, out.stderr
+
+
 def test_checkpoint_key_threading(spark, tmp_path):
     """run_with_checkpoints buckets by the caller's key column (the
     catalog fallback used to hardcode 'url')."""
