@@ -227,6 +227,29 @@ def q_embedding_near_dup(spark, sf_dir):
     return cosine_pairs_exact(e, threshold=0.4)
 
 
+def q_embedding_dedup_components(spark, sf_dir):
+    """Cross-modal parity for the dedup last mile: the same
+    components operator over EMBEDDING near-dup pairs (cosine >= 0.4
+    on the bounded slice), canonical rep = min vec_id."""
+    from json_remedy_spark.functions.similarity import cosine_pairs_exact
+
+    e = (
+        _t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 1000)
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    pairs = cosine_pairs_exact(e, threshold=0.4).select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+    )
+    ids = e.select(F.col("vec_id").alias("doc_id"))
+    return dedup.components_from_pairs(ids, pairs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("rep_id").cast("long").alias("rep_id"),
+        F.col("is_canonical"),
+    )
+
+
 def q_langid(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return (
@@ -569,6 +592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "cosine_topk": q_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_dedup_components": q_embedding_dedup_components,
         "langid": q_langid,
         "quality_stats": q_quality_stats,
         "pii_scrub": q_pii_scrub,
@@ -929,6 +953,28 @@ def oracle_sql() -> dict[str, str]:
           FROM v a CROSS JOIN v b
           WHERE a.id < b.id
             AND round(list_sum(list_transform(list_zip(a.unit, b.unit), p -> p[1] * p[2])), 6) >= 0.4
+        """,
+        "embedding_dedup_components": """
+          WITH RECURSIVE uv AS (
+            SELECT vec_id AS id, list_transform(embedding::DOUBLE[], x -> x /
+              greatest(sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y*y))), 1e-12)) AS unit
+            FROM embeddings WHERE vec_id < 1000
+          ),
+          prs AS (
+            SELECT a.id AS ua, b.id AS ub
+            FROM uv a CROSS JOIN uv b
+            WHERE a.id < b.id
+              AND round(list_sum(list_transform(list_zip(a.unit, b.unit), p -> p[1] * p[2])), 6) >= 0.4
+          ),
+          edges AS (SELECT ua AS eu, ub AS ev FROM prs UNION SELECT ub, ua FROM prs),
+          reach AS (
+            SELECT vec_id AS u, vec_id AS r FROM embeddings WHERE vec_id < 1000
+            UNION
+            SELECT e.eu, reach.r FROM edges e JOIN reach ON reach.u = e.ev
+          )
+          SELECT u::BIGINT AS doc_id, min(r)::BIGINT AS rep_id,
+                 (u = min(r)) AS is_canonical
+          FROM reach GROUP BY u
         """,
         "langid": f"SELECT {lang_expr} AS lang_id, count(*)::BIGINT AS n FROM documents GROUP BY 1",
         "quality_stats": f"""

@@ -1,0 +1,84 @@
+"""Production fuzzy-dedup job — spark-submit --py-files launcher.
+
+  spark-submit --py-files dist/json_remedy_spark.zip jobs/run_dedup.py \
+      --input  <parquet dir | iceberg table>   (needs doc_id, text) \
+      --sig-dir <dir>      at-rest banded signature table (resume unit) \
+      --output <dir>       (doc_id, rep_id, is_canonical) parquet \
+      [--threshold 0.8] [--buckets 64] [--id-col doc_id] [--text-col text]
+
+The 100 TB shape, stage by stage:
+
+1. signatures land AT REST bucketed by band signature
+   (``write_signature_table``) — the expensive shingle+minhash kernel
+   is checkpoint-resumable: a killed run recomputes only uncommitted
+   buckets;
+2. candidate pairs come from the stored table
+   (``lsh_candidate_pairs_from_table``) — the kernel never re-runs;
+3. exact jaccard verifies candidates only
+   (``jaccard_verify_candidates``), with one fresh shingle pass
+   semi-joined down to candidate docs;
+4. ``components_from_pairs`` assigns one canonical representative per
+   near-dup cluster; filtering ``is_canonical`` downstream yields the
+   deduplicated corpus.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--sig-dir", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--threshold", type=float, default=0.8)
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    args = ap.parse_args()
+
+    from pyspark import StorageLevel
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from json_remedy_spark.functions.dedup import (
+        components_from_pairs,
+        jaccard_verify_candidates,
+        lsh_candidate_pairs_from_table,
+        shingles,
+        write_signature_table,
+    )
+    from json_remedy_spark.sources.catalog import read_table, write_table
+
+    spark = (
+        SparkSession.builder.appName("jrs-dedup")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    docs = read_table(spark, args.input).select(
+        F.col(args.id_col).alias("doc_id"), F.col(args.text_col).alias("text")
+    )
+
+    fmt = write_signature_table(docs, args.sig_dir, n_buckets=args.buckets)
+    cand = lsh_candidate_pairs_from_table(spark, args.sig_dir).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sh = shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    verified = jaccard_verify_candidates(sh, cand, threshold=args.threshold)
+    comp = components_from_pairs(docs.select("doc_id"), verified)
+    write_table(comp, args.output, mode="overwrite")
+    n_docs = comp.count()
+    n_kept = comp.where("is_canonical").count()
+    print(
+        f"signatures={fmt} docs={n_docs} kept={n_kept} "
+        f"dropped={n_docs - n_kept} -> {args.output}"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -569,6 +569,17 @@ def lsh_verified_pairs(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     if handles is not None:
         handles.extend([sh_all, cand])
+    return jaccard_verify_candidates(sh_all, cand, threshold)
+
+
+def jaccard_verify_candidates(
+    sh_all: DataFrame, cand: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """Exact n-gram Jaccard over SUPPLIED candidate pairs from a
+    SUPPLIED exploded (doc_id, shingle) table — the verify stage of the
+    fused recipe, factored so candidates can also come from the
+    AT-REST signature table (``lsh_candidate_pairs_from_table``).
+    Callers should persist both inputs; each feeds two joins."""
     # shrink the shingle table to docs that appear in ANY candidate
     # pair before the two intersection joins — at 10^12 docs the
     # candidate set is a tiny fraction of the corpus and this semi-join

@@ -396,6 +396,36 @@ def test_stratified_sample_deterministic(spark):
     assert sub <= a  # nested rates: 5% bucket set is a subset of 10%
 
 
+def test_dedup_job_stored_path_matches_in_memory(spark, tmp_path):
+    """The production job's composition (at-rest signatures -> stored
+    candidates -> verify -> components) must equal the in-memory
+    near_dup_components on the same corpus."""
+    from json_remedy_spark.functions.dedup import (
+        components_from_pairs,
+        jaccard_verify_candidates,
+        lsh_candidate_pairs_from_table,
+        near_dup_components,
+        shingles,
+        write_signature_table,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select("doc_id", "text")
+    sig_dir = str(tmp_path / "sig")
+    write_signature_table(docs, sig_dir, n_buckets=4)
+    cand = lsh_candidate_pairs_from_table(spark, sig_dir).persist()
+    sh = shingles(docs).persist()
+    verified = jaccard_verify_candidates(sh, cand, threshold=0.5)
+    stored = {
+        (r["doc_id"], r["rep_id"], r["is_canonical"])
+        for r in components_from_pairs(docs.select("doc_id"), verified).collect()
+    }
+    mem = {
+        (r["doc_id"], r["rep_id"], r["is_canonical"])
+        for r in near_dup_components(docs, threshold=0.5).collect()
+    }
+    assert stored == mem and any(not c for _, _, c in stored)  # some dups exist
+
+
 def test_components_transitive_closure(spark):
     """a~b and b~c put a,b,c in ONE component even when a!~c directly;
     singletons keep themselves; min doc_id is canonical."""
