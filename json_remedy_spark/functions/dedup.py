@@ -223,12 +223,15 @@ def write_signature_table(
     return write_bucketed_table(banded, identifier, out_dir, n_buckets=n_buckets, key="bucket")
 
 
-def read_signature_table(spark, out_dir: str) -> DataFrame:
+def read_signature_table(spark, ref: str) -> DataFrame:
     """The stored (doc_id, band, bucket) table written by
-    ``write_signature_table`` (parquet+manifest layout; the
-    underscore-prefixed manifest directory is invisible to parquet
+    ``write_signature_table``: an Iceberg identifier when a catalog is
+    configured, else the parquet+manifest directory (the
+    underscore-prefixed manifest dir is invisible to parquet
     discovery)."""
-    return spark.read.parquet(out_dir).select("doc_id", "band", "bucket")
+    from json_remedy_spark.sources.catalog import read_table
+
+    return read_table(spark, ref).select("doc_id", "band", "bucket")
 
 
 def lsh_candidate_pairs_from_table(spark, out_dir: str) -> DataFrame:
