@@ -739,9 +739,10 @@ class TolerantParser:
             return self._parse_html_value()
         if ctx == _Frame.OBJECT_KEY:
             terms = ":,}\n"
-        elif ctx == _Frame.ARRAY:
-            terms = ",]\n"
         else:
+            # binary_processors.ex:528-533 consume_until_delimiter stops
+            # at , } ] and newline in EVERY value context — `}` ends a
+            # bare array/set element too (it closes a coerced brace set)
             terms = ",}]\n"
         out: list[str] = []
         ended_at = ""

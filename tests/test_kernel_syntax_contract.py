@@ -155,3 +155,143 @@ def test_preserves_structure_while_fixing_syntax():
     }
     assert ",}" not in r.repaired and ",]" not in r.repaired
     assert len(r.repairs) >= 5
+
+
+# ------- state management / parameter scenarios, ported from
+# /root/reference/test/critical/state_managemenet_and_parameter_layer_3_test.exs
+COLON_STATE = [
+    ('{"name" "Alice"}', {"name": "Alice"}),
+    ('{"name" "Alice", "age" 30}', {"name": "Alice", "age": 30}),
+    ('{"user" {"name" "Alice", "age" 30}}', {"user": {"name": "Alice", "age": 30}}),
+]
+
+
+@pytest.mark.parametrize("inp,exp", COLON_STATE)
+def test_missing_colon_state(inp, exp):
+    assert rep(inp).value == exp
+
+
+def test_colonless_brace_coerces_to_set_with_clean_elements():
+    # `{name "Alice", active True}` has NO depth-1 colon -> structure
+    # coercion (pipeline order: coercion BEFORE layer 3,
+    # json_remedy.ex:416) makes it an array; the bare-value scanner must
+    # stop at `}` (binary_processors.ex:528-533) so the closer never
+    # leaks into the last element
+    r = rep('{name "Alice", active True}')
+    assert r.value == ["name", "Alice", "active True"]
+
+
+COMMA_STATE = [
+    ('{"name": "Alice",}', {"name": "Alice"}),
+    ("[1, 2, 3,]", [1, 2, 3]),
+    ('{"name": "Alice" "age": 30}', {"name": "Alice", "age": 30}),
+    ("[1 2 3]", [1, 2, 3]),
+    ('{"a": 1 "b": 2,}', {"a": 1, "b": 2}),
+    ('[{"a": 1,}, {"b": 2 "c": 3}]', [{"a": 1}, {"b": 2, "c": 3}]),
+    ('{"users": [{"name": "Alice",}, {"name": "Bob" "age": 30,}]}',
+     {"users": [{"name": "Alice"}, {"name": "Bob", "age": 30}]}),
+]
+
+
+@pytest.mark.parametrize("inp,exp", COMMA_STATE)
+def test_comma_state_complexity(inp, exp):
+    assert rep(inp).value == exp
+
+
+def test_pathological_uniform_nesting_ladder():
+    for depth in (1, 5, 10, 20, 50):
+        doc = '{"level": ' * depth + '"value"' + "}" * depth
+        r = rep(doc)
+        assert '"value"' in r.repaired and r.repairs == []
+
+
+def test_bare_key_and_top_level_strings_graceful():
+    assert rep('{"name"').value == {"name": ""}  # truncated key -> empty value
+    assert rep('"name" "value"').value == ["name", "value"]  # multi-doc wrap
+
+
+def test_complex_state_transitions():
+    # critical_issues_layer_3_tests.exs:256-285
+    r = rep(
+        '{\n  "level1": {\n    "level2": [\n      {"key1": \'value1\', active: True},\n'
+        "      {\"key2\": 'value2', active: False, data: None,}\n    ],\n"
+        "    \"other\": 'test'\n  },\n  final: NULL\n}\n"
+    )
+    assert r.value == {
+        "level1": {
+            "level2": [
+                {"key1": "value1", "active": True},
+                {"key2": "value2", "active": False, "data": None},
+            ],
+            "other": "test",
+        },
+        "final": None,
+    }
+    assert len(r.repairs) >= 6
+
+
+NESTED_ESCAPES = [
+    ("{'message': 'Don\\'t do this', 'other': True}",
+     {"message": "Don't do this", "other": True}),
+    ("{'path': 'C:\\\\Users\\\\Test', 'valid': False}",
+     {"path": "C:\\Users\\Test", "valid": False}),  # \\ decodes once at parse
+    ("{'unicode': '\\u0048\\u0065\\u006c\\u006c\\u006f', 'flag': TRUE}",
+     {"unicode": "Hello", "flag": True}),
+]
+
+
+@pytest.mark.parametrize("inp,exp", NESTED_ESCAPES)
+def test_nested_quotes_and_escapes(inp, exp):
+    # critical_issues_layer_3_tests.exs:287-304 (term-level: valid JSON
+    # escapes decode; single-quote escapes resolve to the character)
+    assert rep(inp).value == exp
+
+
+def test_string_content_never_confuses_state_machine():
+    # state_managemenet:50-84 — JSON-like syntax inside strings is inert
+    r = rep(
+        "{\n"
+        '  "json_example": "Use {\'key\': \'value\'} format",\n'
+        '  "boolean_text": "Set active: True or False",\n'
+        '  "null_example": "Value can be None or NULL",\n'
+        '  "quote_mix": \'Use "double quotes" inside single\',\n'
+        '  "comma_text": "Arrays use [1, 2, 3,] format",\n'
+        '  "colon_text": "Object syntax is key: value",\n'
+        "  actual_key: 'This should be quoted',\n"
+        "  real_boolean: True,\n"
+        "  real_null: None\n"
+        "}"
+    )
+    v = r.value
+    assert v["json_example"] == "Use {'key': 'value'} format"
+    assert v["boolean_text"] == "Set active: True or False"
+    assert v["null_example"] == "Value can be None or NULL"
+    assert v["quote_mix"] == 'Use "double quotes" inside single'
+    assert v["comma_text"] == "Arrays use [1, 2, 3,] format"
+    assert v["colon_text"] == "Object syntax is key: value"
+    assert v["actual_key"] == "This should be quoted"
+    assert v["real_boolean"] is True and v["real_null"] is None
+    assert len(r.repairs) >= 3
+
+
+def test_rapidly_alternating_contexts():
+    # state_managemenet:86-116
+    r = rep(
+        "[\n"
+        "  {\"key1\": 'value1', flag1: True},\n"
+        "  'string_in_array',\n"
+        '  {"key2": False, data2: None},\n'
+        "  42,\n"
+        "  {\"key3\": NULL, text3: 'more'},\n"
+        '  [1, 2, {"nested": TRUE}]\n'
+        "]"
+    )
+    assert r.value == [
+        {"key1": "value1", "flag1": True},
+        "string_in_array",
+        {"key2": False, "data2": None},
+        42,
+        {"key3": None, "text3": "more"},
+        [1, 2, {"nested": True}],
+    ]
+    assert len(r.repairs) >= 8
