@@ -295,3 +295,57 @@ def test_rapidly_alternating_contexts():
         [1, 2, {"nested": True}],
     ]
     assert len(r.repairs) >= 8
+
+
+def test_string_context_preserved_across_complex_operations():
+    # state_managemenet:373-412 — code/SQL/example syntax inside strings
+    # is inert; only the 3 real issues repair
+    r = rep(
+        "{\n"
+        '  "instructions": "Use format {key: \'value\', active: True}",\n'
+        '  "examples": [\n'
+        '    "Example 1: name: \'Alice\', status: False",\n'
+        '    "Example 2: data: None, valid: TRUE"\n'
+        "  ],\n"
+        '  "code_sample": "if (obj.active == True) { obj.data = None; }",\n'
+        '  "sql_like": "WHERE status = \'active\' AND deleted = False",\n'
+        "  actual_key: 'This should be quoted',\n"
+        "  real_flag: True,\n"
+        "  real_data: None\n"
+        "}"
+    )
+    v = r.value
+    assert v["instructions"] == "Use format {key: 'value', active: True}"
+    assert v["examples"] == [
+        "Example 1: name: 'Alice', status: False",
+        "Example 2: data: None, valid: TRUE",
+    ]
+    assert v["code_sample"] == "if (obj.active == True) { obj.data = None; }"
+    assert v["sql_like"] == "WHERE status = 'active' AND deleted = False"
+    assert v["actual_key"] == "This should be quoted"
+    assert v["real_flag"] is True and v["real_data"] is None
+    assert len(r.repairs) >= 3
+    actions = [a["action"] for a in r.repairs]
+    assert any("quoted unquoted key" in a for a in actions)
+    assert any("normalized" in a for a in actions)
+
+
+def test_nested_quote_handling_preserves_escapes():
+    # state_managemenet:414-452 (term-level: \" decodes to ", and the
+    # escaped quotes inside the single-quoted value survive)
+    r = rep(
+        "{\n"
+        '  "json_string": "{\\"nested\\": \\"value\\", \\"active\\": true}",\n'
+        '  "escaped_quotes": "She said \\"Hello\\" and he said \\"Hi\\"",\n'
+        '  "regex_pattern": "\\"^[a-zA-Z]+$\\" matches letters",\n'
+        "  unquoted_key: 'Value with \\\"escaped\\\" quotes',\n"
+        "  another_key: \"Value with 'single' quotes inside\"\n"
+        "}"
+    )
+    v = r.value
+    assert v["json_string"] == '{"nested": "value", "active": true}'
+    assert v["escaped_quotes"] == 'She said "Hello" and he said "Hi"'
+    assert v["regex_pattern"] == '"^[a-zA-Z]+$" matches letters'
+    assert v["unquoted_key"] == 'Value with "escaped" quotes'
+    assert v["another_key"] == "Value with 'single' quotes inside"
+    assert len(r.repairs) >= 2
