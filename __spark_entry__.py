@@ -417,6 +417,19 @@ def q_perplexity(spark, sf_dir):
     )
 
 
+def q_ppl_histogram(spark, sf_dir):
+    """North-rule metrics surface: the perplexity histogram (0.125-wide
+    buckets, exactly representable in binary) — exact because the per-doc scores are exact (same
+    float64 doubles both engines, proven by the `perplexity` oracle);
+    floor of identical doubles is identical."""
+    from json_remedy_spark.operators.metrics import perplexity_histogram
+
+    return perplexity_histogram(q_perplexity(spark, sf_dir), bucket=0.125).select(
+        F.col("ppl_bucket").cast("double").alias("ppl_bucket"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal feature extraction (stub decoder) — exploded to
     (url, feature_idx, value) scalar rows so the driver canonicalizer
@@ -610,6 +623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": q_ivf_ann_topk,
         "repair_documents": q_repair_documents,
         "perplexity": q_perplexity,
+        "ppl_histogram": q_ppl_histogram,
         "lsh_ann_topk": q_lsh_ann_topk,
         "ann_recall": q_ann_recall,
         "repair_metrics": q_repair_metrics,
@@ -942,6 +956,12 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _stratified_sample_sql(),
         "cosine_topk": _cosine_topk_sql(),
         "perplexity": _perplexity_sql(),
+        "ppl_histogram": f"""
+          WITH p AS ({_perplexity_sql()})
+          SELECT (floor(ppl / 0.125) * 0.125)::DOUBLE AS ppl_bucket,
+                 count(*)::BIGINT AS n
+          FROM p GROUP BY 1
+        """,
         "embedding_near_dup": """
           WITH v AS (
             SELECT vec_id AS id, list_transform(embedding::DOUBLE[], x -> x /
