@@ -56,44 +56,72 @@ OUTPUT_SCHEMA = StructType(
 STATE_SCHEMA = StructType([StructField("rep", LongType()), StructField("n_seen", LongType())])
 
 
-def _lsh_fn(key, pdfs, state):
-    import pandas as pd
+def _make_lsh_fn(ttl_minutes: int | None):
+    def _lsh_fn(key, pdfs, state):
+        import pandas as pd
 
-    band, bucket = key
-    rep, n_seen = (state.get[0], state.get[1]) if state.exists else (None, 0)
-    ids = []
-    for pdf in pdfs:
-        ids.extend(int(d) for d in pdf["doc_id"].dropna())
-    if not ids:
-        return
-    ids.sort()
-    n_new = len(ids)
-    if rep is None:
-        rep, ids = ids[0], ids[1:]
-    state.update((rep, n_seen + n_new))
-    if ids:
-        yield pd.DataFrame(
-            {
-                "band": [band] * len(ids),
-                "bucket": [bucket] * len(ids),
-                "doc_id": ids,
-                "rep_doc_id": [rep] * len(ids),
-            }
-        )
+        if ttl_minutes is not None and state.hasTimedOut:
+            # TTL expiry: forget this bucket's representative — docs
+            # older than the window stop being dedup anchors (bounded
+            # state; the standard streaming-dedup trade)
+            state.remove()
+            return
+        band, bucket = key
+        rep, n_seen = (state.get[0], state.get[1]) if state.exists else (None, 0)
+        ids = []
+        for pdf in pdfs:
+            ids.extend(int(d) for d in pdf["doc_id"].dropna())
+        if not ids:
+            return
+        ids.sort()
+        n_new = len(ids)
+        if rep is None:
+            rep, ids = ids[0], ids[1:]
+        state.update((rep, n_seen + n_new))
+        if ttl_minutes is not None:
+            state.setTimeoutDuration(int(ttl_minutes * 60_000))
+        if ids:
+            yield pd.DataFrame(
+                {
+                    "band": [band] * len(ids),
+                    "bucket": [bucket] * len(ids),
+                    "doc_id": ids,
+                    "rep_doc_id": [rep] * len(ids),
+                }
+            )
+
+    return _lsh_fn
 
 
-def stream_lsh_near_dup(docs: DataFrame) -> DataFrame:
+def stream_lsh_near_dup(docs: DataFrame, ttl_minutes: int | None = None) -> DataFrame:
     """(doc_id, text) stream -> (band, bucket, doc_id, rep_doc_id)
-    candidate-pair stream (stateful, checkpoint-durable)."""
+    candidate-pair stream (stateful, checkpoint-durable).
+
+    ``ttl_minutes`` bounds state at production scale: a bucket whose
+    representative hasn't been refreshed within the TTL is evicted
+    (processing-time timeout), so state is O(buckets active in the
+    window) instead of O(all buckets ever).  Default None = exact
+    dedup against all history (sandbox/tests).
+
+    CAVEAT (observed on Spark 4.1 local mode): a TTL'd query must run
+    under a real trigger (``processingTime=...``) — ``availableNow``
+    cannot terminate while processing-time timeouts are registered and
+    hangs after draining the input.  TTL is a continuous-stream
+    feature; batch drains should pass ``ttl_minutes=None``."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_minutes is not None
+        else GroupStateTimeout.NoTimeout
+    )
     banded = banded_signatures(minhash_signatures(docs))
     return banded.groupBy("band", "bucket").applyInPandasWithState(
-        _lsh_fn,
+        _make_lsh_fn(ttl_minutes),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )
 
 

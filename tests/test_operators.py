@@ -496,6 +496,58 @@ def test_stateful_stream_lsh_near_dup(spark, tmp_path):
     assert not any(r in pairs for r in [(3, 0), (0, 3)])
 
 
+def test_stream_lsh_ttl_wiring(spark, tmp_path):
+    """TTL-enabled variant runs under a real processing-time trigger
+    (its production mode — availableNow cannot terminate with pending
+    processing-time timeouts, see stateful_lsh docstring) and must not
+    change within-window semantics."""
+    import glob
+    import time
+
+    from json_remedy_spark.streaming.stateful_lsh import stream_lsh_near_dup
+
+    in_dir = tmp_path / "tin"
+    in_dir.mkdir()
+    spark.createDataFrame(
+        [(0, "a b c d e f"), (1, "a b c d e f"), (2, "unrelated words entirely here")],
+        ["doc_id", "text"],
+    ).coalesce(1).write.parquet(str(in_dir / "b1"))
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType([StructField("doc_id", LongType()), StructField("text", StringType())])
+    docs = spark.readStream.schema(schema).parquet(str(in_dir) + "/*")
+    q = (
+        stream_lsh_near_dup(docs, ttl_minutes=60)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "tout"))
+        .option("checkpointLocation", str(tmp_path / "tck"))
+        .trigger(processingTime="1 second")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            try:
+                if (
+                    glob.glob(str(tmp_path / "tout" / "*.parquet"))
+                    and spark.read.parquet(str(tmp_path / "tout")).count() >= 1
+                ):
+                    break
+            except Exception:  # sink file visible before its commit
+                pass
+            time.sleep(1)
+    finally:
+        q.stop()
+    pairs = {
+        (r["doc_id"], r["rep_doc_id"])
+        for r in spark.read.parquet(str(tmp_path / "tout"))
+        .dropDuplicates(["doc_id", "rep_doc_id"])
+        .collect()
+    }
+    assert pairs == {(1, 0)}
+
+
 def test_simhash_near_dup_bands(spark, docs):
     """Hamming-band join: exact dups at hamming 0, the near-dup pair
     within <= 3 bits; pigeonhole recall is exact at max_hamming=3."""
