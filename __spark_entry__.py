@@ -417,6 +417,30 @@ def q_perplexity(spark, sf_dir):
     )
 
 
+def q_canonical_url(spark, sf_dir):
+    """URL canonicalization (dedup key for web tables): messy URLs are
+    synthesized deterministically from doc_id in BOTH engines, then
+    canonicalized — scheme/host lowercase, default ports dropped,
+    fragments dropped, tracking params removed."""
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id").cast("string")
+    messy = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit("HTTP://Example.COM:80/plain/"), k),
+    ).otherwise(
+        F.concat(
+            F.lit("HTTPS://WWW.Site"), (F.col("doc_id") % 20).cast("string"),
+            F.lit(".COM:443/Path/"), k,
+            F.lit("?utm_source=feed&id="), k,
+            F.lit("&utm_medium=x#frag"),
+        )
+    )
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        corpus.canonical_url(messy).alias("canon_url"),
+    )
+
+
 def q_ppl_histogram(spark, sf_dir):
     """North-rule metrics surface: the perplexity histogram (0.125-wide
     buckets, exactly representable in binary) — exact because the per-doc scores are exact (same
@@ -624,6 +648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repair_documents": q_repair_documents,
         "perplexity": q_perplexity,
         "ppl_histogram": q_ppl_histogram,
+        "canonical_url": q_canonical_url,
         "lsh_ann_topk": q_lsh_ann_topk,
         "ann_recall": q_ann_recall,
         "repair_metrics": q_repair_metrics,
@@ -798,6 +823,23 @@ def _stratified_sample_sql() -> str:
     """
 
 
+def _canonical_url_sql() -> str:
+    from json_remedy_spark.functions.corpus import canonical_url_sql
+
+    messy = (
+        "CASE WHEN doc_id % 3 = 0 "
+        "THEN 'HTTP://Example.COM:80/plain/' || doc_id::VARCHAR "
+        "ELSE 'HTTPS://WWW.Site' || (doc_id % 20)::VARCHAR || '.COM:443/Path/' "
+        "|| doc_id::VARCHAR || '?utm_source=feed&id=' || doc_id::VARCHAR "
+        "|| '&utm_medium=x#frag' END"
+    )
+    return f"""
+      SELECT doc_id::BIGINT AS doc_id,
+             {canonical_url_sql(f"({messy})")} AS canon_url
+      FROM documents
+    """
+
+
 def _simhash_near_dup_sql() -> str:
     cb = dedup._SIMHASH_CHUNK_BITS
     mask = dedup._SIMHASH_CHUNK_MASK
@@ -962,6 +1004,7 @@ def oracle_sql() -> dict[str, str]:
                  count(*)::BIGINT AS n
           FROM p GROUP BY 1
         """,
+        "canonical_url": _canonical_url_sql(),
         "embedding_near_dup": """
           WITH v AS (
             SELECT vec_id AS id, list_transform(embedding::DOUBLE[], x -> x /

@@ -107,6 +107,45 @@ def pack_token_budget(
     )
 
 
+_TRACKING_PARAM = r"(utm_[^&=]*|fbclid|gclid|msclkid)=[^&]*&?"
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form of a web URL — the dedup key for URL-level
+    dedup over Common-Crawl-style tables:
+
+    * scheme and host lowercase (path/query case-preserved),
+    * default ports ``:80``/``:443`` dropped,
+    * fragment dropped,
+    * tracking params (``utm_*``, ``fbclid``, ``gclid``, ``msclkid``)
+      removed, with separator cleanup so ``?a=1`` survives intact.
+
+    Pure column expressions (whole-stage codegen; zero shuffle) with a
+    regex dialect shared by DuckDB so the oracle is exact."""
+    u = F.regexp_replace(url, r"#.*$", "")  # fragment
+    u = F.regexp_replace(u, _TRACKING_PARAM, "")
+    u = F.regexp_replace(u, r"[?&]$", "")  # dangling separator
+    u = F.regexp_replace(u, r"\?&", "?")  # ?& left by param removal
+    # lowercase scheme://host only
+    head = F.lower(F.regexp_extract(u, r"^([^/]*//[^/]*)", 1))
+    tail = F.regexp_replace(u, r"^[^/]*//[^/]*", "")
+    u = F.when(head == "", u).otherwise(F.concat(head, tail))
+    # default ports
+    return F.regexp_replace(u, r"(://[^/:]+):(?:443|80)(/|$)", r"$1$2")
+
+
+def canonical_url_sql(col: str = "url") -> str:
+    """DuckDB expression computing exactly ``canonical_url``."""
+    u = f"regexp_replace({col}, '#.*$', '', 'g')"
+    u = f"regexp_replace({u}, '{_TRACKING_PARAM}', '', 'g')"
+    u = f"regexp_replace({u}, '[?&]$', '', 'g')"
+    u = f"regexp_replace({u}, '\\?&', '?', 'g')"
+    head = f"lower(regexp_extract({u}, '^([^/]*//[^/]*)', 1))"
+    tail = f"regexp_replace({u}, '^[^/]*//[^/]*', '')"
+    u2 = f"CASE WHEN {head} = '' THEN {u} ELSE {head} || {tail} END"
+    return f"regexp_replace({u2}, '(://[^/:]+):(?:443|80)(/|$)', '\\1\\2', 'g')"
+
+
 def hash_mod_bucket(id_col: Column, buckets: int = 100) -> Column:
     """Portable deterministic bucket in [0, buckets): md5-prefix of the
     stringified id — identical integers in Spark and DuckDB (xxhash64

@@ -384,6 +384,25 @@ def test_components_match_python_union_find(spark):
         assert got == expected
 
 
+def test_canonical_url_semantics(spark):
+    from json_remedy_spark.functions.corpus import canonical_url
+
+    cases = [
+        ("HTTPS://WWW.Example.COM:443/Path/X?utm_source=a&id=5&utm_medium=b#frag",
+         "https://www.example.com/Path/X?id=5"),
+        ("HTTP://Host.org:80/x", "http://host.org/x"),
+        ("https://host.org:8080/x", "https://host.org:8080/x"),  # non-default port kept
+        ("https://h.io/p?fbclid=abc", "https://h.io/p"),
+        ("https://h.io/p?id=1&gclid=abc", "https://h.io/p?id=1"),
+        ("relative/path#frag", "relative/path"),  # no scheme -> case untouched
+        ("https://h.io/CaseKept/Path", "https://h.io/CaseKept/Path"),
+    ]
+    df = spark.createDataFrame([(i, u) for i, (u, _) in enumerate(cases)], ["i", "url"])
+    got = {r["i"]: r["c"] for r in df.select("i", canonical_url(F.col("url")).alias("c")).collect()}
+    for i, (u, exp) in enumerate(cases):
+        assert got[i] == exp, f"{u!r}: got {got[i]!r}, want {exp!r}"
+
+
 def test_stratified_sample_deterministic(spark):
     from json_remedy_spark.functions.corpus import stratified_sample
 
