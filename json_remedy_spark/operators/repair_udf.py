@@ -42,8 +42,15 @@ REPAIR_SCHEMA = StructType(
 )
 
 
-def make_repair_udf():
-    """Build the pandas UDF lazily (imports pandas on executors only)."""
+def make_repair_udf(**repair_opts):
+    """Build the pandas UDF lazily (imports pandas on executors only).
+
+    ``repair_opts`` forward to the kernel per batch — the reference's
+    per-call toggles (``fast_path_optimization``,
+    ``enable_object_merging``, ``enable_multiple_json_aggregation``,
+    ``enable_early_hardcoded_patterns``, ``strict_mode``,
+    ``normalize_escapes``; lib/json_remedy.ex:90,355,389,395) become
+    job-level config, captured in the UDF closure."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -65,7 +72,7 @@ def make_repair_udf():
         vals = texts.fillna("").tolist()
         ppl = score_texts(vals)
         for i, s in enumerate(vals):
-            r = _repair(s)
+            r = _repair(s, **repair_opts)
             out["ok"][i] = r.ok
             out["fast_path"][i] = r.fast_path
             out["repaired"][i] = r.repaired

@@ -18,9 +18,11 @@ from pyspark.sql import functions as F
 from ..operators.repair_udf import make_repair_udf
 
 
-def repair_stream(lines: DataFrame, drop_failures: bool = True) -> DataFrame:
-    """text column -> repaired docs (stateless; reference semantics)."""
-    r = make_repair_udf()(F.col("text"))
+def repair_stream(lines: DataFrame, drop_failures: bool = True, **repair_opts) -> DataFrame:
+    """text column -> repaired docs (stateless; reference semantics).
+    ``repair_opts`` forward to the kernel exactly like the reference's
+    ``repair_stream(stream, opts)`` (lib/json_remedy.ex:204-216)."""
+    r = make_repair_udf(**repair_opts)(F.col("text"))
     out = lines.withColumn("r", r).select(
         "text",
         F.col("r.repaired").alias("repaired"),

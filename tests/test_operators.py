@@ -109,6 +109,23 @@ def test_streaming_repair(spark, tmp_path):
     assert got == {'{"a":1}', '{"bad":"json"}', '{"c":[1,2]}'}  # prose line dropped
 
 
+def test_repair_udf_forwards_options(spark):
+    """Per-call kernel toggles reach the executors through the UDF
+    closure: multi-JSON aggregation off turns `[]{}` into `[]` vs an
+    error/second-doc drop difference observable in the output."""
+    from json_remedy_spark.operators.repair_udf import make_repair_udf
+
+    df = spark.createDataFrame([("{'a': 1}",)], ["text"])
+    on = df.select(make_repair_udf()(F.col("text")).alias("r")).select("r.repaired").first()[0]
+    strict = (
+        df.select(make_repair_udf(strict_mode=True)(F.col("text")).alias("r"))
+        .select("r.ok", "r.repaired")
+        .first()
+    )
+    assert on == '{"a":1}'
+    assert strict["ok"] is False  # strict mode: validate-only, no repair
+
+
 def test_checkpoint_resume(spark, tmp_path):
     from json_remedy_spark.operators.checkpoint import committed_buckets, run_with_checkpoints
 
