@@ -269,6 +269,10 @@ def q_quality_stats(spark, sf_dir):
         F.round(quality.symbol_ratio(t), 4).cast("double").alias("q_symbol_ratio"),
         quality.has_stopword(t).alias("q_has_stopword"),
         F.round(quality.distinct_word_ratio(t), 4).cast("double").alias("q_distinct_ratio"),
+        F.round(quality.bullet_line_ratio(t), 4).cast("double").alias("q_bullet_ratio"),
+        F.round(quality.ellipsis_line_ratio(t), 4).cast("double").alias("q_ellipsis_ratio"),
+        F.round(quality.alpha_word_ratio(t), 4).cast("double").alias("q_alpha_ratio"),
+        quality.has_lorem_ipsum(t).alias("q_lorem_ipsum"),
         quality.passes_quality(t).alias("q_pass"),
     )
 
@@ -1047,6 +1051,10 @@ def oracle_sql() -> dict[str, str]:
                    round({qsql['q_symbol_ratio']}, 4)::DOUBLE AS q_symbol_ratio,
                    {qsql['q_has_stopword']} AS q_has_stopword,
                    round({qsql['q_distinct_ratio']}, 4)::DOUBLE AS q_distinct_ratio,
+                   round({qsql['q_bullet_ratio']}, 4)::DOUBLE AS q_bullet_ratio,
+                   round({qsql['q_ellipsis_ratio']}, 4)::DOUBLE AS q_ellipsis_ratio,
+                   round({qsql['q_alpha_ratio']}, 4)::DOUBLE AS q_alpha_ratio,
+                   {qsql['q_lorem_ipsum']} AS q_lorem_ipsum,
                    {qsql['passes']} AS q_pass
             FROM documents
         """,

@@ -62,6 +62,39 @@ def distinct_word_ratio(text: Column) -> Column:
     return F.size(F.array_distinct(w)) / F.greatest(F.size(w), F.lit(1))
 
 
+BULLET_LINE_PATTERN = r"(?m)^[ \t]*[-*•]"
+ELLIPSIS_LINE_PATTERN = r"(?m)(\.\.\.|…)[ \t]*$"
+MAX_BULLET_LINE_RATIO = 0.90  # Gopher App. A
+MAX_ELLIPSIS_LINE_RATIO = 0.30  # Gopher App. A
+MIN_ALPHA_WORD_RATIO = 0.80  # Gopher App. A
+
+
+def n_lines(text: Column) -> Column:
+    return F.size(F.split(text, "\n"))
+
+
+def bullet_line_ratio(text: Column) -> Column:
+    """Fraction of lines starting with a bullet (Gopher <= 0.9)."""
+    return F.regexp_count(text, F.lit(BULLET_LINE_PATTERN)) / F.greatest(n_lines(text), F.lit(1))
+
+
+def ellipsis_line_ratio(text: Column) -> Column:
+    """Fraction of lines ending in an ellipsis (Gopher <= 0.3)."""
+    return F.regexp_count(text, F.lit(ELLIPSIS_LINE_PATTERN)) / F.greatest(n_lines(text), F.lit(1))
+
+
+def alpha_word_ratio(text: Column) -> Column:
+    """Fraction of words containing an alphabetic char (Gopher >= 0.8)."""
+    w = words(text)
+    alpha = F.filter(w, lambda x: x.rlike("[A-Za-z]"))
+    return F.size(alpha) / F.greatest(F.size(w), F.lit(1))
+
+
+def has_lorem_ipsum(text: Column) -> Column:
+    """C4: any document containing the placeholder phrase drops."""
+    return F.lower(text).contains("lorem ipsum")
+
+
 def quality_columns(text: Column) -> dict[str, Column]:
     return {
         "q_n_words": n_words(text),
@@ -69,6 +102,10 @@ def quality_columns(text: Column) -> dict[str, Column]:
         "q_symbol_ratio": symbol_ratio(text),
         "q_has_stopword": has_stopword(text),
         "q_distinct_ratio": distinct_word_ratio(text),
+        "q_bullet_ratio": bullet_line_ratio(text),
+        "q_ellipsis_ratio": ellipsis_line_ratio(text),
+        "q_alpha_ratio": alpha_word_ratio(text),
+        "q_lorem_ipsum": has_lorem_ipsum(text),
     }
 
 
@@ -103,12 +140,28 @@ def quality_sql(col: str = "text") -> dict[str, str]:
         f"len(list_distinct(regexp_split_to_array(trim({col}), '\\s+'))) / "
         f"greatest({nw}, 1)"
     )
+    nl = f"len(string_split({col}, chr(10)))"
+    bullets = (
+        f"len(regexp_extract_all({col}, '(?m)^[ \\t]*[-*•]')) / greatest({nl}, 1)"
+    )
+    ellip = (
+        f"len(regexp_extract_all({col}, '(?m)(\\.\\.\\.|…)[ \\t]*$')) / greatest({nl}, 1)"
+    )
+    alpha_w = (
+        f"len(list_filter(regexp_split_to_array(trim({col}), '\\s+'), "
+        f"w -> regexp_matches(w, '[A-Za-z]'))) / greatest({nw}, 1)"
+    )
+    lorem = f"contains(lower({col}), 'lorem ipsum')"
     return {
         "q_n_words": nw,
         "q_mean_word_len": mwl,
         "q_symbol_ratio": sym,
         "q_has_stopword": stop,
         "q_distinct_ratio": dr,
+        "q_bullet_ratio": bullets,
+        "q_ellipsis_ratio": ellip,
+        "q_alpha_ratio": alpha_w,
+        "q_lorem_ipsum": lorem,
         "passes": (
             f"({nw} >= {MIN_WORDS} AND {nw} <= {MAX_WORDS} AND {mwl} >= {MIN_MEAN_WORD_LEN} "
             f"AND {mwl} <= {MAX_MEAN_WORD_LEN} AND {sym} <= {MAX_SYMBOL_RATIO} "

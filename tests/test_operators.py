@@ -401,6 +401,33 @@ def test_components_match_python_union_find(spark):
         assert got == expected
 
 
+def test_extended_gopher_c4_rules(spark):
+    from json_remedy_spark.functions import quality
+
+    rows = [
+        (0, "- a\n- b\n- c"),  # all bullet lines
+        (1, "line one...\nline two…\nplain line"),  # 2/3 ellipsis ends
+        (2, "abc 123 456 x9"),  # alpha words 2/4
+        (3, "Some Lorem Ipsum filler"),
+    ]
+    df = spark.createDataFrame(rows, ["i", "text"])
+    t = F.col("text")
+    got = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            F.round(quality.bullet_line_ratio(t), 4).alias("b"),
+            F.round(quality.ellipsis_line_ratio(t), 4).alias("e"),
+            F.round(quality.alpha_word_ratio(t), 4).alias("a"),
+            quality.has_lorem_ipsum(t).alias("l"),
+        ).collect()
+    }
+    assert got[0]["b"] == 1.0
+    assert got[1]["e"] == round(2 / 3, 4)
+    assert got[2]["a"] == 0.5
+    assert got[3]["l"] is True and got[0]["l"] is False
+
+
 def test_canonical_url_semantics(spark):
     from json_remedy_spark.functions.corpus import canonical_url
 
