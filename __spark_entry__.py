@@ -273,6 +273,7 @@ def q_quality_stats(spark, sf_dir):
         F.round(quality.ellipsis_line_ratio(t), 4).cast("double").alias("q_ellipsis_ratio"),
         F.round(quality.alpha_word_ratio(t), 4).cast("double").alias("q_alpha_ratio"),
         quality.has_lorem_ipsum(t).alias("q_lorem_ipsum"),
+        F.round(quality.dup_line_ratio(t), 4).cast("double").alias("q_dup_line_ratio"),
         quality.passes_quality(t).alias("q_pass"),
     )
 
@@ -1055,6 +1056,7 @@ def oracle_sql() -> dict[str, str]:
                    round({qsql['q_ellipsis_ratio']}, 4)::DOUBLE AS q_ellipsis_ratio,
                    round({qsql['q_alpha_ratio']}, 4)::DOUBLE AS q_alpha_ratio,
                    {qsql['q_lorem_ipsum']} AS q_lorem_ipsum,
+                   round({qsql['q_dup_line_ratio']}, 4)::DOUBLE AS q_dup_line_ratio,
                    {qsql['passes']} AS q_pass
             FROM documents
         """,

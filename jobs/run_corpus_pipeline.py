@@ -1,0 +1,97 @@
+"""Full training-corpus construction job — the composed user story:
+
+  quality filter -> URL dedup -> fuzzy near-dup dedup -> optional
+  benchmark decontamination -> optional per-language token packing
+
+  spark-submit --py-files dist/json_remedy_spark.zip jobs/run_corpus_pipeline.py \
+      --input <web pages: url, warc_ts, html, text, lang> \
+      --output <dir> \
+      [--eval-input <docs to decontaminate against>] \
+      [--token-budget N] [--threshold 0.8]
+
+Stage shapes (each documented at its operator):
+  1. quality_filter — map-only DAG, one Arrow hop (repair+perplexity),
+     keep/drop fusion in codegen;
+  2. URL dedup — groupBy canonical_url, min url representative;
+  3. fuzzy dedup — LSH -> exact-jaccard verify -> connected components;
+     doc ids for the component graph come from xxhash64(url) (stable,
+     collision-safe at 2^64 for any real corpus);
+  4. decontamination — broadcast eval shingles, map-only flag;
+  5. token packing — two-phase bucketed prefix sum, floor semantics.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--eval-input", default=None)
+    ap.add_argument("--token-budget", type=int, default=0)
+    ap.add_argument("--threshold", type=float, default=0.8)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from json_remedy_spark.functions.corpus import (
+        canonical_url,
+        decontaminate,
+        pack_token_budget,
+    )
+    from json_remedy_spark.functions.dedup import near_dup_components
+    from json_remedy_spark.operators.pipeline import quality_filter
+    from json_remedy_spark.sources.catalog import read_table, write_table
+
+    spark = (
+        SparkSession.builder.appName("jrs-corpus-pipeline")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    pages = read_table(spark, args.input)
+    n_in = pages.count()
+
+    # 1. quality filter (keep only passing docs; scrubbed text onward)
+    kept = quality_filter(pages, with_actions=False).where("keep")
+
+    # 2. URL-level dedup: one representative per canonical URL
+    kept = kept.withColumn("canon_url", canonical_url(F.col("url")))
+    w_rep = kept.groupBy("canon_url").agg(F.min("url").alias("rep_url"))
+    kept = (
+        kept.join(w_rep, "canon_url")
+        .where(F.col("url") == F.col("rep_url"))
+        .drop("rep_url")
+    )
+
+    # 3. fuzzy near-dup dedup over the scrubbed text
+    docs = kept.select(
+        F.xxhash64("url").alias("doc_id"), F.col("scrubbed").alias("text"), "url", "lang_id"
+    ).persist()
+    comp = near_dup_components(docs, threshold=args.threshold)
+    docs = docs.join(comp.where("is_canonical").select("doc_id"), "doc_id", "left_semi")
+
+    # 4. optional benchmark decontamination
+    if args.eval_input:
+        ev = read_table(spark, args.eval_input).select("doc_id", "text")
+        flags = decontaminate(docs, ev)
+        docs = docs.join(flags.where("contaminated"), "doc_id", "left_anti")
+
+    # 5. optional per-language token budget
+    if args.token_budget:
+        packed = pack_token_budget(docs, args.token_budget, lang_col="lang_id")
+        docs = docs.join(packed.select("doc_id"), "doc_id", "left_semi")
+
+    write_table(docs.select("url", "lang_id", "text"), args.output, mode="overwrite")
+    n_out = docs.count()
+    print(f"corpus: {n_in} in -> {n_out} out -> {args.output}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

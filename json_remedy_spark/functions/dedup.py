@@ -474,13 +474,16 @@ def components_from_pairs(
     # just formatting the plan.  On a production cluster prefer
     # sc.setCheckpointDir + .checkpoint() (executor-loss-safe); the
     # plan-size math is identical.
+    # convergence sums run in DECIMAL(38,0): doc ids may be full-range
+    # 64-bit hashes (xxhash64(url)), whose BIGINT sum overflows under
+    # ANSI mode on any corpus bigger than a few rows
     labels = (
         edges.select(F.col("u").alias("doc_id"))
         .distinct()
         .select("doc_id", F.col("doc_id").alias("rep_id"))
         .localCheckpoint()
     )
-    prev_sum = labels.agg(F.sum("rep_id")).collect()[0][0]
+    prev_sum = labels.agg(F.sum(F.col("rep_id").cast("decimal(38,0)"))).collect()[0][0]
     for _ in range(max_iters):
         neigh = (
             edges.join(labels.withColumnRenamed("doc_id", "v"), "v")
@@ -495,7 +498,7 @@ def components_from_pairs(
             )
             .localCheckpoint()
         )
-        new_sum = labels.agg(F.sum("rep_id")).collect()[0][0]
+        new_sum = labels.agg(F.sum(F.col("rep_id").cast("decimal(38,0)"))).collect()[0][0]
         if new_sum == prev_sum:  # labels only decrease; fixpoint reached
             edges.unpersist()
             return (

@@ -95,6 +95,15 @@ def has_lorem_ipsum(text: Column) -> Column:
     return F.lower(text).contains("lorem ipsum")
 
 
+def dup_line_ratio(text: Column) -> Column:
+    """Fraction of lines that are duplicates of an earlier line
+    (Gopher repetition family: duplicate-line fraction <= 0.3)."""
+    lines = F.split(text, "\n")
+    return (F.size(lines) - F.size(F.array_distinct(lines))) / F.greatest(
+        F.size(lines), F.lit(1)
+    )
+
+
 def quality_columns(text: Column) -> dict[str, Column]:
     return {
         "q_n_words": n_words(text),
@@ -106,6 +115,7 @@ def quality_columns(text: Column) -> dict[str, Column]:
         "q_ellipsis_ratio": ellipsis_line_ratio(text),
         "q_alpha_ratio": alpha_word_ratio(text),
         "q_lorem_ipsum": has_lorem_ipsum(text),
+        "q_dup_line_ratio": dup_line_ratio(text),
     }
 
 
@@ -152,6 +162,9 @@ def quality_sql(col: str = "text") -> dict[str, str]:
         f"w -> regexp_matches(w, '[A-Za-z]'))) / greatest({nw}, 1)"
     )
     lorem = f"contains(lower({col}), 'lorem ipsum')"
+    dup_lines = (
+        f"({nl} - len(list_distinct(string_split({col}, chr(10))))) / greatest({nl}, 1)"
+    )
     return {
         "q_n_words": nw,
         "q_mean_word_len": mwl,
@@ -162,6 +175,7 @@ def quality_sql(col: str = "text") -> dict[str, str]:
         "q_ellipsis_ratio": ellip,
         "q_alpha_ratio": alpha_w,
         "q_lorem_ipsum": lorem,
+        "q_dup_line_ratio": dup_lines,
         "passes": (
             f"({nw} >= {MIN_WORDS} AND {nw} <= {MAX_WORDS} AND {mwl} >= {MIN_MEAN_WORD_LEN} "
             f"AND {mwl} <= {MAX_MEAN_WORD_LEN} AND {sym} <= {MAX_SYMBOL_RATIO} "

@@ -370,6 +370,20 @@ def test_pack_token_budget_two_phase_matches_single_window(spark):
     assert multi == single and multi
 
 
+def test_components_with_full_range_hash_ids(spark):
+    """doc ids from xxhash64 are full-range 64-bit: the convergence
+    sum must not overflow BIGINT (runs in DECIMAL(38,0))."""
+    from json_remedy_spark.functions.dedup import components_from_pairs
+
+    big = [9_223_372_036_854_775_000 - i for i in range(6)]  # near Long.MAX
+    ids = spark.createDataFrame([(i,) for i in big], ["doc_id"])
+    pairs = spark.createDataFrame([(big[1], big[0]), (big[3], big[2])], ["doc_a", "doc_b"])
+    got = {r["doc_id"]: r["rep_id"] for r in components_from_pairs(ids, pairs).collect()}
+    assert got[big[0]] == got[big[1]] == min(big[0], big[1])
+    assert got[big[2]] == got[big[3]] == min(big[2], big[3])
+    assert got[big[4]] == big[4] and got[big[5]] == big[5]
+
+
 def test_components_match_python_union_find(spark):
     """Randomized cross-check: label propagation == brute union-find."""
     import random
