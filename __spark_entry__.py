@@ -194,6 +194,82 @@ def q_stratified_sample(spark, sf_dir):
     )
 
 
+def _synthetic_pages(spark, sf_dir):
+    """Deterministic multi-line web pages with messy URLs, synthesized
+    from doc_id arithmetic IDENTICALLY in Spark and the DuckDB oracle:
+    a universal cookie banner, a 10-way-shared nav line, the real
+    document body, and a 3-way-shared footer — so line-level dedup has
+    real cross-document duplicates to remove."""
+    d = _t(spark, sf_dir, "documents")
+    k = F.col("doc_id").cast("string")
+    url = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit("http://User:Pw@CDN.Example.ORG:8080/a/"), k),
+    ).otherwise(
+        F.concat(
+            F.lit("https://www.Site"), (F.col("doc_id") % 20).cast("string"),
+            F.lit(".com/Path/"), k,
+        )
+    )
+    page = F.concat_ws(
+        "\n",
+        F.lit("Please enable cookies to continue"),
+        F.concat(F.lit("section "), (F.col("doc_id") % 10).cast("string"), F.lit(" navigation menu")),
+        F.substring(F.col("text"), 1, 80),
+        F.concat(F.lit("copyright footer "), (F.col("doc_id") % 3).cast("string")),
+    )
+    return d.select("doc_id", url.alias("url"), page.alias("text"))
+
+
+_PAGES_SQL = """
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0
+                  THEN 'http://User:Pw@CDN.Example.ORG:8080/a/' || doc_id::VARCHAR
+                  ELSE 'https://www.Site' || (doc_id % 20)::VARCHAR
+                       || '.com/Path/' || doc_id::VARCHAR END AS url,
+             'Please enable cookies to continue' || chr(10)
+               || 'section ' || (doc_id % 10)::VARCHAR || ' navigation menu' || chr(10)
+               || substr(text, 1, 80) || chr(10)
+               || 'copyright footer ' || (doc_id % 3)::VARCHAR AS text
+      FROM documents
+"""
+
+DOMAIN_CAP_K = 5
+
+
+def q_line_dedup(spark, sf_dir):
+    """C4/RefinedWeb-style global line dedup: first occurrence of each
+    distinct line survives, documents reassembled from kept lines."""
+    pages = _synthetic_pages(spark, sf_dir)
+    return corpus.line_dedup(pages).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("text"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_dropped").cast("long").alias("n_dropped"),
+    )
+
+
+def q_domain_stats(spark, sf_dir):
+    """Per-domain corpus aggregates (URL-filtering observability)."""
+    pages = _synthetic_pages(spark, sf_dir)
+    return corpus.domain_stats(pages).select(
+        "domain",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_urls").cast("long").alias("n_urls"),
+        F.col("avg_chars").cast("double").alias("avg_chars"),
+    )
+
+
+def q_domain_cap(spark, sf_dir):
+    """Per-domain document cap (keep <= K docs per domain, url order)."""
+    pages = _synthetic_pages(spark, sf_dir)
+    return corpus.domain_cap(pages, DOMAIN_CAP_K).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "domain",
+        F.col("rk").cast("long").alias("rk"),
+    )
+
+
 def q_cosine_topk(spark, sf_dir):
     e = (
         _t(spark, sf_dir, "embeddings")
@@ -632,6 +708,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "pack_token_budget": q_pack_token_budget,
         "stratified_sample": q_stratified_sample,
+        "line_dedup": q_line_dedup,
+        "domain_stats": q_domain_stats,
+        "domain_cap": q_domain_cap,
         "cosine_topk": q_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_dedup_components": q_embedding_dedup_components,
@@ -828,6 +907,57 @@ def _stratified_sample_sql() -> str:
     """
 
 
+def _line_dedup_sql() -> str:
+    return f"""
+      WITH pages AS ({_PAGES_SQL}),
+      lines AS (
+        SELECT doc_id, x.i - 1 AS line_no, x.line
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM pages),
+             LATERAL (SELECT unnest(ls) AS line, unnest(range(1, len(ls) + 1)) AS i) x
+      ),
+      ranked AS (
+        SELECT doc_id, line_no, line,
+               row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn,
+               len(trim(line)) >= 1 AS eligible
+        FROM lines
+      )
+      SELECT doc_id::BIGINT AS doc_id,
+             coalesce(string_agg(CASE WHEN NOT eligible OR rn = 1 THEN line END,
+                                 chr(10) ORDER BY line_no), '') AS text,
+             count(*)::BIGINT AS n_lines,
+             sum(CASE WHEN eligible AND rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dropped
+      FROM ranked GROUP BY doc_id
+    """
+
+
+def _domain_stats_sql() -> str:
+    from json_remedy_spark.functions.corpus import domain_of_sql
+
+    return f"""
+      WITH pages AS ({_PAGES_SQL})
+      SELECT {domain_of_sql("url")} AS domain,
+             count(*)::BIGINT AS n_docs,
+             count(DISTINCT url)::BIGINT AS n_urls,
+             (sum(len(text))::DOUBLE / count(*)) AS avg_chars
+      FROM pages GROUP BY 1
+    """
+
+
+def _domain_cap_sql() -> str:
+    from json_remedy_spark.functions.corpus import domain_of_sql
+
+    return f"""
+      WITH pages AS ({_PAGES_SQL}),
+      ranked AS (
+        SELECT doc_id, {domain_of_sql("url")} AS domain,
+               row_number() OVER (PARTITION BY {domain_of_sql("url")} ORDER BY url) AS rk
+        FROM pages
+      )
+      SELECT doc_id::BIGINT AS doc_id, domain, rk::BIGINT AS rk
+      FROM ranked WHERE rk <= {DOMAIN_CAP_K}
+    """
+
+
 def _canonical_url_sql() -> str:
     from json_remedy_spark.functions.corpus import canonical_url_sql
 
@@ -1001,6 +1131,9 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _decontaminate_sql(),
         "pack_token_budget": _pack_token_budget_sql(),
         "stratified_sample": _stratified_sample_sql(),
+        "line_dedup": _line_dedup_sql(),
+        "domain_stats": _domain_stats_sql(),
+        "domain_cap": _domain_cap_sql(),
         "cosine_topk": _cosine_topk_sql(),
         "perplexity": _perplexity_sql(),
         "ppl_histogram": f"""

@@ -107,6 +107,138 @@ def pack_token_budget(
     )
 
 
+def line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """Global (cross-corpus) line-level exact dedup — the C4/RefinedWeb
+    boilerplate-removal move: every distinct line is kept ONLY at its
+    first occurrence (order = ``(doc_id, line_no)``); later copies are
+    dropped and each document is reassembled from its surviving lines.
+    Lines whose trimmed length is below ``min_line_chars`` are exempt
+    (always kept) so structural blanks survive.
+
+    Scale shape (the skew case is the whole problem — "JavaScript is
+    required" appears in 10^9 documents):
+
+    1. explode to (doc_id, line_no, line) — map-only;
+    2. winner selection runs over a NARROW projection
+       ``(md5(line), doc_id, line_no)`` with ``groupBy(hash).agg(min(
+       struct(doc_id, line_no)))`` — a hash aggregate with MAP-SIDE
+       partial combine, so a line duplicated 10^9 times contributes
+       ~one row per map partition to the shuffle, never 10^9 rows on
+       one reducer (a window over the line key would do exactly that);
+       the full line text never shuffles on the skewed key;
+    3. the winner keys join back to the exploded table on
+       ``(doc_id, line_no)`` — uniformly distributed keys;
+    4. reassembly is one ``groupBy(doc_id)`` with an ordered collect.
+
+    Three shuffles total, none keyed by skewed values.  Returns
+    ``(doc_id, text, n_lines, n_dropped)`` — ``text`` is the
+    reassembled document."""
+    lines = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+    )
+    eligible = F.length(F.trim(F.col("line"))) >= min_line_chars
+    narrow = lines.where(eligible).select(
+        F.md5(F.col("line")).alias("line_hash"), "doc_id", "line_no"
+    )
+    winners = (
+        narrow.groupBy("line_hash")
+        .agg(F.min(F.struct("doc_id", "line_no")).alias("w"))
+        .select(F.col("w.doc_id").alias("doc_id"), F.col("w.line_no").alias("line_no"))
+        .withColumn("is_winner", F.lit(True))
+    )
+    kept = (
+        lines.join(winners, ["doc_id", "line_no"], "left")
+        .withColumn("keep_line", (~eligible) | F.coalesce("is_winner", F.lit(False)))
+    )
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep_line"), F.struct("line_no", "line"))
+                        )
+                    ),
+                    lambda s: s.line,
+                ),
+                "\n",
+            ).alias("text"),
+            F.count("*").alias("n_lines"),
+            F.sum(F.when(~F.col("keep_line"), 1).otherwise(0)).alias("n_dropped"),
+        )
+    )
+
+
+_DOMAIN_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?(?:www\.)?([^/:?#]+)"
+
+
+def domain_of(url: Column) -> Column:
+    """Registered-domain key for URL-level corpus policy (RefinedWeb
+    §2.1 URL filtering / per-domain caps): lowercase host, userinfo
+    and leading ``www.`` stripped.  Pure column expression — codegens
+    into the scan; regex shared verbatim with the DuckDB oracle."""
+    return F.lower(F.regexp_extract(url, _DOMAIN_RE, 1))
+
+
+def domain_of_sql(col: str = "url") -> str:
+    return f"lower(regexp_extract({col}, '{_DOMAIN_RE}', 1))"
+
+
+def domain_stats(
+    pages: DataFrame, url_col: str = "url", text_col: str = "text"
+) -> DataFrame:
+    """Per-domain corpus aggregates — the observability table behind
+    URL-level filtering: doc count, distinct-URL count, mean document
+    length.  One hash-aggregate shuffle with map-side partial combine;
+    the exact ``countDistinct`` expands to a two-phase agg (Spark
+    plans distinct-on-group as partial-on-(domain,url) then merge) —
+    at 10^12 rows swap in ``approx_count_distinct`` if ±2% is
+    acceptable; kept exact here because the oracle is exact."""
+    d = pages.withColumn("domain", domain_of(F.col(url_col)))
+    # mean as exact-long sum / count (one IEEE division) rather than
+    # F.avg: avg on integral input partial-aggregates in double, whose
+    # low bits depend on partition merge order — this form is
+    # bit-identical on any cluster size and in the DuckDB oracle.
+    return d.groupBy("domain").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(url_col).alias("n_urls"),
+        (F.sum(F.length(text_col)).cast("double") / F.count("*")).alias("avg_chars"),
+    )
+
+
+def domain_cap(
+    pages: DataFrame,
+    max_per_domain: int,
+    url_col: str = "url",
+    order_col: str = "url",
+) -> DataFrame:
+    """Per-domain document cap: keep at most ``max_per_domain`` docs
+    per domain in deterministic ``order_col`` order — the standard
+    guard against a single crawl-heavy domain dominating the corpus.
+
+    Skew note: ``row_number`` over ``partitionBy(domain)`` sorts each
+    domain inside ONE task, so a 10^8-page domain is a straggler.  At
+    that scale pre-thin with a cheap two-phase guard first (e.g. keep
+    rows whose md5-bucket falls in the first ceil(K * safety / est_n)
+    buckets per domain, est_n from ``domain_stats``) so no more than
+    ~K * safety rows per domain ever reach the sort; the final
+    row_number over the thinned table is then bounded.  Below ~10^6
+    pages/domain the direct window is fine and exact."""
+    w = Window.partitionBy("domain").orderBy(order_col)
+    return (
+        pages.withColumn("domain", domain_of(F.col(url_col)))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= max_per_domain)
+    )
+
+
 _TRACKING_PARAM = r"(utm_[^&=]*|fbclid|gclid|msclkid)=[^&]*&?"
 
 

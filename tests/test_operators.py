@@ -860,3 +860,93 @@ def test_streaming_quality_filter_matches_batch(spark, tmp_path):
         for r in quality_filter(spark.read.parquet(src), with_actions=False).collect()
     }
     assert streamed == batch and len(streamed) == 200
+
+
+# ---- corpus: global line dedup + domain policy ----------------------------
+
+def test_line_dedup_first_occurrence_semantics(spark):
+    from json_remedy_spark.functions.corpus import line_dedup
+
+    rows = [
+        (1, "alpha one\nshared boilerplate\nbeta one"),
+        (2, "shared boilerplate\ngamma two"),
+        (3, "delta three\nshared boilerplate"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in line_dedup(d).collect()}
+    # first occurrence (doc 1, line 1) keeps the boilerplate; later copies drop
+    assert out[1]["text"] == "alpha one\nshared boilerplate\nbeta one"
+    assert out[2]["text"] == "gamma two" and out[2]["n_dropped"] == 1
+    assert out[3]["text"] == "delta three" and out[3]["n_dropped"] == 1
+    assert out[1]["n_dropped"] == 0 and out[1]["n_lines"] == 3
+
+
+def test_line_dedup_within_doc_and_blank_exempt(spark):
+    from json_remedy_spark.functions.corpus import line_dedup
+
+    rows = [(7, "same line\n\nsame line\n\nend")]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    r = line_dedup(d).collect()[0]
+    # second copy inside the same doc drops; BOTH blank lines survive
+    # (below min_line_chars=1 they are exempt from dedup)
+    assert r["text"] == "same line\n\n\nend"
+    assert r["n_dropped"] == 1 and r["n_lines"] == 5
+
+
+def test_line_dedup_min_chars_exemption(spark):
+    from json_remedy_spark.functions.corpus import line_dedup
+
+    rows = [(1, "ok\nlong enough line"), (2, "ok\nlong enough line")]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["text"] for r in line_dedup(d, min_line_chars=5).collect()}
+    # 'ok' is under the 5-char floor -> kept everywhere; the long line dedups
+    assert out[1] == "ok\nlong enough line"
+    assert out[2] == "ok"
+
+
+def test_domain_of_variants(spark):
+    from json_remedy_spark.functions.corpus import domain_of
+
+    rows = [
+        (1, "https://www.Example.COM/path"),
+        (2, "http://User:Pw@CDN.Site.ORG:8080/a"),
+        (3, "https://sub.domain.net:443/x?q=1#f"),
+        (4, "ftp://Files.Example.com/pub"),
+    ]
+    d = spark.createDataFrame(rows, ["i", "url"])
+    out = {r["i"]: r["d"] for r in d.select("i", domain_of(F.col("url")).alias("d")).collect()}
+    assert out[1] == "example.com"
+    assert out[2] == "cdn.site.org"
+    assert out[3] == "sub.domain.net"
+    assert out[4] == "files.example.com"
+
+
+def test_domain_cap_keeps_first_k_per_domain(spark):
+    from json_remedy_spark.functions.corpus import domain_cap
+
+    rows = [(i, f"https://big.com/p{i:03d}", "t") for i in range(10)] + [
+        (100, "https://small.org/only", "t")
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "url", "text"])
+    kept = domain_cap(d, 3).select("domain", "url").collect()
+    by_dom = {}
+    for r in kept:
+        by_dom.setdefault(r["domain"], []).append(r["url"])
+    assert sorted(by_dom["big.com"]) == [f"https://big.com/p{i:03d}" for i in range(3)]
+    assert by_dom["small.org"] == ["https://small.org/only"]
+
+
+def test_domain_stats_exact(spark):
+    from json_remedy_spark.functions.corpus import domain_stats
+
+    rows = [
+        (1, "https://a.com/1", "xxxx"),
+        (2, "https://a.com/1", "xxxxxx"),  # same url twice
+        (3, "https://www.a.com/2", "xx"),
+        (4, "https://b.net/1", "x"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "url", "text"])
+    out = {r["domain"]: r for r in domain_stats(d).collect()}
+    assert out["a.com"]["n_docs"] == 3 and out["a.com"]["n_urls"] == 2
+    assert out["a.com"]["avg_chars"] == (4 + 6 + 2) / 3
+    assert out["b.net"]["n_docs"] == 1
