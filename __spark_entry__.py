@@ -270,6 +270,18 @@ def q_domain_cap(spark, sf_dir):
     )
 
 
+def q_fasttext_langid(spark, sf_dir):
+    """fastText-architecture hashed-bigram linear langid: integer
+    per-language scores + argmax label, bit-exact vs the DuckDB
+    explode-hash-join-sum oracle."""
+    d = _t(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism)
+    return langid.hashed_langid(d).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "ft_lang",
+        *[F.col(f"s_{l}").cast("long").alias(f"s_{l}") for l in langid.FT_LANGS],
+    )
+
+
 def q_cosine_topk(spark, sf_dir):
     e = (
         _t(spark, sf_dir, "embeddings")
@@ -711,6 +723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup": q_line_dedup,
         "domain_stats": q_domain_stats,
         "domain_cap": q_domain_cap,
+        "fasttext_langid": q_fasttext_langid,
         "cosine_topk": q_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_dedup_components": q_embedding_dedup_components,
@@ -904,6 +917,36 @@ def _stratified_sample_sql() -> str:
       SELECT doc_id::BIGINT AS doc_id, lang AS stratum
       FROM documents
       WHERE ({bucket} % 100) < {SAMPLE_PCT}
+    """
+
+
+def _fasttext_langid_sql() -> str:
+    bucket = _hex_to_int("md5(bigram)", 1, 8)
+    best = "greatest(s_de, s_en, s_fr)"
+    return f"""
+      WITH lt AS (SELECT doc_id, lower(text) AS t FROM documents),
+      bg AS (
+        SELECT doc_id, substr(t, x.i, 2) AS bigram
+        FROM lt, LATERAL (SELECT unnest(range(1, len(t))) AS i) x
+      ),
+      w(bucket, w_de, w_en, w_fr) AS (VALUES {langid.hashed_langid_weights_values_sql()}),
+      bb AS (SELECT doc_id, ({bucket} % {langid.FT_BUCKETS}) AS bucket FROM bg),
+      s AS (
+        SELECT bb.doc_id,
+               coalesce(sum(w_de), 0) AS s_de,
+               coalesce(sum(w_en), 0) AS s_en,
+               coalesce(sum(w_fr), 0) AS s_fr
+        FROM bb LEFT JOIN w USING (bucket) GROUP BY bb.doc_id
+      )
+      SELECT d.doc_id::BIGINT AS doc_id,
+             CASE WHEN s.doc_id IS NULL OR {best} <= 0 THEN 'xx'
+                  WHEN s_de = {best} THEN 'de'
+                  WHEN s_en = {best} THEN 'en'
+                  ELSE 'fr' END AS ft_lang,
+             coalesce(s_de, 0)::BIGINT AS s_de,
+             coalesce(s_en, 0)::BIGINT AS s_en,
+             coalesce(s_fr, 0)::BIGINT AS s_fr
+      FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
     """
 
 
@@ -1134,6 +1177,7 @@ def oracle_sql() -> dict[str, str]:
         "line_dedup": _line_dedup_sql(),
         "domain_stats": _domain_stats_sql(),
         "domain_cap": _domain_cap_sql(),
+        "fasttext_langid": _fasttext_langid_sql(),
         "cosine_topk": _cosine_topk_sql(),
         "perplexity": _perplexity_sql(),
         "ppl_histogram": f"""

@@ -41,6 +41,126 @@ def detect_language(text: Column) -> Column:
     return expr
 
 
+# --------------------------------------------------------------------------
+# fastText-style hashed char-bigram linear classifier
+# --------------------------------------------------------------------------
+#
+# The real fastText langid is a linear model over HASHED bag-of-char-
+# ngram features (Joulin et al. 2016: feature -> hash bucket -> weight
+# row -> sum -> argmax).  This is that architecture with a
+# deterministic, train-free weight table (bucketed bigrams of the
+# stopword inventory above), so the whole scoring path — hashing,
+# bucket collisions included, summation, argmax — is exercised and
+# DuckDB-checkable exactly.  A trained .bin model would drop in by
+# replacing ft_weight_rows() with the exported table; nothing else
+# changes.
+#
+# Scale shape: scoring is one zero-shuffle mapInPandas; per Arrow
+# batch the texts are decoded to uint32 codepoint arrays (vectorized
+# utf-32 view, no per-char Python), bigrams md5-bucketed once per
+# DISTINCT bigram in the batch, and per-doc scores are one fancy-index
+# + sum.  The weight matrix (n_langs x FT_BUCKETS) broadcasts inside
+# the closure.
+
+FT_BUCKETS = 256
+FT_LANGS = ["de", "en", "fr"]  # sorted: argmax ties resolve alphabetically
+
+_STOPWORDS = {
+    lang: pat.split("(")[2].rstrip(r")\b").split("|")
+    for lang, pat in LANG_PATTERNS.items()
+}
+
+
+def _ft_bucket(bigram: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(bigram.encode("utf-8")).hexdigest()[:8], 16) % FT_BUCKETS
+
+
+def ft_weight_rows() -> list[tuple[int, list[int]]]:
+    """Sparse weight table: (bucket, [w_de, w_en, w_fr]) for every
+    bucket touched by a stopword bigram (words padded with spaces, so
+    word-boundary bigrams like ' t' / 'e ' carry signal)."""
+    acc: dict[int, list[int]] = {}
+    for li, lang in enumerate(FT_LANGS):
+        for word in _STOPWORDS[lang]:
+            s = f" {word} "
+            for i in range(len(s) - 1):
+                b = _ft_bucket(s[i : i + 2])
+                acc.setdefault(b, [0] * len(FT_LANGS))[li] += 1
+    return sorted(acc.items())
+
+
+def hashed_langid(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """fastText-architecture language ID: (doc_id, ft_lang, s_de,
+    s_en, s_fr).  Integer scores -> bit-exact DuckDB oracle (explode
+    bigrams, md5-bucket, join the same sparse weight table, sum)."""
+    import numpy as np
+    import pandas as pd
+
+    rows = ft_weight_rows()
+    n_langs = len(FT_LANGS)
+    dense = np.zeros((FT_BUCKETS, n_langs), dtype=np.int64)
+    for b, ws in rows:
+        dense[b] = ws
+
+    src = docs.select(F.col(id_col).alias("doc_id"), F.lower(F.col(text_col)).alias("t"))
+
+    def gen(batches):
+        import hashlib
+
+        for pdf in batches:
+            texts = pdf["t"].fillna("").tolist()
+            # codepoint arrays per doc (utf-32 view: vectorized decode)
+            code_arrays = [
+                np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32) for t in texts
+            ]
+            bigram_codes = [
+                a[:-1].astype(np.int64) * 0x200000 + a[1:] if len(a) >= 2
+                else np.empty(0, dtype=np.int64)
+                for a in code_arrays
+            ]
+            # md5-bucket each DISTINCT bigram in the batch once
+            if bigram_codes:
+                uniq = np.unique(np.concatenate(bigram_codes)) if any(
+                    len(c) for c in bigram_codes
+                ) else np.empty(0, dtype=np.int64)
+            else:
+                uniq = np.empty(0, dtype=np.int64)
+            buckets = np.empty(len(uniq), dtype=np.int64)
+            for j, code in enumerate(uniq):
+                c0, c1 = divmod(int(code), 0x200000)
+                bg = chr(c0) + chr(c1)
+                buckets[j] = (
+                    int(hashlib.md5(bg.encode("utf-8")).hexdigest()[:8], 16) % FT_BUCKETS
+                )
+            uniq_w = dense[buckets] if len(uniq) else np.empty((0, n_langs), np.int64)
+            scores = np.zeros((len(texts), n_langs), dtype=np.int64)
+            for i, codes in enumerate(bigram_codes):
+                if len(codes):
+                    scores[i] = uniq_w[np.searchsorted(uniq, codes)].sum(axis=0)
+            best = scores.argmax(axis=1)
+            lang = np.where(
+                scores.max(axis=1, initial=0) > 0,
+                np.array(FT_LANGS, dtype=object)[best],
+                "xx",
+            )
+            out = {"doc_id": pdf["doc_id"], "ft_lang": lang}
+            for li, l in enumerate(FT_LANGS):
+                out[f"s_{l}"] = scores[:, li]
+            yield pd.DataFrame(out)
+
+    schema = "doc_id long, ft_lang string, " + ", ".join(f"s_{l} long" for l in FT_LANGS)
+    return src.mapInPandas(gen, schema=schema)
+
+
+def hashed_langid_weights_values_sql() -> str:
+    """The sparse weight table as a SQL VALUES list (bucket, w_de,
+    w_en, w_fr) — inlined into the DuckDB oracle."""
+    rows = ft_weight_rows()
+    return ", ".join(f"({b}, {ws[0]}, {ws[1]}, {ws[2]})" for b, ws in rows)
+
+
 def detect_language_sql(col: str = "text") -> str:
     """The equivalent ANSI SQL (DuckDB) expression for the oracle."""
     scores = {

@@ -950,3 +950,49 @@ def test_domain_stats_exact(spark):
     assert out["a.com"]["n_docs"] == 3 and out["a.com"]["n_urls"] == 2
     assert out["a.com"]["avg_chars"] == (4 + 6 + 2) / 3
     assert out["b.net"]["n_docs"] == 1
+
+
+# ---- fastText-style hashed linear langid ----------------------------------
+
+def test_hashed_langid_recovers_prose_language(spark):
+    """On the synthesized web corpus (real en/de/fr prose wrappers) the
+    hashed-bigram linear model must recover the page language."""
+    from json_remedy_spark.functions.langid import hashed_langid
+    from json_remedy_spark.sources.webpages import synthesize_corpus
+
+    pages, _ = synthesize_corpus(spark, 300, partitions=4)
+    d = pages.select(
+        F.xxhash64("url").alias("doc_id"), "lang",
+        F.col("text").alias("text"),
+    ).where(F.col("lang").isin("en", "de", "fr"))
+    out = hashed_langid(d).join(d.select("doc_id", "lang"), "doc_id")
+    n = out.count()
+    hits = out.where(F.col("ft_lang") == F.col("lang")).count()
+    assert n > 100
+    assert hits / n >= 0.9, f"langid accuracy {hits}/{n}"
+
+
+def test_hashed_langid_edge_inputs(spark):
+    from json_remedy_spark.functions.langid import hashed_langid
+
+    rows = [(1, ""), (2, "a"), (3, "🚀💯 中文 текст"), (4, None),
+            (5, "der und die das ist nicht"), (6, "le et la les dans")]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in hashed_langid(d).collect()}
+    # no bigrams / no weighted hits -> 'xx' with zero scores
+    assert out[1]["ft_lang"] == "xx" and out[2]["ft_lang"] == "xx"
+    assert out[4]["ft_lang"] == "xx"
+    assert out[5]["ft_lang"] == "de" and out[5]["s_de"] > out[5]["s_en"]
+    assert out[6]["ft_lang"] == "fr"
+
+
+def test_hashed_langid_weight_table_is_sparse_and_deterministic():
+    from json_remedy_spark.functions.langid import FT_BUCKETS, ft_weight_rows
+
+    rows = ft_weight_rows()
+    assert rows == ft_weight_rows()  # deterministic
+    assert 0 < len(rows) <= FT_BUCKETS
+    assert all(0 <= b < FT_BUCKETS for b, _ in rows)
+    # every language contributes signal somewhere
+    totals = [sum(ws[i] for _, ws in rows) for i in range(3)]
+    assert all(t > 20 for t in totals)
