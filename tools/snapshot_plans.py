@@ -131,6 +131,37 @@ def main():
         )
     )
 
+    from json_remedy_spark.functions.corpus import line_dedup
+
+    ld = line_dedup(docs.select("doc_id", "text"))
+    lplan = formatted(ld)
+    n_ex = tree_nodes(lplan, "Exchange")
+    sections.append(
+        (
+            "line_dedup (skew-proof winner selection)",
+            f"Exchange tree nodes: {n_ex} (budget <=3: narrow winner agg on "
+            "line_hash with MAP-SIDE partial min — the skewed key never moves "
+            "full text; join-back on uniform (doc_id, line_no); reassembly "
+            "groupBy(doc_id).  At sandbox SF the winner set broadcasts, "
+            "removing one exchange)\n"
+            f"partial min before exchange: {'partial_min' in lplan or 'min(struct' in lplan}\n\n"
+            + lplan[:2500],
+        )
+    )
+
+    from json_remedy_spark.functions.langid import hashed_langid
+
+    hl = hashed_langid(docs)
+    hplan = formatted(hl)
+    sections.append(
+        (
+            "hashed_langid (fastText-style, zero-shuffle)",
+            f"Exchange tree nodes: {tree_nodes(hplan, 'Exchange')} (budget 0 — "
+            "one MapInPandas over the scan; weights broadcast in the closure)\n"
+            f"Arrow hops: {arrow_hops(hl)}\n\n" + hplan[:1200],
+        )
+    )
+
     out = ["# Physical plan evidence (generated by tools/snapshot_plans.py)\n"]
     for title, body in sections:
         out.append(f"\n## {title}\n\n```\n{body}\n```\n")
