@@ -270,6 +270,20 @@ def q_domain_cap(spark, sf_dir):
     )
 
 
+VOCAB_TOP_K = 50
+
+
+def q_vocab_stats(spark, sf_dir):
+    """Corpus vocabulary top-K (word, n_docs, n_occ) — deterministic
+    (n_occ DESC, word) cut, identical in both engines."""
+    d = _t(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism)
+    return textstats.vocab_stats(d, top_k=VOCAB_TOP_K).select(
+        "word",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_occ").cast("long").alias("n_occ"),
+    )
+
+
 def q_fasttext_langid(spark, sf_dir):
     """fastText-architecture hashed-bigram linear langid: integer
     per-language scores + argmax label, bit-exact vs the DuckDB
@@ -724,6 +738,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "domain_cap": q_domain_cap,
         "fasttext_langid": q_fasttext_langid,
+        "vocab_stats": q_vocab_stats,
         "cosine_topk": q_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_dedup_components": q_embedding_dedup_components,
@@ -1178,6 +1193,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_stats": _domain_stats_sql(),
         "domain_cap": _domain_cap_sql(),
         "fasttext_langid": _fasttext_langid_sql(),
+        "vocab_stats": textstats.vocab_stats_sql(top_k=VOCAB_TOP_K),
         "cosine_topk": _cosine_topk_sql(),
         "perplexity": _perplexity_sql(),
         "ppl_histogram": f"""

@@ -1,18 +1,26 @@
 """Full training-corpus construction job — the composed user story:
 
-  quality filter -> URL dedup -> fuzzy near-dup dedup -> optional
-  benchmark decontamination -> optional per-language token packing
+  quality filter -> URL dedup -> optional per-domain cap -> global
+  line dedup (boilerplate removal) -> fuzzy near-dup dedup ->
+  optional benchmark decontamination -> optional per-language token
+  packing
 
   spark-submit --py-files dist/json_remedy_spark.zip jobs/run_corpus_pipeline.py \
       --input <web pages: url, warc_ts, html, text, lang> \
       --output <dir> \
       [--eval-input <docs to decontaminate against>] \
-      [--token-budget N] [--threshold 0.8]
+      [--token-budget N] [--threshold 0.8] [--max-per-domain K]
+      [--no-line-dedup]
 
 Stage shapes (each documented at its operator):
   1. quality_filter — map-only DAG, one Arrow hop (repair+perplexity),
      keep/drop fusion in codegen;
   2. URL dedup — groupBy canonical_url, min url representative;
+  2b. per-domain cap — exact two-phase salted top-K (no straggler on
+     crawl-heavy domains);
+  2c. global line dedup — C4/RefinedWeb boilerplate removal: first
+     occurrence of every distinct line survives, docs reassembled,
+     emptied docs dropped;
   3. fuzzy dedup — LSH -> exact-jaccard verify -> connected components;
      doc ids for the component graph come from xxhash64(url) (stable,
      collision-safe at 2^64 for any real corpus);
@@ -34,6 +42,8 @@ def main() -> None:
     ap.add_argument("--eval-input", default=None)
     ap.add_argument("--token-budget", type=int, default=0)
     ap.add_argument("--threshold", type=float, default=0.8)
+    ap.add_argument("--max-per-domain", type=int, default=0)
+    ap.add_argument("--no-line-dedup", action="store_true")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -42,6 +52,8 @@ def main() -> None:
     from json_remedy_spark.functions.corpus import (
         canonical_url,
         decontaminate,
+        domain_cap,
+        line_dedup,
         pack_token_budget,
     )
     from json_remedy_spark.functions.dedup import near_dup_components
@@ -69,10 +81,25 @@ def main() -> None:
         .drop("rep_url")
     )
 
-    # 3. fuzzy near-dup dedup over the scrubbed text
+    # 2b. optional per-domain cap (two-phase salted top-K, url order)
+    if args.max_per_domain:
+        kept = domain_cap(kept, args.max_per_domain).drop("domain", "rk")
+
     docs = kept.select(
         F.xxhash64("url").alias("doc_id"), F.col("scrubbed").alias("text"), "url", "lang_id"
-    ).persist()
+    )
+
+    # 2c. global line-level dedup (boilerplate removal); docs whose
+    # every line was boilerplate drop out here
+    if not args.no_line_dedup:
+        deduped = line_dedup(docs)
+        docs = (
+            docs.drop("text")
+            .join(deduped.where(F.length(F.trim("text")) > 0).select("doc_id", "text"), "doc_id")
+        )
+
+    # 3. fuzzy near-dup dedup over the line-deduped scrubbed text
+    docs = docs.persist()
     comp = near_dup_components(docs, threshold=args.threshold)
     docs = docs.join(comp.where("is_canonical").select("doc_id"), "doc_id", "left_semi")
 

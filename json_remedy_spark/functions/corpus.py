@@ -218,24 +218,37 @@ def domain_cap(
     max_per_domain: int,
     url_col: str = "url",
     order_col: str = "url",
+    n_salts: int = 16,
 ) -> DataFrame:
     """Per-domain document cap: keep at most ``max_per_domain`` docs
     per domain in deterministic ``order_col`` order — the standard
     guard against a single crawl-heavy domain dominating the corpus.
 
-    Skew note: ``row_number`` over ``partitionBy(domain)`` sorts each
-    domain inside ONE task, so a 10^8-page domain is a straggler.  At
-    that scale pre-thin with a cheap two-phase guard first (e.g. keep
-    rows whose md5-bucket falls in the first ceil(K * safety / est_n)
-    buckets per domain, est_n from ``domain_stats``) so no more than
-    ~K * safety rows per domain ever reach the sort; the final
-    row_number over the thinned table is then bounded.  Below ~10^6
-    pages/domain the direct window is fine and exact."""
-    w = Window.partitionBy("domain").orderBy(order_col)
+    EXACT two-phase top-K, not a single window: ``row_number`` over
+    ``partitionBy(domain)`` sorts each domain inside ONE task, so a
+    10^8-page domain is a guaranteed straggler.  Instead:
+
+    1. phase 1 keeps the first K rows within each of ``n_salts``
+       hash-salted sub-groups per domain — parallel sorts of
+       ~n_domain/n_salts rows each;
+    2. phase 2 ranks the surviving <= K * n_salts rows per domain —
+       a bounded sort regardless of domain size.
+
+    Identical output to the direct window (any row in the true top-K
+    of its domain is in the top-K of its salt group), which the DuckDB
+    single-window oracle cross-checks.  Size ``n_salts`` ~ (largest
+    domain) / (rows a task sorts comfortably)."""
+    d = pages.withColumn("domain", domain_of(F.col(url_col)))
+    salt = F.pmod(F.xxhash64(F.col(order_col)), F.lit(n_salts))
+    w1 = Window.partitionBy("domain", salt).orderBy(order_col)
+    thinned = d.withColumn("rk1", F.row_number().over(w1)).where(
+        F.col("rk1") <= max_per_domain
+    )
+    w2 = Window.partitionBy("domain").orderBy(order_col)
     return (
-        pages.withColumn("domain", domain_of(F.col(url_col)))
-        .withColumn("rk", F.row_number().over(w))
+        thinned.withColumn("rk", F.row_number().over(w2))
         .where(F.col("rk") <= max_per_domain)
+        .drop("rk1")
     )
 
 

@@ -86,3 +86,47 @@ def stats_sql(col: str = "text") -> dict[str, str]:
         "line_count": f"len(string_split({col}, chr(10)))",
         "fingerprint": f"md5({norm})",
     }
+
+
+_WORD_RE = "[a-z0-9]+"
+
+
+def vocab_stats(docs, top_k: int | None = None, id_col: str = "doc_id", text_col: str = "text"):
+    """Corpus vocabulary table: (word, n_docs, n_occurrences) over
+    lowercased alphanumeric word runs — the tokenizer-training /
+    corpus-inspection staple.
+
+    Scale shape: the exploded word stream hash-aggregates with
+    MAP-SIDE partial combine, so hot words ("the" in 10^12 docs)
+    contribute ~one row per map partition to the shuffle — hot-key
+    safe by construction.  ``n_docs`` dedups (word, doc_id) first
+    (Spark plans the distinct as its own partial-combined aggregate).
+    With ``top_k``, the global cut is orderBy+limit, which Spark
+    executes as TakeOrderedAndProject — per-partition top-K then a
+    K-row merge, NOT a full sort; ties break on the word so the cut
+    is deterministic cross-engine."""
+    words = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.expr(f"regexp_extract_all(lower({text_col}), '{_WORD_RE}', 0)")).alias("word"),
+    )
+    occ = words.groupBy("word").agg(F.count("*").alias("n_occ"))
+    per_doc = words.distinct().groupBy("word").agg(F.count("*").alias("n_docs"))
+    out = occ.join(per_doc, "word").select("word", "n_docs", "n_occ")
+    if top_k is not None:
+        out = out.orderBy(F.desc("n_occ"), F.asc("word")).limit(top_k)
+    return out
+
+
+def vocab_stats_sql(top_k: int | None = None, table: str = "documents", text_col: str = "text") -> str:
+    """DuckDB oracle for ``vocab_stats``."""
+    q = f"""
+      WITH words AS (
+        SELECT doc_id, unnest(regexp_extract_all(lower({text_col}), '{_WORD_RE}')) AS word
+        FROM {table}
+      )
+      SELECT word, count(DISTINCT doc_id)::BIGINT AS n_docs, count(*)::BIGINT AS n_occ
+      FROM words GROUP BY word
+    """
+    if top_k is not None:
+        q += f" ORDER BY n_occ DESC, word LIMIT {top_k}"
+    return q

@@ -996,3 +996,49 @@ def test_hashed_langid_weight_table_is_sparse_and_deterministic():
     # every language contributes signal somewhere
     totals = [sum(ws[i] for _, ws in rows) for i in range(3)]
     assert all(t > 20 for t in totals)
+
+
+def test_domain_cap_two_phase_matches_single_window(spark):
+    """The salted two-phase top-K must equal the direct window exactly
+    (the DuckDB oracle is the direct window)."""
+    from json_remedy_spark.functions.corpus import domain_cap, domain_of
+    from pyspark.sql import Window
+
+    rows = [(i, f"https://dom{i % 3}.com/p{(i * 37) % 100:03d}x{i}", "t")
+            for i in range(200)]
+    d = spark.createDataFrame(rows, ["doc_id", "url", "text"])
+    two = {(r["domain"], r["url"], r["rk"])
+           for r in domain_cap(d, 7, n_salts=5).select("domain", "url", "rk").collect()}
+    w = Window.partitionBy("domain").orderBy("url")
+    direct = {
+        (r["domain"], r["url"], r["rk"])
+        for r in d.withColumn("domain", domain_of(F.col("url")))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 7)
+        .select("domain", "url", "rk")
+        .collect()
+    }
+    assert two == direct and len(two) == 21
+
+
+def test_vocab_stats_counts_and_topk(spark):
+    from json_remedy_spark.functions.textstats import vocab_stats
+
+    rows = [(1, "The cat and the dog"), (2, "a CAT sleeps"), (3, "dog! dog? dog.")]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["word"]: (r["n_docs"], r["n_occ"]) for r in vocab_stats(d).collect()}
+    assert out["the"] == (1, 2)   # twice in doc 1 only (case-folded)
+    assert out["cat"] == (2, 2)
+    assert out["dog"] == (2, 4)
+    top2 = [r["word"] for r in vocab_stats(d, top_k=2).collect()]
+    assert set(top2) == {"dog", "cat"} or set(top2) == {"dog", "the"}
+    # deterministic tie-break: cat and the both have n_occ=2 -> 'cat' wins
+    assert top2[0] == "dog" and top2[1] == "cat"
+
+
+def test_vocab_stats_topk_uses_bounded_sort(spark):
+    from json_remedy_spark.functions.textstats import vocab_stats
+
+    d = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    plan = vocab_stats(d, top_k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # per-partition top-K, no full sort
