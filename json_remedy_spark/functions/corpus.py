@@ -138,6 +138,24 @@ def line_dedup(
     Three shuffles total, none keyed by skewed values.  Returns
     ``(doc_id, text, n_lines, n_dropped)`` — ``text`` is the
     reassembled document."""
+    out, _ = line_dedup_incremental(docs, None, id_col, text_col, min_line_chars)
+    return out
+
+
+def line_dedup_incremental(
+    docs: DataFrame,
+    seen_hashes: DataFrame | None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_line_chars: int = 1,
+) -> tuple[DataFrame, DataFrame]:
+    """``line_dedup`` core with an optional prior state: lines whose
+    md5 appears in ``seen_hashes`` (single column ``line_hash``) are
+    dropped outright; first-occurrence winner selection then runs over
+    the remainder.  Returns ``(deduped_docs, new_hashes)`` where
+    ``new_hashes`` is the distinct hash set this input introduced —
+    the streaming micro-batch loop appends it to the at-rest store.
+    With ``seen_hashes=None`` this IS the batch operator."""
     lines = docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
@@ -146,17 +164,22 @@ def line_dedup(
     narrow = lines.where(eligible).select(
         F.md5(F.col("line")).alias("line_hash"), "doc_id", "line_no"
     )
-    winners = (
-        narrow.groupBy("line_hash")
-        .agg(F.min(F.struct("doc_id", "line_no")).alias("w"))
-        .select(F.col("w.doc_id").alias("doc_id"), F.col("w.line_no").alias("line_no"))
-        .withColumn("is_winner", F.lit(True))
+    if seen_hashes is not None:
+        narrow = narrow.join(
+            seen_hashes.select("line_hash").distinct(), "line_hash", "left_anti"
+        )
+    winners_h = narrow.groupBy("line_hash").agg(
+        F.min(F.struct("doc_id", "line_no")).alias("w")
     )
+    new_hashes = winners_h.select("line_hash")
+    winners = winners_h.select(
+        F.col("w.doc_id").alias("doc_id"), F.col("w.line_no").alias("line_no")
+    ).withColumn("is_winner", F.lit(True))
     kept = (
         lines.join(winners, ["doc_id", "line_no"], "left")
         .withColumn("keep_line", (~eligible) | F.coalesce("is_winner", F.lit(False)))
     )
-    return (
+    out = (
         kept.groupBy("doc_id")
         .agg(
             F.array_join(
@@ -174,6 +197,7 @@ def line_dedup(
             F.sum(F.when(~F.col("keep_line"), 1).otherwise(0)).alias("n_dropped"),
         )
     )
+    return out, new_hashes
 
 
 _DOMAIN_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?(?:www\.)?([^/:?#]+)"

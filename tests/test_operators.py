@@ -1042,3 +1042,44 @@ def test_vocab_stats_topk_uses_bounded_sort(spark):
     d = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
     plan = vocab_stats(d, top_k=5)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # per-partition top-K, no full sort
+
+
+def test_stream_line_dedup_across_restarts(spark, tmp_path):
+    """Streaming boilerplate removal: lines seen in an earlier run's
+    store drop in later runs; within-batch first-occurrence is the
+    deterministic (url, line_no) winner, matching the batch operator."""
+    import datetime
+
+    from json_remedy_spark.streaming.stream_line_dedup import (
+        read_deduped,
+        run_line_dedup_stream,
+    )
+
+    ts = datetime.datetime(2026, 1, 1)
+
+    def pages(rows):
+        return spark.createDataFrame(
+            [(u, ts, t.encode(), t, "en") for u, t in rows],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+
+    src = str(tmp_path / "src")
+    out, ckpt, store = (str(tmp_path / d) for d in ("out", "ckpt", "store"))
+
+    pages([("a", "cookie banner\nunique a"), ("b", "cookie banner\nunique b")]) \
+        .coalesce(1).write.mode("append").parquet(src)
+    run_line_dedup_stream(spark, src, out, ckpt, store)
+    got1 = {r["url"]: r["text"] for r in read_deduped(spark, out).collect()}
+    assert got1["a"] == "cookie banner\nunique a"
+    assert got1["b"] == "unique b"
+
+    # restart with a NEW file: the cookie banner is in the store now;
+    # 'fresh line' is new and dedups within the batch (url 'c' wins)
+    pages([("c", "cookie banner\nunique c\nfresh line"),
+           ("d", "fresh line\nunique d")]) \
+        .coalesce(1).write.mode("append").parquet(src)
+    run_line_dedup_stream(spark, src, out, ckpt, store)
+    got2 = {r["url"]: r["text"] for r in read_deduped(spark, out).collect()}
+    assert got2["c"] == "unique c\nfresh line"
+    assert got2["d"] == "unique d"
+    assert len(got2) == 4 and got2["a"] == got1["a"]
