@@ -12,8 +12,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+import re as _re
+
 from json_remedy_spark.functions.dedup import shingles
 from json_remedy_spark.functions.textstats import token_count
+
+
+def _re_escape(sep: str) -> str:
+    """F.split takes a REGEX; separators are literal strings here."""
+    return _re.escape(sep)
 
 
 def decontaminate(
@@ -112,6 +119,7 @@ def line_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_line_chars: int = 1,
+    sep: str = "\n",
 ) -> DataFrame:
     """Global (cross-corpus) line-level exact dedup — the C4/RefinedWeb
     boilerplate-removal move: every distinct line is kept ONLY at its
@@ -137,8 +145,9 @@ def line_dedup(
 
     Three shuffles total, none keyed by skewed values.  Returns
     ``(doc_id, text, n_lines, n_dropped)`` — ``text`` is the
-    reassembled document."""
-    out, _ = line_dedup_incremental(docs, None, id_col, text_col, min_line_chars)
+    reassembled document.  ``sep="\\n\\n"`` gives PARAGRAPH-level
+    dedup (the coarser C4-style span unit) with identical machinery."""
+    out, _ = line_dedup_incremental(docs, None, id_col, text_col, min_line_chars, sep)
     return out
 
 
@@ -148,6 +157,7 @@ def line_dedup_incremental(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_line_chars: int = 1,
+    sep: str = "\n",
 ) -> tuple[DataFrame, DataFrame]:
     """``line_dedup`` core with an optional prior state: lines whose
     md5 appears in ``seen_hashes`` (single column ``line_hash``) are
@@ -158,7 +168,7 @@ def line_dedup_incremental(
     With ``seen_hashes=None`` this IS the batch operator."""
     lines = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+        F.posexplode(F.split(F.col(text_col), _re_escape(sep))).alias("line_no", "line"),
     )
     eligible = F.length(F.trim(F.col("line"))) >= min_line_chars
     narrow = lines.where(eligible).select(
@@ -191,7 +201,7 @@ def line_dedup_incremental(
                     ),
                     lambda s: s.line,
                 ),
-                "\n",
+                sep,
             ).alias("text"),
             F.count("*").alias("n_lines"),
             F.sum(F.when(~F.col("keep_line"), 1).otherwise(0)).alias("n_dropped"),

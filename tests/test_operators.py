@@ -1083,3 +1083,17 @@ def test_stream_line_dedup_across_restarts(spark, tmp_path):
     assert got2["c"] == "unique c\nfresh line"
     assert got2["d"] == "unique d"
     assert len(got2) == 4 and got2["a"] == got1["a"]
+
+
+def test_line_dedup_paragraph_mode(spark):
+    from json_remedy_spark.functions.corpus import line_dedup
+
+    rows = [
+        (1, "intro one\n\nshared paragraph\ntwo lines\n\noutro one"),
+        (2, "shared paragraph\ntwo lines\n\nintro two"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["text"] for r in line_dedup(d, sep="\n\n").collect()}
+    # the multi-line paragraph dedups as ONE unit; single \n is content
+    assert out[1] == "intro one\n\nshared paragraph\ntwo lines\n\noutro one"
+    assert out[2] == "intro two"
