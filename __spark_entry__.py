@@ -270,6 +270,17 @@ def q_domain_cap(spark, sf_dir):
     )
 
 
+def q_ngram_repetition(spark, sf_dir):
+    """Gopher n-gram repetition signals: top-2-gram and duplicated-
+    5-gram character fractions per doc."""
+    d = _t(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism)
+    return quality.ngram_repetition(d).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("top2_frac").cast("double").alias("top2_frac"),
+        F.col("dup5_frac").cast("double").alias("dup5_frac"),
+    )
+
+
 VOCAB_TOP_K = 50
 
 
@@ -739,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "fasttext_langid": q_fasttext_langid,
         "vocab_stats": q_vocab_stats,
+        "ngram_repetition": q_ngram_repetition,
         "cosine_topk": q_cosine_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_dedup_components": q_embedding_dedup_components,
@@ -1194,6 +1206,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_cap": _domain_cap_sql(),
         "fasttext_langid": _fasttext_langid_sql(),
         "vocab_stats": textstats.vocab_stats_sql(top_k=VOCAB_TOP_K),
+        "ngram_repetition": quality.ngram_repetition_sql(),
         "cosine_topk": _cosine_topk_sql(),
         "perplexity": _perplexity_sql(),
         "ppl_histogram": f"""

@@ -182,3 +182,117 @@ def quality_sql(col: str = "text") -> dict[str, str]:
             f"AND {stop} AND {dr} >= {MIN_DISTINCT_RATIO})"
         ),
     }
+
+
+# --------------------------------------------------------------------------
+# Gopher n-gram repetition signals (Rae et al. 2021, Table A1)
+# --------------------------------------------------------------------------
+#
+# The remaining published repetition family beyond dup_line_ratio:
+#   * top-n-gram fraction  — chars covered by the single most frequent
+#     word n-gram / total chars (Gopher drops at >0.20 for n=2);
+#   * duplicated-n-gram fraction — chars covered by word n-grams that
+#     occur more than once (Gopher drops at >0.15 for n=5).
+# Cardinality-changing (per-doc gram explode), so these are DataFrame
+# ops, not column exprs.  Scale shape: grams group on (doc_id, gram) —
+# uniform keys, map-side partial combine; the per-doc reduction is one
+# more partial-combined aggregate.  No skewed key anywhere.
+
+def _gram_rows(base, n: int):
+    from pyspark.sql import functions as F
+
+    expr = (
+        f"CASE WHEN size(split(t, ' ')) >= {n} THEN "
+        f"transform(sequence(0, size(split(t, ' ')) - {n}), "
+        f"i -> array_join(slice(split(t, ' '), i + 1, {n}), ' ')) "
+        f"ELSE array() END"
+    )
+    return base.select("doc_id", F.explode(F.expr(expr)).alias("gram"))
+
+
+def ngram_repetition(
+    docs, top_n: int = 2, dup_n: int = 5, id_col: str = "doc_id", text_col: str = "text"
+):
+    """(doc_id, top{top_n}_frac, dup{dup_n}_frac) over lowercased
+    whitespace-normalized text.  Fractions are (occurrences x gram
+    chars) / total chars — integer arithmetic plus ONE IEEE division,
+    bit-identical in the DuckDB oracle.  Ties for the top gram break
+    on the lexicographically smallest gram (min of (-count, gram))."""
+    from pyspark.sql import functions as F
+
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    base = docs.select(F.col(id_col).alias("doc_id"), norm.alias("t")).withColumn(
+        "total", F.length("t")
+    )
+    topc = (
+        _gram_rows(base, top_n)
+        .groupBy("doc_id", "gram")
+        .count()
+        .groupBy("doc_id")
+        .agg(F.min(F.struct((-F.col("count")).alias("nc"), F.col("gram").alias("g"))).alias("w"))
+        .select("doc_id", ((-F.col("w.nc")) * F.length("w.g")).alias("top_chars"))
+    )
+    dupc = (
+        _gram_rows(base, dup_n)
+        .groupBy("doc_id", "gram")
+        .count()
+        .where(F.col("count") >= 2)
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("count") * F.length("gram")).alias("dup_chars"))
+    )
+    tot = F.greatest(F.col("total"), F.lit(1))
+    return (
+        base.select("doc_id", "total")
+        .join(topc, "doc_id", "left")
+        .join(dupc, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.coalesce("top_chars", F.lit(0)) / tot).alias(f"top{top_n}_frac"),
+            (F.coalesce("dup_chars", F.lit(0)) / tot).alias(f"dup{dup_n}_frac"),
+        )
+    )
+
+
+def ngram_repetition_sql(
+    top_n: int = 2, dup_n: int = 5, table: str = "documents", text_col: str = "text"
+) -> str:
+    """DuckDB oracle for ``ngram_repetition`` (window rank for the top
+    gram — ORDER BY cnt DESC, gram == Spark's min((-count, gram)))."""
+
+    def grams(n: int) -> str:
+        return (
+            f"SELECT doc_id, unnest(CASE WHEN len(ws) >= {n} THEN "
+            f"list_transform(range(1, len(ws) - {n} + 2), "
+            f"i -> array_to_string(ws[i : i + {n} - 1], ' ')) "
+            f"ELSE [] END) AS gram FROM b"
+        )
+
+    return f"""
+      WITH base AS (
+        SELECT doc_id,
+               lower(regexp_replace(trim({text_col}), '\\s+', ' ', 'g')) AS t
+        FROM {table}
+      ),
+      b AS (SELECT doc_id, t, length(t) AS total,
+                   regexp_split_to_array(t, ' ') AS ws FROM base),
+      gt AS ({grams(top_n)}),
+      gd AS ({grams(dup_n)}),
+      topc AS (
+        SELECT doc_id, cnt * length(gram) AS top_chars
+        FROM (SELECT doc_id, gram, count(*) AS cnt,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY count(*) DESC, gram) AS rn
+              FROM gt GROUP BY doc_id, gram)
+        WHERE rn = 1
+      ),
+      dupc AS (
+        SELECT doc_id, sum(cnt * length(gram)) AS dup_chars
+        FROM (SELECT doc_id, gram, count(*) AS cnt FROM gd GROUP BY doc_id, gram)
+        WHERE cnt >= 2 GROUP BY doc_id
+      )
+      SELECT b.doc_id::BIGINT AS doc_id,
+             (coalesce(top_chars, 0) / greatest(total, 1))::DOUBLE AS top{top_n}_frac,
+             (coalesce(dup_chars, 0) / greatest(total, 1))::DOUBLE AS dup{dup_n}_frac
+      FROM b LEFT JOIN topc ON topc.doc_id = b.doc_id
+             LEFT JOIN dupc ON dupc.doc_id = b.doc_id
+    """

@@ -1097,3 +1097,35 @@ def test_line_dedup_paragraph_mode(spark):
     # the multi-line paragraph dedups as ONE unit; single \n is content
     assert out[1] == "intro one\n\nshared paragraph\ntwo lines\n\noutro one"
     assert out[2] == "intro two"
+
+
+def test_ngram_repetition_gopher_signals(spark):
+    from json_remedy_spark.functions.quality import ngram_repetition
+
+    rows = [
+        (1, "spam spam spam spam"),                      # "spam spam" 2-gram x3
+        (2, "all words here are fully distinct tokens"),
+        (3, "a b c d e a b c d e a b c d e"),            # every 5-gram repeats
+        (4, ""),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in ngram_repetition(d).collect()}
+    # doc 1: top 2-gram "spam spam" occurs 3x, len 9, total 19
+    assert abs(out[1]["top2_frac"] - 3 * 9 / 19) < 1e-12
+    assert out[1]["dup5_frac"] == 0.0  # no repeated 5-gram in 4 words
+    # doc 2: every 2-gram unique -> top fraction = 1 occurrence
+    assert out[2]["top2_frac"] < 0.4 and out[2]["dup5_frac"] == 0.0
+    # doc 3: "a b c d e" (len 9) occurs 3x among its repeated 5-grams
+    assert out[3]["dup5_frac"] > 0.5
+    assert out[4]["top2_frac"] == 0.0 and out[4]["dup5_frac"] == 0.0
+
+
+def test_ngram_repetition_tie_breaks_deterministically(spark):
+    from json_remedy_spark.functions.quality import ngram_repetition
+
+    # "b a" and "a b" both occur twice; min(-count, gram) picks "a b"
+    d = spark.createDataFrame([(1, "b a b a b")], ["doc_id", "text"])
+    r = ngram_repetition(d).collect()[0]
+    # top gram count 2, len 3, total 9 regardless of which wins — but
+    # determinism matters for the oracle; assert the exact value
+    assert abs(r["top2_frac"] - 2 * 3 / 9) < 1e-12
