@@ -249,6 +249,19 @@ def q_line_dedup(spark, sf_dir):
     )
 
 
+def q_dup_span_removal(spark, sf_dir):
+    """Lee-et-al exact duplicate-substring removal: globally repeated
+    4-token windows survive only at their first (doc_id, pos)
+    occurrence; documents reassembled from surviving tokens."""
+    pages = _synthetic_pages(spark, sf_dir)
+    return corpus.dup_span_removal(pages, window=4).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("text"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_dropped").cast("long").alias("n_dropped"),
+    )
+
+
 def q_domain_stats(spark, sf_dir):
     """Per-domain corpus aggregates (URL-filtering observability)."""
     pages = _synthetic_pages(spark, sf_dir)
@@ -746,6 +759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_token_budget": q_pack_token_budget,
         "stratified_sample": q_stratified_sample,
         "line_dedup": q_line_dedup,
+        "dup_span_removal": q_dup_span_removal,
         "domain_stats": q_domain_stats,
         "domain_cap": q_domain_cap,
         "fasttext_langid": q_fasttext_langid,
@@ -1000,6 +1014,45 @@ def _line_dedup_sql() -> str:
     """
 
 
+def _dup_span_removal_sql(window: int = 4, min_count: int = 2) -> str:
+    w = window
+    return f"""
+      WITH pages AS ({_PAGES_SQL}),
+      toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM pages),
+      tok AS (
+        SELECT doc_id, x.i - 1 AS pos, x.token
+        FROM toks,
+             LATERAL (SELECT unnest(t) AS token, unnest(range(1, len(t) + 1)) AS i) x
+      ),
+      wins AS (
+        SELECT doc_id, i - 1 AS pos,
+               md5(array_to_string(t[i : i + {w - 1}], ' ')) AS h
+        FROM (
+          SELECT doc_id, t, unnest(range(1, len(t) - {w} + 2)) AS i
+          FROM toks WHERE len(t) >= {w}
+        )
+      ),
+      ranked AS (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+               count(*) OVER (PARTITION BY h) AS n
+        FROM wins
+      ),
+      covered AS (
+        SELECT DISTINCT r.doc_id, r.pos + g.x AS pos
+        FROM ranked r, LATERAL (SELECT unnest(range(0, {w})) AS x) g
+        WHERE r.n >= {min_count} AND r.rn > 1
+      )
+      SELECT t.doc_id::BIGINT AS doc_id,
+             coalesce(string_agg(CASE WHEN c.pos IS NULL THEN t.token END,
+                                 ' ' ORDER BY t.pos), '') AS text,
+             count(*)::BIGINT AS n_tokens,
+             sum(CASE WHEN c.pos IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_dropped
+      FROM tok t LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.pos = t.pos
+      GROUP BY t.doc_id
+    """
+
+
 def _domain_stats_sql() -> str:
     from json_remedy_spark.functions.corpus import domain_of_sql
 
@@ -1202,6 +1255,7 @@ def oracle_sql() -> dict[str, str]:
         "pack_token_budget": _pack_token_budget_sql(),
         "stratified_sample": _stratified_sample_sql(),
         "line_dedup": _line_dedup_sql(),
+        "dup_span_removal": _dup_span_removal_sql(),
         "domain_stats": _domain_stats_sql(),
         "domain_cap": _domain_cap_sql(),
         "fasttext_langid": _fasttext_langid_sql(),

@@ -349,3 +349,99 @@ def stratified_sample(
     return docs.where(hash_mod_bucket(F.col(id_col)) < pct).select(
         F.col(id_col).alias("doc_id"), F.col(strata_col).alias("stratum")
     )
+
+
+def dup_span_removal(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 10,
+    min_count: int = 2,
+    sep: str = " ",
+) -> DataFrame:
+    """Exact duplicate-substring removal (Lee et al. 2022, the
+    "deduplicating training data" ExactSubstr move, as deployed by
+    RefinedWeb/MassiveText): any run of ``window`` consecutive tokens
+    that occurs >= ``min_count`` times ACROSS THE CORPUS is removed
+    from every occurrence except the first (corpus order =
+    ``(doc_id, pos)``).  Documents are reassembled from surviving
+    tokens; overlapping duplicated windows merge naturally because
+    removal is computed per covered token position.
+
+    The reference has no analogue (per-document repair only,
+    lib/json_remedy.ex) — this is the corpus-level generalization of
+    line_dedup from whole lines to arbitrary token spans.
+
+    Scale shape (10^12 docs):
+
+    1. tokenize + slide the window map-side; ONLY the 32-hex md5 of
+       each window plus (doc_id, pos) ever shuffles — never the gram
+       text (at W=10 that is ~50 bytes/token of map-local transient,
+       36 bytes/window of shuffle);
+    2. occurrence counting + first-occurrence winner selection is ONE
+       hash aggregate ``groupBy(h).agg(count, min(struct(doc_id,
+       pos)))`` with map-side partial combine — a boilerplate window
+       duplicated 10^9 times ("JavaScript is required to ...")
+       contributes one row per map partition, never 10^9 rows on one
+       reducer;
+    3. only DUPLICATED window hashes (a small minority) join back to
+       the occurrence table; AQE broadcasts that side when it fits;
+    4. covered-position expansion explodes flagged occurrences by W
+       (bounded, duplicate-only), distinct on uniformly-distributed
+       (doc_id, pos) keys;
+    5. reassembly is one ``groupBy(doc_id)`` ordered collect —
+       identical to line_dedup's final stage.
+
+    Returns ``(doc_id, text, n_tokens, n_dropped)``.  Docs shorter
+    than ``window`` tokens pass through untouched.  The tokenizer is
+    a literal ``sep`` split (engine-portable; swap in a real
+    tokenizer upstream by pre-joining tokens with a reserved sep)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(F.col(text_col), _re_escape(sep), -1).alias("t"),
+    )
+    # sequence(0, n-W) of window start positions; sequence() descends
+    # when stop < start, so short docs must yield an EMPTY array.
+    starts = F.when(
+        F.size("t") >= window, F.sequence(F.lit(0), F.size("t") - window)
+    ).otherwise(F.array().cast("array<int>"))
+    wins = toks.select(
+        "doc_id", "t", F.explode(starts).alias("pos")
+    ).select(
+        "doc_id",
+        "pos",
+        F.md5(F.array_join(F.slice("t", F.col("pos") + 1, window), sep)).alias("h"),
+    )
+    agg = wins.groupBy("h").agg(
+        F.count("*").alias("n"),
+        F.min(F.struct("doc_id", "pos")).alias("w"),
+    )
+    dup = agg.where(F.col("n") >= min_count).select(
+        "h", F.col("w.doc_id").alias("w_doc"), F.col("w.pos").alias("w_pos")
+    )
+    flagged = wins.join(dup, "h").where(
+        ~((F.col("doc_id") == F.col("w_doc")) & (F.col("pos") == F.col("w_pos")))
+    )
+    covered = flagged.select(
+        "doc_id",
+        F.explode(F.sequence("pos", F.col("pos") + F.lit(window - 1))).alias("pos"),
+    ).distinct().withColumn("is_covered", F.lit(True))
+    tok = toks.select("doc_id", F.posexplode("t").alias("pos", "token"))
+    kept = tok.join(covered, ["doc_id", "pos"], "left").withColumn(
+        "keep_tok", ~F.coalesce("is_covered", F.lit(False))
+    )
+    return kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep_tok"), F.struct("pos", "token"))
+                    )
+                ),
+                lambda s: s.token,
+            ),
+            sep,
+        ).alias("text"),
+        F.count("*").alias("n_tokens"),
+        F.sum(F.when(~F.col("keep_tok"), 1).otherwise(0)).alias("n_dropped"),
+    )

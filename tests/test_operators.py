@@ -1129,3 +1129,56 @@ def test_ngram_repetition_tie_breaks_deterministically(spark):
     # top gram count 2, len 3, total 9 regardless of which wins — but
     # determinism matters for the oracle; assert the exact value
     assert abs(r["top2_frac"] - 2 * 3 / 9) < 1e-12
+
+
+# ---- corpus: exact duplicate-substring (token-window) removal --------------
+
+def test_dup_span_removal_keeps_first_occurrence(spark):
+    from json_remedy_spark.functions.corpus import dup_span_removal
+
+    rows = [
+        (1, "a b c d e tail1"),
+        (2, "head2 a b c d e"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dup_span_removal(d, window=5).collect()}
+    # the shared 5-gram "a b c d e" survives only at (doc 1, pos 0)
+    assert out[1]["text"] == "a b c d e tail1" and out[1]["n_dropped"] == 0
+    assert out[2]["text"] == "head2" and out[2]["n_dropped"] == 5
+    assert out[2]["n_tokens"] == 6
+
+
+def test_dup_span_removal_overlapping_windows_merge(spark):
+    from json_remedy_spark.functions.corpus import dup_span_removal
+
+    d = spark.createDataFrame([(1, "x y z x y z x y z")], ["doc_id", "text"])
+    r = dup_span_removal(d, window=3).collect()[0]
+    # every 3-gram repeats within the doc; winners are the first period,
+    # so positions 3..8 are covered by the merged flagged windows
+    assert r["text"] == "x y z"
+    assert r["n_tokens"] == 9 and r["n_dropped"] == 6
+
+
+def test_dup_span_removal_short_docs_untouched(spark):
+    from json_remedy_spark.functions.corpus import dup_span_removal
+
+    rows = [(1, "a b"), (2, "a b"), (3, "")]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in dup_span_removal(d, window=5).collect()}
+    # identical docs, but shorter than one window -> zero windows, no dedup
+    assert out[1]["text"] == "a b" and out[2]["text"] == "a b"
+    assert out[3]["text"] == "" and out[3]["n_tokens"] == 1
+    assert all(out[k]["n_dropped"] == 0 for k in out)
+
+
+def test_dup_span_removal_min_count_threshold(spark):
+    from json_remedy_spark.functions.corpus import dup_span_removal
+
+    rows = [(1, "p q r s t u"), (2, "p q r s t v")]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r["text"]
+        for r in dup_span_removal(d, window=5, min_count=3).collect()
+    }
+    # the shared window occurs only twice -> below min_count=3, kept
+    assert out[1] == "p q r s t u" and out[2] == "p q r s t v"
