@@ -353,6 +353,25 @@ def q_embedding_near_dup(spark, sf_dir):
     return cosine_pairs_exact(e, threshold=0.4)
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup: deterministic k-means cells + within-cell greedy
+    near-dup pruning (keep the point farthest from the centroid).
+    Rows-only by nature (Lloyd iterations are not one SQL query);
+    exactness is pinned by pytest invariants: kept points pairwise
+    below threshold, every dropped point has a kept witness."""
+    from json_remedy_spark.functions.similarity import semantic_dedup
+
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return semantic_dedup(e, threshold=0.9, cells=8, iters=1).select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cell").cast("long").alias("cell"),
+        F.col("centroid_sim"),
+        F.col("keep"),
+    )
+
+
 def q_embedding_dedup_components(spark, sf_dir):
     """Cross-modal parity for the dedup last mile: the same
     components operator over EMBEDDING near-dup pairs (cosine >= 0.4
@@ -789,6 +808,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_url": q_canonical_url,
         "lsh_ann_topk": q_lsh_ann_topk,
         "ann_recall": q_ann_recall,
+        "semantic_dedup": q_semantic_dedup,
         "repair_metrics": q_repair_metrics,
         "layer_hits": q_layer_hits,
     }

@@ -429,3 +429,92 @@ def embedding_near_dup(
         .distinct()
     )
     return pairs
+
+
+def kmeans_cells(
+    vectors: DataFrame,
+    cells: int = N_IVF_CELLS,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+):
+    """Deterministic distributed k-means: md5-ordered seeds + ``iters``
+    Lloyd refinements (each refinement is ONE distributed aggregate;
+    only ``cells x dims`` numbers ever reach the driver — see
+    ``_ivf_centroids``).  Returns ``(assigned_df, centroids)`` where
+    ``assigned_df`` is the input plus a ``cell`` int column.  No MLlib
+    fit artifact, no RDDs — reproducible across runs and cluster
+    sizes."""
+    v = vectors.select(F.col(id_col).alias("vec_id"), F.col(col).alias(col))
+    cen = _ivf_centroids(v, col, cells, refine=iters)
+    assigned = with_ivf_cell(v, cen, col, n_probes=1).select(
+        "vec_id", col, F.element_at("ivf_cells", 1).cast("int").alias("cell")
+    )
+    return assigned, cen
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    cells: int | None = None,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embedding
+    space, then prune near-duplicates WITHIN each cluster — the
+    semantic analogue of minhash-LSH dedup, and the standard move for
+    embedding-level dedup of web corpora.
+
+    Greedy within-cell contract (deterministic): points are visited
+    ordered by (rounded cosine-to-centroid ASC, vec_id ASC) — SemDeDup
+    keeps the point farthest from the centroid among duplicates — and
+    a point is KEPT iff its cosine to every already-kept point in the
+    cell is < ``threshold``.  So kept points are pairwise < threshold
+    and every dropped point has a kept witness >= threshold.
+
+    Scale shape: clustering is the partitioner.  ``cells`` defaults to
+    ~sqrt(N) so expected cell size is ~sqrt(N); each cell is scored by
+    ONE Arrow-batched numpy kernel in ``applyInPandas`` (incremental
+    kept-matrix matvecs, never a full NxN matrix).  The only shuffle
+    is the groupBy(cell); a pathological cell (millions of identical
+    embeddings) bounds at the executor — pick ``cells`` so the largest
+    cell fits, exactly the IVF sizing rule (~sqrt(n), noted at
+    ``ivf_topk``).  Returns ``(vec_id, cell, centroid_sim, keep)``."""
+    _require_numeric_id(vectors, id_col)
+    if cells is None:
+        n = vectors.count()
+        cells = max(4, int(n ** 0.5))
+    assigned, cen = kmeans_cells(vectors, cells, iters, id_col, col)
+    cen_unit = cen / np.maximum(
+        np.sqrt((cen * cen).sum(axis=1))[:, None], 1e-12
+    )
+
+    def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        mat = _np_unit(np.array(pdf[col].tolist(), dtype=np.float64))
+        cell = int(pdf["cell"].iloc[0])
+        sims = np.round(mat @ cen_unit[cell], 6)
+        ids = pdf["vec_id"].to_numpy()
+        order = np.lexsort((ids, sims))
+        keep = np.zeros(len(ids), dtype=bool)
+        kept_rows: list[int] = []
+        for i in order:
+            if kept_rows:
+                close = np.round(mat[kept_rows] @ mat[i], 6) >= threshold
+                if bool(close.any()):
+                    continue
+            keep[i] = True
+            kept_rows.append(i)
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cell": cell,
+                "centroid_sim": sims,
+                "keep": keep,
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        dedup_cell,
+        schema="vec_id long, cell int, centroid_sim double, keep boolean",
+    )

@@ -1182,3 +1182,63 @@ def test_dup_span_removal_min_count_threshold(spark):
     }
     # the shared window occurs only twice -> below min_count=3, kept
     assert out[1] == "p q r s t u" and out[2] == "p q r s t v"
+
+
+# ---- similarity: k-means cells + SemDeDup semantic dedup -------------------
+
+def test_semantic_dedup_identical_vectors_keep_one(spark):
+    from json_remedy_spark.functions.similarity import semantic_dedup
+
+    dup = [0.6, 0.8, 0.0, 0.0]
+    rows = [(i, dup) for i in range(5)] + [(9, [0.0, 0.0, 1.0, 0.0])]
+    d = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = semantic_dedup(d, threshold=0.95, cells=2, iters=1).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    assert len(by_id) == 6
+    kept = sorted(r["vec_id"] for r in out if r["keep"])
+    # identical vectors share one cell by construction (assignment is a
+    # pure function of the vector); ties order by vec_id, so 0 survives;
+    # the orthogonal vector is below threshold everywhere -> kept
+    assert kept == [0, 9]
+
+
+def test_semantic_dedup_invariants_on_embeddings(spark):
+    import numpy as np
+    from json_remedy_spark.functions.similarity import semantic_dedup
+
+    e = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    )
+    rows = semantic_dedup(e, threshold=0.9, cells=8, iters=1).collect()
+    src = {r["vec_id"]: np.array(r["embedding"]) for r in e.collect()}
+    unit = {
+        k: v / max(np.sqrt((v * v).sum()), 1e-12) for k, v in src.items()
+    }
+    assert len(rows) == len(src)  # every vector classified exactly once
+    by_cell: dict = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r)
+    for cell_rows in by_cell.values():
+        kept = [r for r in cell_rows if r["keep"]]
+        dropped = [r for r in cell_rows if not r["keep"]]
+        for i, a in enumerate(kept):  # kept set pairwise below threshold
+            for b in kept[i + 1:]:
+                assert round(float(unit[a["vec_id"]] @ unit[b["vec_id"]]), 6) < 0.9
+        for dr in dropped:  # every dropped point has a kept witness
+            assert any(
+                round(float(unit[dr["vec_id"]] @ unit[k["vec_id"]]), 6) >= 0.9
+                for k in kept
+            )
+
+
+def test_semantic_dedup_deterministic(spark):
+    from json_remedy_spark.functions.similarity import semantic_dedup
+
+    e = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .withColumn("embedding", F.col("embedding").cast("array<double>"))
+    )
+    a = sorted(map(tuple, semantic_dedup(e, threshold=0.9, cells=8).collect()))
+    b = sorted(map(tuple, semantic_dedup(e, threshold=0.9, cells=8).collect()))
+    assert a == b
