@@ -162,6 +162,43 @@ def main():
         )
     )
 
+    from json_remedy_spark.functions.corpus import dup_span_removal
+
+    ds = dup_span_removal(docs.select("doc_id", "text"), window=4)
+    dsplan = formatted(ds)
+    sections.append(
+        (
+            "dup_span_removal (duplicate-substring removal, skew-proof)",
+            f"Exchange tree nodes: {tree_nodes(dsplan, 'Exchange')} (window "
+            "counting+winner selection is ONE hash agg on the 32-hex window "
+            "hash with map-side partial combine — a 10^9-fold boilerplate "
+            "window contributes one row per map partition; gram TEXT never "
+            "shuffles, only (h, doc_id, pos); join-back and covered-position "
+            "distinct ride uniform keys)\n"
+            f"partial agg before exchange: {'partial_count' in dsplan or 'min(struct' in dsplan or 'partial' in dsplan.lower()}\n\n"
+            + dsplan[:2500],
+        )
+    )
+
+    from json_remedy_spark.functions.similarity import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    sd = semantic_dedup(emb, threshold=0.9, cells=8, iters=1)
+    sdplan = formatted(sd)
+    sections.append(
+        (
+            "semantic_dedup (SemDeDup: k-means cells + per-cell Arrow kernel)",
+            f"Exchange tree nodes: {tree_nodes(sdplan, 'Exchange')} (budget 1 "
+            "— the groupBy(cell) feeding FlatMapGroupsInPandas; centroid "
+            "refinement runs as separate bounded aggregates, only cells x "
+            "dims numbers reach the driver)\n"
+            f"FlatMapGroupsInPandas present: {'FlatMapGroupsInPandas' in sdplan}\n\n"
+            + sdplan[:1800],
+        )
+    )
+
     out = ["# Physical plan evidence (generated by tools/snapshot_plans.py)\n"]
     for title, body in sections:
         out.append(f"\n## {title}\n\n```\n{body}\n```\n")
