@@ -94,6 +94,20 @@ def q_exact_dedup(spark, sf_dir):
     )
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """Bloom-prefiltered EXACT incremental dedup: new-batch docs
+    (doc_id % 3 == 0) surviving against the at-rest store
+    (doc_id % 2 == 0).  Bloom misses skip the anti-join entirely;
+    hits go through the real join, so the result is exact and the
+    oracle is the plain anti-join."""
+    d = _t(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism)
+    seen = d.where(F.col("doc_id") % 2 == 0)
+    new = d.where(F.col("doc_id") % 3 == 0)
+    return dedup.incremental_new_docs(new, seen).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text_hash"
+    )
+
+
 def q_minhash_signatures(spark, sf_dir):
     # small-file input -> spread the Arrow shingle kernel over all cores
     d = _t(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism)
@@ -767,6 +781,7 @@ def q_repair_metrics(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup": q_exact_dedup,
+        "incremental_dedup": q_incremental_dedup,
         "minhash_signatures": q_minhash_signatures,
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
         "jaccard_pairs": q_jaccard_pairs,
@@ -1249,6 +1264,16 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id)::BIGINT AS keep_id,
                    count(*)::BIGINT AS n_copies
             FROM documents GROUP BY 1
+        """,
+        "incremental_dedup": f"""
+            WITH seen AS (
+              SELECT DISTINCT md5({_NORM}) AS text_hash
+              FROM documents WHERE doc_id % 2 = 0
+            )
+            SELECT doc_id::BIGINT AS doc_id, md5({_NORM}) AS text_hash
+            FROM documents
+            WHERE doc_id % 3 = 0
+              AND md5({_NORM}) NOT IN (SELECT text_hash FROM seen)
         """,
         "minhash_signatures": f"SELECT doc_id::BIGINT AS doc_id, * EXCLUDE (doc_id) FROM ({_minhash_select()})",
         "lsh_candidate_pairs": _lsh_pairs_sql(),

@@ -19,6 +19,7 @@ surface.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -613,3 +614,112 @@ def jaccard_verify_candidates(
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+# ---- bloom-prefiltered incremental dedup ----------------------------------
+
+BLOOM_BITS = 1 << 20
+BLOOM_HASHES = 4
+
+
+def build_bloom(seen: DataFrame, key_col: str, n_bits: int = BLOOM_BITS, n_hashes: int = BLOOM_HASHES):
+    """Compact broadcastable bloom filter over a key column: ``n_bits``
+    bit positions set by ``n_hashes`` xxhash64 variants per key.
+    Returns a numpy uint8 bitmap of ``n_bits / 8`` bytes (1 MiB at the
+    2^23-bit default scale-up; 128 KiB at the default here).
+
+    Scale shape: position collection is ``explode -> distinct ->
+    collect`` BOUNDED BY n_bits regardless of key count — 10^12 seen
+    keys still collect at most n_bits rows.  Size ``n_bits ~ 10 bits
+    per expected distinct key`` for ~1% FP at n_hashes=4; beyond
+    driver-memory blooms, shard one bloom per key-range bucket of the
+    at-rest store (the signature-table layout, write_signature_table)
+    and prefilter per bucket."""
+    import numpy as np
+
+    pos = (
+        seen.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(n_bits))
+                        for i in range(n_hashes)
+                    ]
+                )
+            ).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    bitmap = np.zeros(n_bits // 8, dtype=np.uint8)
+    idx = np.array([r["p"] for r in pos], dtype=np.int64)
+    if len(idx):
+        np.bitwise_or.at(bitmap, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
+    return bitmap
+
+
+def _bloom_hit_udf(bitmap, n_bits: int, n_hashes: int):
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    bm = bitmap  # captured; ~n_bits/8 bytes ship once per executor
+
+    @pandas_udf("boolean")
+    def hit(positions: pd.Series) -> pd.Series:
+        if len(positions) == 0:
+            return pd.Series([], dtype=bool)
+        arr = np.array(positions.tolist(), dtype=np.int64)
+        bits = (bm[arr >> 3] >> (arr & 7).astype(np.uint8)) & 1
+        return pd.Series(bits.all(axis=1))
+
+    return hit
+
+
+def incremental_new_docs(
+    new: DataFrame,
+    seen: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_bits: int = BLOOM_BITS,
+    n_hashes: int = BLOOM_HASHES,
+    use_bloom: bool = True,
+) -> DataFrame:
+    """EXACT incremental dedup against an at-rest corpus: return the
+    rows of ``new`` whose normalized-text hash does not appear in
+    ``seen`` — with a bloom prefilter so, at 10^12 seen docs, the
+    anti-join only ever shuffles the (true-duplicate + false-positive)
+    fraction of the batch.
+
+    Exactness is unconditional: rows that MISS the bloom are
+    definitely-new (blooms have no false negatives) and skip the join
+    entirely, map-only; rows that HIT go through the real left-anti
+    join, which removes the false positives.  ``use_bloom=False``
+    degenerates to the plain anti-join (the parity test pins both
+    paths equal).  Within-batch duplicates are NOT collapsed — that is
+    ``exact_dedup``'s job; this operator answers "new vs the store".
+
+    Returns ``(doc_id, text_hash)``."""
+    key = F.md5(normalized_text(F.col(text_col)))
+    new_keyed = new.select(F.col(id_col).alias("doc_id"), key.alias("text_hash"))
+    seen_keyed = seen.select(F.md5(normalized_text(F.col(text_col))).alias("text_hash"))
+    if not use_bloom:
+        return new_keyed.join(seen_keyed.distinct(), "text_hash", "left_anti").select(
+            "doc_id", "text_hash"
+        )
+    bitmap = build_bloom(seen_keyed, "text_hash", n_bits, n_hashes)
+    hit = _bloom_hit_udf(bitmap, n_bits, n_hashes)
+    probed = new_keyed.withColumn(
+        "bloom_hit",
+        hit(
+            F.array(
+                *[
+                    F.pmod(F.xxhash64(F.col("text_hash"), F.lit(i)), F.lit(n_bits))
+                    for i in range(n_hashes)
+                ]
+            )
+        ),
+    )
+    definite_new = probed.where(~F.col("bloom_hit")).drop("bloom_hit")
+    maybe_seen = probed.where(F.col("bloom_hit")).drop("bloom_hit")
+    survivors = maybe_seen.join(seen_keyed.distinct(), "text_hash", "left_anti")
+    return definite_new.unionByName(survivors).select("doc_id", "text_hash")

@@ -1242,3 +1242,62 @@ def test_semantic_dedup_deterministic(spark):
     a = sorted(map(tuple, semantic_dedup(e, threshold=0.9, cells=8).collect()))
     b = sorted(map(tuple, semantic_dedup(e, threshold=0.9, cells=8).collect()))
     assert a == b
+
+
+# ---- dedup: bloom-prefiltered incremental anti-join ------------------------
+
+def test_incremental_new_docs_bloom_parity_with_anti_join(spark):
+    from json_remedy_spark.functions.dedup import incremental_new_docs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    seen = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 3 == 0)
+    with_bloom = sorted(
+        map(tuple, incremental_new_docs(new, seen).collect())
+    )
+    plain = sorted(
+        map(tuple, incremental_new_docs(new, seen, use_bloom=False).collect())
+    )
+    assert with_bloom == plain and len(with_bloom) > 0
+    # docs divisible by 6 are in both slices with identical text -> dropped
+    surviving_ids = {t[0] for t in with_bloom}
+    assert all(i % 6 != 0 for i in surviving_ids)
+
+
+def test_incremental_new_docs_exact_under_heavy_false_positives(spark):
+    from json_remedy_spark.functions.dedup import incremental_new_docs
+
+    rows_seen = [(i, f"seen text {i}") for i in range(50)]
+    rows_new = [(100 + i, f"new text {i}") for i in range(50)] + [
+        (200, "seen text 7"),
+        (201, "seen text 8"),
+    ]
+    seen = spark.createDataFrame(rows_seen, ["doc_id", "text"])
+    new = spark.createDataFrame(rows_new, ["doc_id", "text"])
+    # 64-bit bloom with 100 keys saturates -> nearly every probe hits;
+    # the anti-join must still remove exactly the two true duplicates
+    out = incremental_new_docs(new, seen, n_bits=64, n_hashes=4)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == sorted(100 + i for i in range(50))
+
+
+def test_build_bloom_no_false_negatives(spark):
+    import numpy as np
+    from json_remedy_spark.functions.dedup import build_bloom
+
+    keys = spark.createDataFrame([(f"k{i}",) for i in range(200)], ["k"])
+    bm = build_bloom(keys, "k", n_bits=1 << 12, n_hashes=4)
+    # re-probe every inserted key JVM-side with the same hash family
+    probed = keys.select(
+        F.array(
+            *[
+                F.pmod(F.xxhash64(F.col("k"), F.lit(i)), F.lit(1 << 12))
+                for i in range(4)
+            ]
+        ).alias("pos")
+    ).collect()
+    for r in probed:
+        arr = np.array(r["pos"], dtype=np.int64)
+        assert (((bm[arr >> 3] >> (arr & 7)) & 1) == 1).all()
