@@ -10,7 +10,7 @@
       --output <dir> \
       [--eval-input <docs to decontaminate against>] \
       [--token-budget N] [--threshold 0.8] [--max-per-domain K]
-      [--no-line-dedup]
+      [--no-line-dedup] [--dup-span-window W] [--seen-input <store>]
 
 Stage shapes (each documented at its operator):
   1. quality_filter — map-only DAG, one Arrow hop (repair+perplexity),
@@ -21,11 +21,22 @@ Stage shapes (each documented at its operator):
   2c. global line dedup — C4/RefinedWeb boilerplate removal: first
      occurrence of every distinct line survives, docs reassembled,
      emptied docs dropped;
+  2d. optional duplicate-substring removal — globally repeated W-token
+     windows survive only at their first corpus occurrence (Lee et
+     al. ExactSubstr; skew-proof hash-agg winner selection);
+  2e. optional incremental gate — docs whose normalized text already
+     exists in an at-rest store drop out via the bloom-prefiltered
+     exact anti-join (misses never shuffle);
   3. fuzzy dedup — LSH -> exact-jaccard verify -> connected components;
      doc ids for the component graph come from xxhash64(url) (stable,
      collision-safe at 2^64 for any real corpus);
   4. decontamination — broadcast eval shingles, map-only flag;
   5. token packing — two-phase bucketed prefix sum, floor semantics.
+
+Local drives of the composed job need a real driver heap (the
+components loop localCheckpoints per round):
+  PYSPARK_SUBMIT_ARGS="--driver-memory 4g pyspark-shell" python jobs/...
+On a cluster, spark-submit sizes the driver as usual.
 """
 
 import argparse
@@ -44,6 +55,8 @@ def main() -> None:
     ap.add_argument("--threshold", type=float, default=0.8)
     ap.add_argument("--max-per-domain", type=int, default=0)
     ap.add_argument("--no-line-dedup", action="store_true")
+    ap.add_argument("--dup-span-window", type=int, default=0)
+    ap.add_argument("--seen-input", default=None)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -53,10 +66,11 @@ def main() -> None:
         canonical_url,
         decontaminate,
         domain_cap,
+        dup_span_removal,
         line_dedup,
         pack_token_budget,
     )
-    from json_remedy_spark.functions.dedup import near_dup_components
+    from json_remedy_spark.functions.dedup import incremental_new_docs, near_dup_components
     from json_remedy_spark.operators.pipeline import quality_filter
     from json_remedy_spark.sources.catalog import read_table, write_table
 
@@ -97,6 +111,23 @@ def main() -> None:
             docs.drop("text")
             .join(deduped.where(F.length(F.trim("text")) > 0).select("doc_id", "text"), "doc_id")
         )
+
+    # 2d. optional duplicate-substring removal (token-window spans)
+    if args.dup_span_window:
+        spans = dup_span_removal(docs, window=args.dup_span_window)
+        docs = (
+            docs.drop("text")
+            .join(
+                spans.where(F.length(F.trim("text")) > 0).select("doc_id", "text"),
+                "doc_id",
+            )
+        )
+
+    # 2e. optional incremental gate against an at-rest seen store
+    if args.seen_input:
+        seen = read_table(spark, args.seen_input).select("text")
+        fresh = incremental_new_docs(docs, seen)
+        docs = docs.join(fresh.select("doc_id"), "doc_id", "left_semi")
 
     # 3. fuzzy near-dup dedup over the line-deduped scrubbed text
     docs = docs.persist()
