@@ -1301,3 +1301,49 @@ def test_build_bloom_no_false_negatives(spark):
     for r in probed:
         arr = np.array(r["pos"], dtype=np.int64)
         assert (((bm[arr >> 3] >> (arr & 7)) & 1) == 1).all()
+
+
+def test_dup_span_removal_randomized_against_pure_python(spark):
+    """Seeded random corpus over a tiny vocab (dense window collisions)
+    cross-checked against an independent pure-Python implementation of
+    the spec: winner = lexicographically-least (doc_id, pos) per
+    duplicated window; covered positions drop; docs reassemble."""
+    import random
+
+    from json_remedy_spark.functions.corpus import dup_span_removal
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = {
+        d: " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 40)))
+        for d in range(40)
+    }
+
+    def ref(window, min_count):
+        toks = {d: t.split(" ") for d, t in docs.items()}
+        occ: dict = {}
+        for d in sorted(toks):
+            ts = toks[d]
+            for i in range(len(ts) - window + 1):
+                occ.setdefault(" ".join(ts[i : i + window]), []).append((d, i))
+        covered = {d: set() for d in toks}
+        for g, os_ in occ.items():
+            if len(os_) >= min_count:
+                for (d, i) in sorted(os_)[1:]:
+                    covered[d].update(range(i, i + window))
+        return {
+            d: (
+                " ".join(t for j, t in enumerate(ts) if j not in covered[d]),
+                len(ts),
+                len(covered[d]),
+            )
+            for d, ts in toks.items()
+        }
+
+    df = spark.createDataFrame(list(docs.items()), ["doc_id", "text"])
+    for window, min_count in [(3, 2), (4, 3)]:
+        got = {
+            r["doc_id"]: (r["text"], r["n_tokens"], r["n_dropped"])
+            for r in dup_span_removal(df, window=window, min_count=min_count).collect()
+        }
+        assert got == ref(window, min_count), (window, min_count)
