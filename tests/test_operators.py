@@ -1347,3 +1347,41 @@ def test_dup_span_removal_randomized_against_pure_python(spark):
             for r in dup_span_removal(df, window=window, min_count=min_count).collect()
         }
         assert got == ref(window, min_count), (window, min_count)
+
+
+# ---- skew stress: hot-key behavior of the winner-selection operators -------
+
+def test_line_dedup_hot_key_skew(spark):
+    """One line duplicated across 20k docs (the '10^9-fold cookie
+    banner' shape at sandbox scale): the narrow-hash winner aggregate
+    must reduce it map-side and the result must stay exact."""
+    from json_remedy_spark.functions.corpus import line_dedup
+
+    hot = "please enable javascript to continue"
+    rows = [(i, f"{hot}\nbody {i}") for i in range(20000)]
+    d = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(32)
+    out = line_dedup(d)
+    kept_hot = out.where(F.col("text").contains(hot)).count()
+    assert kept_hot == 1  # only the winner doc keeps the banner
+    assert out.count() == 20000
+    assert out.agg(F.sum("n_dropped")).collect()[0][0] == 19999
+
+
+def test_dup_span_removal_hot_window_skew(spark):
+    """The same shape at token-window granularity: a 6-token banner
+    shared by 20k docs; every non-winner loses exactly the banner
+    tokens, bodies survive."""
+    from json_remedy_spark.functions.corpus import dup_span_removal
+
+    banner = "please enable java script to continue"
+    rows = [(i, f"{banner} body{i} tail{i}") for i in range(20000)]
+    d = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(32)
+    out = dup_span_removal(d, window=6)
+    agg = out.agg(
+        F.sum("n_dropped").alias("nd"),
+        F.sum(F.when(F.col("text").contains("please"), 1).otherwise(0)).alias("nb"),
+    ).collect()[0]
+    assert agg["nb"] == 1  # winner only
+    assert agg["nd"] == 19999 * 6
+    bodies = out.where(~F.col("text").contains("please"))
+    assert bodies.where(~F.col("text").startswith("body")).count() == 0

@@ -162,6 +162,20 @@ def main():
         )
     )
 
+    from json_remedy_spark.functions.quality import ngram_repetition
+
+    nr = ngram_repetition(docs.select("doc_id", "text"))
+    nrplan = formatted(nr)
+    sections.append(
+        (
+            "ngram_repetition (Gopher signals, zero-shuffle)",
+            f"Exchange tree nodes: {tree_nodes(nrplan, 'Exchange')} (budget 0 — "
+            "per-document statistics in ONE MapInPandas kernel over the "
+            "JVM-normalized scan; the previous explode+groupBy form shuffled "
+            "two full gram tables, 21 s -> 1.5 s at sf0.1)\n\n" + nrplan[:1200],
+        )
+    )
+
     from json_remedy_spark.functions.corpus import dup_span_removal
 
     ds = dup_span_removal(docs.select("doc_id", "text"), window=4)
