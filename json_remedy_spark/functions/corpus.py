@@ -158,6 +158,7 @@ def line_dedup_incremental(
     text_col: str = "text",
     min_line_chars: int = 1,
     sep: str = "\n",
+    seen_bloom: tuple | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """``line_dedup`` core with an optional prior state: lines whose
     md5 appears in ``seen_hashes`` (single column ``line_hash``) are
@@ -165,7 +166,15 @@ def line_dedup_incremental(
     the remainder.  Returns ``(deduped_docs, new_hashes)`` where
     ``new_hashes`` is the distinct hash set this input introduced —
     the streaming micro-batch loop appends it to the at-rest store.
-    With ``seen_hashes=None`` this IS the batch operator."""
+    With ``seen_hashes=None`` this IS the batch operator.
+
+    ``seen_bloom=(bitmap, n_bits, n_hashes)`` (from
+    ``dedup.build_bloom`` over the store's ``line_hash``) prefilters
+    the store lookup: lines that MISS the bloom are definitely new and
+    skip the anti-join entirely (map-only); only hits join.  Blooms
+    have no false negatives, so any SUPERSET bloom (stale, or
+    including a replayed batch's own hashes) is safe — false positives
+    just take the exact-join path."""
     lines = docs.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.col(text_col), _re_escape(sep))).alias("line_no", "line"),
@@ -175,9 +184,28 @@ def line_dedup_incremental(
         F.md5(F.col("line")).alias("line_hash"), "doc_id", "line_no"
     )
     if seen_hashes is not None:
-        narrow = narrow.join(
-            seen_hashes.select("line_hash").distinct(), "line_hash", "left_anti"
-        )
+        store = seen_hashes.select("line_hash").distinct()
+        if seen_bloom is not None:
+            from json_remedy_spark.functions.dedup import _bloom_hit_udf
+
+            bitmap, n_bits, n_hashes = seen_bloom
+            hit_udf = _bloom_hit_udf(bitmap, n_bits, n_hashes)
+            probed = narrow.withColumn(
+                "bloom_hit",
+                hit_udf(
+                    F.array(
+                        *[
+                            F.pmod(F.xxhash64(F.col("line_hash"), F.lit(i)), F.lit(n_bits))
+                            for i in range(n_hashes)
+                        ]
+                    )
+                ),
+            )
+            misses = probed.where(~F.col("bloom_hit")).drop("bloom_hit")
+            hits = probed.where(F.col("bloom_hit")).drop("bloom_hit")
+            narrow = misses.unionByName(hits.join(store, "line_hash", "left_anti"))
+        else:
+            narrow = narrow.join(store, "line_hash", "left_anti")
     winners_h = narrow.groupBy("line_hash").agg(
         F.min(F.struct("doc_id", "line_no")).alias("w")
     )

@@ -46,11 +46,41 @@ def run_line_dedup_stream(
     store_dir: str,
     schema: str | None = None,
     min_line_chars: int = 1,
+    use_bloom: bool = False,
+    bloom_bits: int = 1 << 20,
+    bloom_hashes: int = 4,
 ) -> None:
     """Drain ``in_dir`` (availableNow) through the streaming line
     dedup; deduped pages land under ``out_dir/batch=<id>/``, the
-    seen-line store under ``store_dir/batch=<id>/``."""
+    seen-line store under ``store_dir/batch=<id>/``.
+
+    ``use_bloom=True`` keeps an in-memory bloom over the store across
+    batches: built once from the at-rest subdirs at the first batch of
+    the run, then OR-updated with each batch's new hashes — so the
+    per-batch store anti-join only processes bloom HITS (true dupes +
+    false positives); definitely-new lines never shuffle against the
+    store.  Exactness is unaffected (see line_dedup_incremental):
+    a replayed batch sees a superset bloom and its lines simply take
+    the exact-join path."""
+    import numpy as np
+
     from json_remedy_spark.functions.corpus import line_dedup_incremental
+    from json_remedy_spark.functions.dedup import build_bloom
+
+    state: dict = {"bloom": None}
+
+    def _positions(df) -> "np.ndarray":
+        rows = df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(F.xxhash64(F.col("line_hash"), F.lit(i)), F.lit(bloom_bits))
+                        for i in range(bloom_hashes)
+                    ]
+                )
+            ).alias("p")
+        ).distinct().collect()
+        return np.array([r["p"] for r in rows], dtype=np.int64)
 
     def handle(batch_df, batch_id: int) -> None:
         others = [
@@ -59,9 +89,17 @@ def run_line_dedup_stream(
             if not p.endswith(f"batch={batch_id}")
         ]
         seen = spark.read.parquet(*others) if others else None
+        bloom = None
+        if use_bloom and seen is not None:
+            if state["bloom"] is None:
+                state["bloom"] = build_bloom(
+                    seen.select("line_hash"), "line_hash", bloom_bits, bloom_hashes
+                )
+            bloom = (state["bloom"], bloom_bits, bloom_hashes)
         pages = batch_df.select("url", "text")
         deduped, new_hashes = line_dedup_incremental(
-            pages, seen, id_col="url", text_col="text", min_line_chars=min_line_chars
+            pages, seen, id_col="url", text_col="text",
+            min_line_chars=min_line_chars, seen_bloom=bloom,
         )
         out = (
             batch_df.drop("text", "html")
@@ -72,6 +110,16 @@ def run_line_dedup_stream(
         new_hashes.write.mode("overwrite").parquet(
             os.path.join(store_dir, f"batch={batch_id}")
         )
+        if use_bloom and state["bloom"] is not None:
+            import numpy as np
+
+            idx = _positions(
+                spark.read.parquet(os.path.join(store_dir, f"batch={batch_id}"))
+            )
+            if len(idx):
+                np.bitwise_or.at(
+                    state["bloom"], idx >> 3, (1 << (idx & 7)).astype("uint8")
+                )
 
     q = (
         spark.readStream.schema(schema or PAGE_SCHEMA)

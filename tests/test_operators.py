@@ -1385,3 +1385,47 @@ def test_dup_span_removal_hot_window_skew(spark):
     assert agg["nd"] == 19999 * 6
     bodies = out.where(~F.col("text").contains("please"))
     assert bodies.where(~F.col("text").startswith("body")).count() == 0
+
+
+def test_stream_line_dedup_bloom_parity(spark, tmp_path):
+    """The bloom-prefiltered streaming path must produce byte-identical
+    output to the plain-join path across a restart, including under a
+    saturated (tiny) bloom where almost every probe is a false
+    positive."""
+    import datetime
+
+    from json_remedy_spark.streaming.stream_line_dedup import (
+        read_deduped,
+        run_line_dedup_stream,
+    )
+
+    ts = datetime.datetime(2026, 1, 1)
+
+    def pages(rows):
+        return spark.createDataFrame(
+            [(u, ts, t.encode(), t, "en") for u, t in rows],
+            "url string, warc_ts timestamp, html binary, text string, lang string",
+        )
+
+    batch1 = [("a", "cookie banner\nunique a"), ("b", "cookie banner\nunique b")]
+    batch2 = [("c", "cookie banner\nunique c\nfresh line"),
+              ("d", "fresh line\nunique d")]
+
+    results = {}
+    for mode, bits in [("plain", 0), ("bloom", 1 << 12), ("tiny_bloom", 64)]:
+        src = str(tmp_path / f"src_{mode}")
+        out, ckpt, store = (
+            str(tmp_path / f"{d}_{mode}") for d in ("out", "ckpt", "store")
+        )
+        kw = dict(use_bloom=bits > 0)
+        if bits:
+            kw["bloom_bits"] = bits
+        pages(batch1).coalesce(1).write.mode("append").parquet(src)
+        run_line_dedup_stream(spark, src, out, ckpt, store, **kw)
+        pages(batch2).coalesce(1).write.mode("append").parquet(src)
+        run_line_dedup_stream(spark, src, out, ckpt, store, **kw)
+        results[mode] = sorted(
+            (r["url"], r["text"]) for r in read_deduped(spark, out).collect()
+        )
+    assert results["plain"] == results["bloom"] == results["tiny_bloom"]
+    assert dict(results["plain"])["c"] == "unique c\nfresh line"
