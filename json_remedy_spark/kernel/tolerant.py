@@ -219,12 +219,62 @@ class TolerantParser:
             return self.parse_string()
         if c in _NUM_START:
             return self.parse_number()
+        if c == "f" and self._try_function_literal():
+            return SKIP  # array element dropped; object pairs drop earlier
         lit = self._try_literal()
         if lit is not SKIP:
             return lit
         if c.isalpha() or c == "<" or not c.isascii() or c in "$€£¥_":
             return self.parse_string()  # unquoted value
         return SKIP
+
+    def _try_function_literal(self) -> bool:
+        """JavaScript ``function [name](args) { body }`` at value
+        position: consume the whole literal and report True so the
+        caller drops it (reference README.md:247-249 — JS object
+        literals parse with the function value removed).  Strings
+        inside the parens/body are honored when balancing; a truncated
+        body consumes to EOF.  ``false`` never matches (\\b guard)."""
+        m = re.match(r"function\b(\s+[A-Za-z_$][\w$]*)?\s*\(", self.s[self.i :])
+        if not m:
+            return False
+
+        def skip_balanced(j: int, op: str, cl: str) -> int | None:
+            depth, in_str, quote, esc = 1, False, "", False
+            while j < len(self.s):
+                ch = self.s[j]
+                if in_str:
+                    if esc:
+                        esc = False
+                    elif ch == "\\":
+                        esc = True
+                    elif ch == quote:
+                        in_str = False
+                elif ch in "\"'":
+                    in_str, quote = True, ch
+                elif ch == op:
+                    depth += 1
+                elif ch == cl:
+                    depth -= 1
+                    if depth == 0:
+                        return j + 1
+                j += 1
+            return None
+
+        j = skip_balanced(self.i + m.end(), "(", ")")
+        if j is None:
+            self.i = len(self.s)
+            self._rec("layer1", "removed function literal value")
+            return True
+        k = j
+        while k < len(self.s) and self.s[k] in _WS:
+            k += 1
+        if k >= len(self.s) or self.s[k] != "{":
+            return False  # `function(...)` call-like value, not a literal
+        j = skip_balanced(k + 1, "{", "}")
+        self.i = len(self.s) if j is None else j
+        self._rec("layer1", "removed function literal value")
+        return True
 
     # -------------------------------------------------------------- object
     def parse_object(self) -> Any:
@@ -340,6 +390,9 @@ class TolerantParser:
                 else:
                     self._rec("layer3", "added empty value for dangling key")
                     obj[key] = ""
+                continue
+            if c == "f" and self._try_function_literal():
+                # JS function value: drop the WHOLE pair (README.md:249)
                 continue
             self.ctx.append(_Frame.OBJECT_VALUE)
             val = self.parse_value()
