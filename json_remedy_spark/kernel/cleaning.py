@@ -78,14 +78,23 @@ def remove_code_fences(s: str, log: list) -> str:
 
 def remove_comments(s: str, log: list) -> str:
     """// line comments and nested /* */ block comments, outside strings
-    (content_cleaning.ex:69-77, 469-619)."""
+    (content_cleaning.ex:69-77, 469-619).
+
+    Beyond the reference (which tracks only double quotes and would
+    truncate ``'https://...'`` at the slashes — its own README example
+    7 input): SINGLE-quoted strings also shield comments, but a ``'``
+    opens one only at value/key position (previous non-ws char in
+    ``{[:,`` or start), so prose apostrophes ("Here's …") never mask
+    a real comment."""
     if "//" not in s and "/*" not in s:  # C-speed guard: nothing to strip
         return s
     out: list[str] = []
     i, n = 0, len(s)
     in_str = False
+    in_sq = False
     esc = False
     removed = False
+    prev_sig = ""  # last non-whitespace char emitted outside strings
     while i < n:
         ch = s[i]
         if in_str:
@@ -98,8 +107,24 @@ def remove_comments(s: str, log: list) -> str:
                 in_str = False
             i += 1
             continue
+        if in_sq:
+            out.append(ch)
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == "'":
+                in_sq = False
+                prev_sig = ch
+            i += 1
+            continue
         if ch == '"':
             in_str = True
+            out.append(ch)
+            i += 1
+            continue
+        if ch == "'" and (prev_sig == "" or prev_sig in "{[:,"):
+            in_sq = True
             out.append(ch)
             i += 1
             continue
@@ -123,6 +148,8 @@ def remove_comments(s: str, log: list) -> str:
             removed = True
             continue
         out.append(ch)
+        if not ch.isspace():
+            prev_sig = ch
         i += 1
     if removed:
         log.append({"layer": "layer1", "action": "removed comments", "position": 0})
@@ -200,6 +227,12 @@ def remove_trailing_wrapper_text(s: str, log: list) -> str:
     rest = t[len(span) :].lstrip()
     if rest[:1] in '{[",' or re.match(r"^-?\d|^true|^false|^null", rest):
         # multi-value or object-continuation case — leave for the parser
+        return s
+    if "{" in rest or "[" in rest:
+        # prose followed by ANOTHER structure (log-embedded JSON): the
+        # reference's MultipleJsonDetector runs BEFORE layer 1 and
+        # keeps it; our multi-value pass lives in the parser, so layer
+        # 1 must not eat it.  Pure prose (no opener) still drops.
         return s
     log.append({"layer": "layer1", "action": "removed trailing wrapper text", "position": len(span)})
     return span
