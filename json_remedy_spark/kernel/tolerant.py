@@ -49,6 +49,7 @@ _NUM_START = set("0123456789-.")
 # `{ "name": "Alice"}` into garbage keys; INSIDE strings
 # these characters are preserved untouched (string content never goes
 # through _skip_ws).
+_FUNC_LITERAL_RE = re.compile(r"function\b(\s+[A-Za-z_$][\w$]*)?\s*\(")
 _NONWS = re.compile("[^ \\t\\n\\r\\u00a0\\u1680\\u2000-\\u200a\\u202f\\u205f\\u3000\\ufeff]")
 # chars the string scanner must stop at; everything else bulk-copies
 _STR_SPECIAL = re.compile(r"[\\\"'“”‘’\n\}\]]")
@@ -235,7 +236,11 @@ class TolerantParser:
         literals parse with the function value removed).  Strings
         inside the parens/body are honored when balancing; a truncated
         body consumes to EOF.  ``false`` never matches (\\b guard)."""
-        m = re.match(r"function\b(\s+[A-Za-z_$][\w$]*)?\s*\(", self.s[self.i :])
+        # positional match — never slice self.s (a copy of the whole
+        # remaining document per probe; `false` values probe this)
+        if not self.s.startswith("function", self.i):
+            return False
+        m = _FUNC_LITERAL_RE.match(self.s, self.i)
         if not m:
             return False
 
@@ -261,7 +266,7 @@ class TolerantParser:
                 j += 1
             return None
 
-        j = skip_balanced(self.i + m.end(), "(", ")")
+        j = skip_balanced(m.end(), "(", ")")  # positional match: absolute end
         if j is None:
             self.i = len(self.s)
             self._rec("layer1", "removed function literal value")
