@@ -154,3 +154,63 @@ def test_html_deeply_nested():
     # :173-178
     r = rep('{"html":<div><ul><li><a href="#">Link</a></li></ul></div>}')
     assert '<a href="#">Link</a>' in r["html"]
+
+
+def test_html_examples_complex_nested_attributes():
+    """examples/html_content_examples.exs:201-224 — unquoted HTML value
+    whose attributes embed a single-quoted JSON config and a script."""
+    import json as _json
+
+    doc = """{
+    "page_data": {
+        "title": "Dashboard",
+        "rendered_html":<div class="dashboard" data-config='{"theme":"dark","refresh":30}'>
+<section id="stats">
+    <div class="stat-card">
+        <h3>Active Users</h3>
+        <p class="value">1,234</p>
+    </div>
+    <!-- More stats here -->
+</section>
+<script type="text/javascript">
+    console.log("Dashboard loaded");
+</script>
+</div>,
+        "metadata": {
+            "generated_at": "2025-10-24",
+            "version": "2.0"
+        }
+    }
+}
+"""
+    r = repair(doc)
+    assert r.ok
+    got = _json.loads(r.repaired)["page_data"]
+    assert got["title"] == "Dashboard"
+    assert got["rendered_html"].startswith('<div class="dashboard"')
+    assert '{"theme":"dark","refresh":30}' in got["rendered_html"]
+    assert got["metadata"]["version"] == "2.0"
+
+
+def test_html_examples_crlf_terminated_body():
+    """examples/html_content_examples.exs:251-259 — one-line API blob
+    with a CRLF inside the unquoted HTML body."""
+    import json as _json
+
+    doc = (
+        '{"responses": [{"id":"33","status":503,'
+        '"headers":{"Content-Type":"text/html; charset=us-ascii"},'
+        '"body":<!DOCTYPE HTML PUBLIC "-//W3C//DTD HTML 4.01//EN"'
+        '"http://www.w3.org/TR/html4/strict.dtd"><HTML><HEAD>'
+        "<TITLE>Service Unavailable</TITLE>"
+        '<META HTTP-EQUIV="Content-Type" Content="text/html; charset=us-ascii">'
+        "</HEAD><BODY><h2>Application Request Queue Full</h2><hr>"
+        "<p>HTTP Error 503. The application request queue is full.</p>\r\n"
+        "</BODY></HTML>}]} "
+    )
+    r = repair(doc)
+    assert r.ok
+    resp = _json.loads(r.repaired)["responses"][0]
+    assert resp["status"] == 503
+    assert resp["body"].startswith("<!DOCTYPE HTML")
+    assert "queue is full" in resp["body"]
