@@ -93,6 +93,28 @@ def _make_lsh_fn(ttl_minutes: int | None):
     return _lsh_fn
 
 
+def stream_bucket_near_dup(keyed: DataFrame, ttl_minutes: int | None = None) -> DataFrame:
+    """Generic bucket-keyed stateful near-dup core: a ``(band:int,
+    bucket:string, doc_id:long)`` stream (ANY bucketing family — minhash
+    bands, hyperplane sign patterns, ...) -> candidate pairs against
+    each bucket's representative.  Both concrete operators below are
+    this plus a stateless bucketing prefix."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_minutes is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return keyed.groupBy("band", "bucket").applyInPandasWithState(
+        _make_lsh_fn(ttl_minutes),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=timeout,
+    )
+
+
 def stream_lsh_near_dup(docs: DataFrame, ttl_minutes: int | None = None) -> DataFrame:
     """(doc_id, text) stream -> (band, bucket, doc_id, rep_doc_id)
     candidate-pair stream (stateful, checkpoint-durable).
@@ -108,21 +130,51 @@ def stream_lsh_near_dup(docs: DataFrame, ttl_minutes: int | None = None) -> Data
     cannot terminate while processing-time timeouts are registered and
     hangs after draining the input.  TTL is a continuous-stream
     feature; batch drains should pass ``ttl_minutes=None``."""
-    from pyspark.sql.streaming.state import GroupStateTimeout
-
-    timeout = (
-        GroupStateTimeout.ProcessingTimeTimeout
-        if ttl_minutes is not None
-        else GroupStateTimeout.NoTimeout
-    )
     banded = banded_signatures(minhash_signatures(docs))
-    return banded.groupBy("band", "bucket").applyInPandasWithState(
-        _make_lsh_fn(ttl_minutes),
-        outputStructType=OUTPUT_SCHEMA,
-        stateStructType=STATE_SCHEMA,
-        outputMode="append",
-        timeoutConf=timeout,
+    return stream_bucket_near_dup(banded, ttl_minutes)
+
+
+def stream_embedding_near_dup(
+    vectors: DataFrame,
+    ttl_minutes: int | None = None,
+    n_tables: int | None = None,
+    n_planes: int | None = None,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, embedding) stream -> candidate near-dup pairs via the
+    SAME multi-table hyperplane banding as the batch
+    ``embedding_near_dup`` (stateless unit-norm + sign-pattern stages
+    lift to streaming unchanged; table index becomes the band key).
+    Completes the dedup matrix: exact, minhash-LSH, and embedding
+    near-dup all have batch AND streaming forms.  Exact-cosine
+    verification runs in batch over the emitted pairs, mirroring the
+    jaccard verify of the minhash path.  Scale: n_planes ~ log2(N)
+    (``recommended_planes``), state O(occupied buckets); TTL bounds it
+    on continuous streams."""
+    from pyspark.sql import functions as F
+
+    from json_remedy_spark.functions.similarity import (
+        N_PLANES,
+        N_TABLES,
+        with_lsh_tables,
+        with_unit_norm,
     )
+
+    keyed = (
+        with_lsh_tables(
+            with_unit_norm(vectors, col),
+            "unit",
+            n_tables or N_TABLES,
+            n_planes or N_PLANES,
+        )
+        .select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.posexplode("tables").alias("band", "bucket"),
+        )
+        .select("band", F.col("bucket").cast("string").alias("bucket"), "doc_id")
+    )
+    return stream_bucket_near_dup(keyed, ttl_minutes)
 
 
 def run_once(spark, in_dir: str, out_dir: str, checkpoint_dir: str) -> None:

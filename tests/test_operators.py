@@ -1429,3 +1429,58 @@ def test_stream_line_dedup_bloom_parity(spark, tmp_path):
         )
     assert results["plain"] == results["bloom"] == results["tiny_bloom"]
     assert dict(results["plain"])["c"] == "unique c\nfresh line"
+
+
+def test_stateful_stream_embedding_near_dup(spark, tmp_path):
+    """Streaming EMBEDDING near-dup: the multi-table hyperplane banding
+    lifts to a bucket-keyed stateful stream; an identical and a
+    nearly-identical vector collide with the first-seen representative
+    across a restart, an orthogonal vector never does."""
+    from pyspark.sql.types import (
+        ArrayType, FloatType, LongType, StructField, StructType,
+    )
+
+    from json_remedy_spark.streaming.stateful_lsh import stream_embedding_near_dup
+
+    base = [1.0, 0.2, 0.0, 0.5]
+    near = [1.0, 0.21, 0.0, 0.5]
+    ortho = [0.0, 0.0, 1.0, 0.0]
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ])
+
+    in_dir = tmp_path / "ein"
+    in_dir.mkdir()
+    out, ckpt = str(tmp_path / "eout"), str(tmp_path / "eckpt")
+
+    def drain():
+        vecs = spark.readStream.schema(schema).parquet(str(in_dir) + "/*")
+        q = (
+            stream_embedding_near_dup(vecs)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination()
+
+    spark.createDataFrame([(0, base), (3, ortho)], schema).coalesce(1).write.parquet(
+        str(in_dir / "b1")
+    )
+    drain()
+    assert spark.read.parquet(out).count() == 0  # first occurrences
+
+    spark.createDataFrame([(10, base), (11, near)], schema).coalesce(1).write.parquet(
+        str(in_dir / "b2")
+    )
+    drain()
+    pairs = {
+        (r["doc_id"], r["rep_doc_id"])
+        for r in spark.read.parquet(out).dropDuplicates(["doc_id", "rep_doc_id"]).collect()
+    }
+    assert (10, 0) in pairs  # identical vector collides in every table
+    assert (11, 0) in pairs  # near vector shares a sign pattern
+    assert not any(p[0] == 3 or p[1] == 3 for p in pairs)
