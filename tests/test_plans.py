@@ -80,3 +80,39 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql(f"DROP TABLE {t_left}")
         spark.sql(f"DROP TABLE {t_right}")
+
+
+def test_ngram_repetition_zero_shuffle(spark):
+    """Per-document Gopher signals must stay map-only — the round-3
+    explode+groupBy form cost 4 exchanges / 21 s at sf0.1."""
+    from json_remedy_spark.functions.quality import ngram_repetition
+    from json_remedy_spark.plans.explain import executed_plan
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = executed_plan(ngram_repetition(d))
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan
+
+
+def test_hashed_langid_zero_shuffle(spark):
+    from json_remedy_spark.functions.langid import hashed_langid
+    from json_remedy_spark.plans.explain import executed_plan
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = executed_plan(hashed_langid(d))
+    assert "Exchange" not in plan, plan
+
+
+def test_semantic_dedup_single_exchange(spark):
+    """SemDeDup's only shuffle is the groupBy(cell) feeding the
+    per-cell Arrow kernel; Lloyd refinement runs as separate bounded
+    jobs, never in this plan."""
+    from json_remedy_spark.functions.similarity import semantic_dedup
+    from json_remedy_spark.plans.explain import executed_plan
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    plan = executed_plan(semantic_dedup(e, threshold=0.9, cells=8, iters=1))
+    assert plan.count("Exchange") <= 1, plan
+    assert "FlatMapGroupsInPandas" in plan
