@@ -57,6 +57,7 @@ def main() -> None:
     ap.add_argument("--no-line-dedup", action="store_true")
     ap.add_argument("--dup-span-window", type=int, default=0)
     ap.add_argument("--seen-input", default=None)
+    ap.add_argument("--checkpoint-root", default=None)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -71,6 +72,7 @@ def main() -> None:
         pack_token_budget,
     )
     from json_remedy_spark.functions.dedup import incremental_new_docs, near_dup_components
+    from json_remedy_spark.operators.checkpoint import StageCheckpointer
     from json_remedy_spark.operators.pipeline import quality_filter
     from json_remedy_spark.sources.catalog import read_table, write_table
 
@@ -82,6 +84,12 @@ def main() -> None:
     )
     pages = read_table(spark, args.input)
     n_in = pages.count()
+    stager = StageCheckpointer(spark, args.checkpoint_root) if args.checkpoint_root else None
+
+    def stage(name, fn):
+        """Materialize + resume at global-stage granularity when a
+        checkpoint root is given; plain lazy composition otherwise."""
+        return stager.stage(name, fn) if stager else fn()
 
     # 1. quality filter (keep only passing docs; scrubbed text onward)
     kept = quality_filter(pages, with_actions=False).where("keep")
@@ -99,55 +107,68 @@ def main() -> None:
     if args.max_per_domain:
         kept = domain_cap(kept, args.max_per_domain).drop("domain", "rk")
 
-    docs = kept.select(
-        F.xxhash64("url").alias("doc_id"), F.col("scrubbed").alias("text"), "url", "lang_id"
+    docs = stage(
+        "s1_filtered",
+        lambda: kept.select(
+            F.xxhash64("url").alias("doc_id"), F.col("scrubbed").alias("text"), "url", "lang_id"
+        ),
     )
 
     # 2c. global line-level dedup (boilerplate removal); docs whose
     # every line was boilerplate drop out here
     if not args.no_line_dedup:
-        deduped = line_dedup(docs)
-        docs = (
-            docs.drop("text")
-            .join(deduped.where(F.length(F.trim("text")) > 0).select("doc_id", "text"), "doc_id")
-        )
+        def _line(d=docs):
+            deduped = line_dedup(d)
+            return d.drop("text").join(
+                deduped.where(F.length(F.trim("text")) > 0).select("doc_id", "text"), "doc_id"
+            )
+        docs = stage("s2_line_dedup", _line)
 
     # 2d. optional duplicate-substring removal (token-window spans)
     if args.dup_span_window:
-        spans = dup_span_removal(docs, window=args.dup_span_window)
-        docs = (
-            docs.drop("text")
-            .join(
-                spans.where(F.length(F.trim("text")) > 0).select("doc_id", "text"),
-                "doc_id",
+        def _spans(d=docs):
+            spans = dup_span_removal(d, window=args.dup_span_window)
+            return d.drop("text").join(
+                spans.where(F.length(F.trim("text")) > 0).select("doc_id", "text"), "doc_id"
             )
-        )
+        docs = stage("s3_dup_span", _spans)
 
     # 2e. optional incremental gate against an at-rest seen store
     if args.seen_input:
-        seen = read_table(spark, args.seen_input).select("text")
-        fresh = incremental_new_docs(docs, seen)
-        docs = docs.join(fresh.select("doc_id"), "doc_id", "left_semi")
+        def _gate(d=docs):
+            seen = read_table(spark, args.seen_input).select("text")
+            fresh = incremental_new_docs(d, seen)
+            return d.join(fresh.select("doc_id"), "doc_id", "left_semi")
+        docs = stage("s4_incremental_gate", _gate)
 
     # 3. fuzzy near-dup dedup over the line-deduped scrubbed text
-    docs = docs.persist()
-    comp = near_dup_components(docs, threshold=args.threshold)
-    docs = docs.join(comp.where("is_canonical").select("doc_id"), "doc_id", "left_semi")
+    def _fuzzy(d=docs):
+        d = d.persist()
+        comp = near_dup_components(d, threshold=args.threshold)
+        return d.join(comp.where("is_canonical").select("doc_id"), "doc_id", "left_semi")
+    docs = stage("s5_fuzzy_dedup", _fuzzy)
 
     # 4. optional benchmark decontamination
     if args.eval_input:
-        ev = read_table(spark, args.eval_input).select("doc_id", "text")
-        flags = decontaminate(docs, ev)
-        docs = docs.join(flags.where("contaminated"), "doc_id", "left_anti")
+        def _decon(d=docs):
+            ev = read_table(spark, args.eval_input).select("doc_id", "text")
+            flags = decontaminate(d, ev)
+            return d.join(flags.where("contaminated"), "doc_id", "left_anti")
+        docs = stage("s6_decontaminated", _decon)
 
     # 5. optional per-language token budget
     if args.token_budget:
-        packed = pack_token_budget(docs, args.token_budget, lang_col="lang_id")
-        docs = docs.join(packed.select("doc_id"), "doc_id", "left_semi")
+        def _pack(d=docs):
+            packed = pack_token_budget(d, args.token_budget, lang_col="lang_id")
+            return d.join(packed.select("doc_id"), "doc_id", "left_semi")
+        docs = stage("s7_packed", _pack)
 
     write_table(docs.select("url", "lang_id", "text"), args.output, mode="overwrite")
     n_out = docs.count()
-    print(f"corpus: {n_in} in -> {n_out} out -> {args.output}")
+    resume_note = (
+        f" (stages computed={stager.computed} skipped={stager.skipped})" if stager else ""
+    )
+    print(f"corpus: {n_in} in -> {n_out} out -> {args.output}{resume_note}")
     spark.stop()
 
 

@@ -80,3 +80,37 @@ def run_with_checkpoints(
         computed.append(b)
     docs_b.unpersist()
     return computed
+
+
+class StageCheckpointer:
+    """Stage-level resume for composed GLOBAL pipelines (dedup /
+    domain caps / decontamination are cross-corpus aggregates, so the
+    per-bucket ``run_with_checkpoints`` form would silently change
+    their semantics — a bucket-local line dedup is not a global one).
+
+    Each named stage materializes to ``root/<name>/``; a stage whose
+    parquet ``_SUCCESS`` marker exists is read back instead of
+    recomputed, so a killed run resumes at the first incomplete stage.
+    Half-written stage dirs (no marker) are overwritten — idempotent.
+    Resume is for KILLED runs, so incomplete stages are always a
+    SUFFIX of the stage sequence; invalidating a mid-sequence stage by
+    hand requires deleting every later stage dir too (later outputs
+    were computed from the old upstream).
+    Materializing per stage also truncates lineage exactly where the
+    job already pays an exchange, which at 100 TB doubles as the
+    shuffle-reuse point."""
+
+    def __init__(self, spark, root: str):
+        self.spark = spark
+        self.root = root
+        self.computed: list = []
+        self.skipped: list = []
+
+    def stage(self, name: str, compute_fn) -> DataFrame:
+        path = os.path.join(self.root, name)
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            self.skipped.append(name)
+            return self.spark.read.parquet(path)
+        compute_fn().write.mode("overwrite").parquet(path)
+        self.computed.append(name)
+        return self.spark.read.parquet(path)

@@ -1484,3 +1484,42 @@ def test_stateful_stream_embedding_near_dup(spark, tmp_path):
     assert (10, 0) in pairs  # identical vector collides in every table
     assert (11, 0) in pairs  # near vector shares a sign pattern
     assert not any(p[0] == 3 or p[1] == 3 for p in pairs)
+
+
+def test_stage_checkpointer_resume_and_halfwritten(spark, tmp_path):
+    """Stage-level resume: completed stages are read back, not
+    recomputed; a half-written stage dir (no _SUCCESS) recomputes."""
+    import os
+    import shutil
+
+    from json_remedy_spark.operators.checkpoint import StageCheckpointer
+
+    calls = {"a": 0, "b": 0}
+
+    def mk(name, rows):
+        def fn():
+            calls[name] += 1
+            return spark.createDataFrame(rows, ["doc_id", "text"])
+        return fn
+
+    root = str(tmp_path / "stages")
+    st1 = StageCheckpointer(spark, root)
+    a1 = st1.stage("a", mk("a", [(1, "x")]))
+    b1 = st1.stage("b", mk("b", [(2, "y")]))
+    assert a1.count() == 1 and b1.count() == 1
+    assert calls == {"a": 1, "b": 1} and st1.computed == ["a", "b"]
+
+    # resume: both committed -> zero recomputation
+    st2 = StageCheckpointer(spark, root)
+    st2.stage("a", mk("a", [(9, "SHOULD NOT RUN")]))
+    st2.stage("b", mk("b", [(9, "SHOULD NOT RUN")]))
+    assert calls == {"a": 1, "b": 1} and st2.skipped == ["a", "b"]
+
+    # half-written stage (marker removed) recomputes and overwrites
+    os.remove(os.path.join(root, "b", "_SUCCESS"))
+    st3 = StageCheckpointer(spark, root)
+    st3.stage("a", mk("a", [(9, "no")]))
+    b3 = st3.stage("b", mk("b", [(7, "fresh")]))
+    assert calls == {"a": 1, "b": 2}
+    assert [r["doc_id"] for r in b3.collect()] == [7]
+    shutil.rmtree(root)
