@@ -276,6 +276,35 @@ def q_dup_span_removal(spark, sf_dir):
     )
 
 
+_MOJI_MARKERS = [
+    "it\u00e2\u20ac\u2122s \u00e2\u20ac\u0153quoted\u00e2\u20ac\u009d",  # â€™ / â€œ / â€\x9d
+    "\u00c3\u00a9t\u00c3\u00a9 d\u00c3\u00a9j\u00c3\u00a0",                # Ã© / Ã 
+    "Cafe\u0301 combining",                                                   # NFD -> NFC composition
+    "plain",
+]
+
+
+def q_normalize_text(spark, sf_dir):
+    """Unicode normalization pass: mojibake repair (sloppy-cp1252
+    double encoding) + NFC composition, over documents with
+    deterministic doc_id-derived mojibake markers (identical
+    construction in the DuckDB oracle)."""
+    from json_remedy_spark.functions import normalize
+
+    d = _t(spark, sf_dir, "documents")
+    marker = F.element_at(
+        F.array(*[F.lit(m) for m in _MOJI_MARKERS]),
+        (F.col("doc_id") % 4 + 1).cast("int"),
+    )
+    src = d.select(
+        "doc_id",
+        F.concat(F.substring("text", 1, 40), F.lit(" "), marker).alias("text"),
+    )
+    return normalize.nfc_normalize(src).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text", "changed"
+    )
+
+
 def q_domain_stats(spark, sf_dir):
     """Per-domain corpus aggregates (URL-filtering observability)."""
     pages = _synthetic_pages(spark, sf_dir)
@@ -794,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "line_dedup": q_line_dedup,
         "dup_span_removal": q_dup_span_removal,
+        "normalize_text": q_normalize_text,
         "domain_stats": q_domain_stats,
         "domain_cap": q_domain_cap,
         "fasttext_langid": q_fasttext_langid,
@@ -1088,6 +1118,30 @@ def _dup_span_removal_sql(window: int = 4, min_count: int = 2) -> str:
     """
 
 
+def _normalize_text_sql() -> str:
+    from __spark_entry__ import _MOJI_MARKERS  # self-import for markers
+    from json_remedy_spark.functions.normalize import fix_mojibake_sql
+
+    def lit(t: str) -> str:
+        return "'" + t.replace("'", "''") + "'"
+
+    case = (
+        "CASE doc_id % 4 "
+        + " ".join(f"WHEN {i} THEN {lit(m)}" for i, m in enumerate(_MOJI_MARKERS))
+        + " END"
+    )
+    return f"""
+      WITH src AS (
+        SELECT doc_id, concat(substr(text, 1, 40), ' ', {case}) AS t
+        FROM documents
+      )
+      SELECT doc_id::BIGINT AS doc_id,
+             nfc_normalize({fix_mojibake_sql('t')}) AS text,
+             (nfc_normalize({fix_mojibake_sql('t')}) != t) AS changed
+      FROM src
+    """
+
+
 def _domain_stats_sql() -> str:
     from json_remedy_spark.functions.corpus import domain_of_sql
 
@@ -1301,6 +1355,7 @@ def oracle_sql() -> dict[str, str]:
         "stratified_sample": _stratified_sample_sql(),
         "line_dedup": _line_dedup_sql(),
         "dup_span_removal": _dup_span_removal_sql(),
+        "normalize_text": _normalize_text_sql(),
         "domain_stats": _domain_stats_sql(),
         "domain_cap": _domain_cap_sql(),
         "fasttext_langid": _fasttext_langid_sql(),

@@ -1523,3 +1523,47 @@ def test_stage_checkpointer_resume_and_halfwritten(spark, tmp_path):
     assert calls == {"a": 1, "b": 2}
     assert [r["doc_id"] for r in b3.collect()] == [7]
     shutil.rmtree(root)
+
+
+# ---- normalize: NFC + mojibake repair --------------------------------------
+
+def test_mojibake_pairs_roundtrip():
+    """Every generated pair inverts the sloppy-cp1252 double encoding."""
+    from json_remedy_spark.functions.normalize import MOJIBAKE_PAIRS, _sloppy_cp1252
+
+    assert len(MOJIBAKE_PAIRS) >= 25
+    for broken, fixed in MOJIBAKE_PAIRS:
+        assert _sloppy_cp1252(fixed.encode("utf-8")) == broken
+
+
+def test_nfc_normalize_fixes_mojibake_and_composes(spark):
+    from json_remedy_spark.functions.normalize import nfc_normalize
+
+    rows = [
+        (1, "itâ€™s a â€œtestâ€\x9d â€” Ã©tÃ©"),
+        (2, "Café combining acute"),
+        (3, "plain ascii untouched"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in nfc_normalize(d).collect()}
+    assert out[1]["text"] == "it’s a “test” — été"
+    assert out[1]["changed"] is True
+    assert out[2]["text"] == "Café combining acute" and out[2]["changed"] is True
+    assert out[3]["text"] == "plain ascii untouched" and out[3]["changed"] is False
+
+
+def test_nfc_matches_duckdb(spark):
+    """The Arrow NFC kernel and DuckDB's nfc_normalize implement the
+    same UAX #15 — byte parity on a unicode-heavy sample."""
+    import duckdb
+
+    from json_remedy_spark.functions.normalize import nfc_normalize
+
+    rows = [
+        (1, "Å ring"), (2, "ﬁ ligature stays"), (3, "한국어 ᄒᆞᆫ"),
+        (4, "ȩ́ stacked"), (5, "Ω vs Ω ohm"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["text"] for r in nfc_normalize(d).collect()}
+    for i, t in rows:
+        assert got[i] == duckdb.sql("select nfc_normalize(?)", params=[t]).fetchone()[0]
