@@ -58,6 +58,7 @@ def main() -> None:
     ap.add_argument("--dup-span-window", type=int, default=0)
     ap.add_argument("--seen-input", default=None)
     ap.add_argument("--checkpoint-root", default=None)
+    ap.add_argument("--normalize", action="store_true")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -113,6 +114,14 @@ def main() -> None:
             F.xxhash64("url").alias("doc_id"), F.col("scrubbed").alias("text"), "url", "lang_id"
         ),
     )
+
+    # 2b2. optional unicode normalization (mojibake + NFC) BEFORE the
+    # dedup family so broken and clean encodings of the same line/span
+    # hash identically
+    if args.normalize:
+        from json_remedy_spark.functions.normalize import normalize_text_col
+
+        docs = stage("s1b_normalized", lambda d=docs: normalize_text_col(d))
 
     # 2c. global line-level dedup (boilerplate removal); docs whose
     # every line was boilerplate drop out here

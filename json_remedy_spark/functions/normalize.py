@@ -87,3 +87,16 @@ def nfc_normalize(
     return src.select(
         "doc_id", "text", (F.col("text") != F.col("_orig")).alias("changed")
     )
+
+
+def normalize_text_col(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """In-place variant for pipelines: replaces ``text_col`` with its
+    mojibake-fixed + NFC form, preserving every other column."""
+
+    @F.pandas_udf("string")
+    def nfc_udf(s: pd.Series) -> pd.Series:
+        return s.map(
+            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
+        )
+
+    return docs.withColumn(text_col, nfc_udf(fix_mojibake(F.col(text_col))))
