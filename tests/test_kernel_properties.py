@@ -133,3 +133,41 @@ def test_lone_surrogate_escapes_never_poison(cp):
     assert r.ok
     r.repaired.encode("utf-8")
     assert json.loads(r.repaired) == {"k": chr(cp)}
+
+
+@given(st.text(max_size=200))
+@settings(max_examples=150, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_nfc_kernel_matches_duckdb(t):
+    """The normalize module's NFC (Python unicodedata) must match
+    DuckDB's nfc_normalize byte-for-byte on arbitrary unicode — the
+    exactness contract behind the normalize_text oracle."""
+    import unicodedata
+
+    import duckdb
+
+    from hypothesis import assume
+
+    # DuckDB strings are UTF-8; lone surrogates are not representable
+    # and NUL truncates its varchar params — both outside the oracle's
+    # domain (parquet corpus text carries neither)
+    assume("\x00" not in t)
+    assume(all(not 0xD800 <= ord(c) <= 0xDFFF for c in t))
+    got = duckdb.sql("select nfc_normalize(?)", params=[t]).fetchone()[0]
+    assert got == unicodedata.normalize("NFC", t)
+
+
+@given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=120))
+@settings(max_examples=100, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_mojibake_chain_spark_sql_equivalence(t):
+    """fix_mojibake's JVM replace chain and fix_mojibake_sql's DuckDB
+    chain are the same pure function — evaluated here via the pair
+    table applied in plain Python vs the DuckDB expression."""
+    import duckdb
+
+    from json_remedy_spark.functions.normalize import MOJIBAKE_PAIRS, fix_mojibake_sql
+
+    py = t
+    for broken, fixed in MOJIBAKE_PAIRS:
+        py = py.replace(broken, fixed)
+    got = duckdb.sql(f"select {fix_mojibake_sql('?')}", params=[t]).fetchone()[0]
+    assert got == py
