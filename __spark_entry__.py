@@ -1321,8 +1321,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "incremental_dedup": f"""
             WITH seen AS (
+              -- IS NOT NULL guard: one NULL in a NOT IN subquery would
+              -- nullify EVERY predicate; Spark's left-anti is null-safe
               SELECT DISTINCT md5({_NORM}) AS text_hash
-              FROM documents WHERE doc_id % 2 = 0
+              FROM documents
+              WHERE doc_id % 2 = 0 AND md5({_NORM}) IS NOT NULL
             )
             SELECT doc_id::BIGINT AS doc_id, md5({_NORM}) AS text_hash
             FROM documents

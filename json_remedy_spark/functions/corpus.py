@@ -159,6 +159,7 @@ def line_dedup_incremental(
     min_line_chars: int = 1,
     sep: str = "\n",
     seen_bloom: tuple | None = None,
+    handles: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """``line_dedup`` core with an optional prior state: lines whose
     md5 appears in ``seen_hashes`` (single column ``line_hash``) are
@@ -186,21 +187,18 @@ def line_dedup_incremental(
     if seen_hashes is not None:
         store = seen_hashes.select("line_hash").distinct()
         if seen_bloom is not None:
-            from json_remedy_spark.functions.dedup import _bloom_hit_udf
+            from json_remedy_spark.functions.dedup import _bloom_hit_udf, bloom_positions
 
             bitmap, n_bits, n_hashes = seen_bloom
             hit_udf = _bloom_hit_udf(bitmap, n_bits, n_hashes)
+            # persist the NARROW probed frame: the miss/hit union would
+            # otherwise re-execute the upstream explode per branch
             probed = narrow.withColumn(
                 "bloom_hit",
-                hit_udf(
-                    F.array(
-                        *[
-                            F.pmod(F.xxhash64(F.col("line_hash"), F.lit(i)), F.lit(n_bits))
-                            for i in range(n_hashes)
-                        ]
-                    )
-                ),
-            )
+                hit_udf(bloom_positions(F.col("line_hash"), n_bits, n_hashes)),
+            ).persist()
+            if handles is not None:
+                handles.append(probed)
             misses = probed.where(~F.col("bloom_hit")).drop("bloom_hit")
             hits = probed.where(F.col("bloom_hit")).drop("bloom_hit")
             narrow = misses.unionByName(hits.join(store, "line_hash", "left_anti"))

@@ -622,6 +622,16 @@ BLOOM_BITS = 1 << 20
 BLOOM_HASHES = 4
 
 
+def bloom_positions(col, n_bits: int = BLOOM_BITS, n_hashes: int = BLOOM_HASHES):
+    """THE bloom hash family: ``n_hashes`` xxhash64 variants pmod
+    n_bits, as one array column.  Single definition — build, probe,
+    batch, and streaming sides all call this; a divergent copy would
+    silently break every membership test (review r3)."""
+    return F.array(
+        *[F.pmod(F.xxhash64(col, F.lit(i)), F.lit(n_bits)) for i in range(n_hashes)]
+    )
+
+
 def build_bloom(seen: DataFrame, key_col: str, n_bits: int = BLOOM_BITS, n_hashes: int = BLOOM_HASHES):
     """Compact broadcastable bloom filter over a key column: ``n_bits``
     bit positions set by ``n_hashes`` xxhash64 variants per key.
@@ -638,16 +648,7 @@ def build_bloom(seen: DataFrame, key_col: str, n_bits: int = BLOOM_BITS, n_hashe
     import numpy as np
 
     pos = (
-        seen.select(
-            F.explode(
-                F.array(
-                    *[
-                        F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(n_bits))
-                        for i in range(n_hashes)
-                    ]
-                )
-            ).alias("p")
-        )
+        seen.select(F.explode(bloom_positions(F.col(key_col), n_bits, n_hashes)).alias("p"))
         .distinct()
         .collect()
     )
@@ -683,6 +684,7 @@ def incremental_new_docs(
     n_bits: int = BLOOM_BITS,
     n_hashes: int = BLOOM_HASHES,
     use_bloom: bool = True,
+    handles: list | None = None,
 ) -> DataFrame:
     """EXACT incremental dedup against an at-rest corpus: return the
     rows of ``new`` whose normalized-text hash does not appear in
@@ -698,7 +700,12 @@ def incremental_new_docs(
     paths equal).  Within-batch duplicates are NOT collapsed — that is
     ``exact_dedup``'s job; this operator answers "new vs the store".
 
-    Returns ``(doc_id, text_hash)``."""
+    Returns ``(doc_id, text_hash)``.  The probed NARROW keyed frame
+    is persisted before the miss/hit split — Catalyst does not dedupe
+    common subtrees across union branches, so without it the whole
+    upstream (possibly a full repair pipeline) would execute once per
+    branch (review r3).  Pass ``handles`` to receive the persisted
+    frame for caller-controlled unpersist."""
     key = F.md5(normalized_text(F.col(text_col)))
     new_keyed = new.select(F.col(id_col).alias("doc_id"), key.alias("text_hash"))
     seen_keyed = seen.select(F.md5(normalized_text(F.col(text_col))).alias("text_hash"))
@@ -709,16 +716,10 @@ def incremental_new_docs(
     bitmap = build_bloom(seen_keyed, "text_hash", n_bits, n_hashes)
     hit = _bloom_hit_udf(bitmap, n_bits, n_hashes)
     probed = new_keyed.withColumn(
-        "bloom_hit",
-        hit(
-            F.array(
-                *[
-                    F.pmod(F.xxhash64(F.col("text_hash"), F.lit(i)), F.lit(n_bits))
-                    for i in range(n_hashes)
-                ]
-            )
-        ),
-    )
+        "bloom_hit", hit(bloom_positions(F.col("text_hash"), n_bits, n_hashes))
+    ).persist()
+    if handles is not None:
+        handles.append(probed)
     definite_new = probed.where(~F.col("bloom_hit")).drop("bloom_hit")
     maybe_seen = probed.where(F.col("bloom_hit")).drop("bloom_hit")
     survivors = maybe_seen.join(seen_keyed.distinct(), "text_hash", "left_anti")

@@ -67,13 +67,9 @@ def fix_mojibake_sql(expr: str) -> str:
     return out
 
 
-def nfc_normalize(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
-) -> DataFrame:
-    """(doc_id, text) with ``text`` NFC-normalized and mojibake fixed
-    (fix first, then NFC, so repaired chars compose too), plus a
-    ``changed`` flag.  One Arrow hop for NFC; the mojibake chain runs
-    JVM-side before it.  Map-only — no shuffle."""
+def _nfc_udf():
+    """One NFC kernel definition for both entry points (factory so the
+    decorator binds inside an active SparkContext)."""
 
     @F.pandas_udf("string")
     def nfc_udf(s: pd.Series) -> pd.Series:
@@ -81,6 +77,17 @@ def nfc_normalize(
             lambda t: unicodedata.normalize("NFC", t) if t is not None else None
         )
 
+    return nfc_udf
+
+
+def nfc_normalize(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, text) with ``text`` NFC-normalized and mojibake fixed
+    (fix first, then NFC, so repaired chars compose too), plus a
+    ``changed`` flag.  One Arrow hop for NFC; the mojibake chain runs
+    JVM-side before it.  Map-only — no shuffle."""
+    nfc_udf = _nfc_udf()
     src = docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("_orig")
     ).withColumn("text", nfc_udf(fix_mojibake(F.col("_orig"))))
@@ -92,11 +99,4 @@ def nfc_normalize(
 def normalize_text_col(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """In-place variant for pipelines: replaces ``text_col`` with its
     mojibake-fixed + NFC form, preserving every other column."""
-
-    @F.pandas_udf("string")
-    def nfc_udf(s: pd.Series) -> pd.Series:
-        return s.map(
-            lambda t: unicodedata.normalize("NFC", t) if t is not None else None
-        )
-
-    return docs.withColumn(text_col, nfc_udf(fix_mojibake(F.col(text_col))))
+    return docs.withColumn(text_col, _nfc_udf()(fix_mojibake(F.col(text_col))))

@@ -223,6 +223,13 @@ def ngram_repetition(
         for pdf in batches:
             tops, dups = [], []
             for t in pdf["t"]:
+                if t is None:
+                    # NULL text -> 0.0 fractions, matching the pre-
+                    # rewrite DataFrame semantics (review r3: the
+                    # kernel must not crash the stage on one NULL row)
+                    tops.append(0.0)
+                    dups.append(0.0)
+                    continue
                 total = max(len(t), 1)
                 ws = t.split(" ")
                 top_chars = 0

@@ -228,11 +228,15 @@ def remove_trailing_wrapper_text(s: str, log: list) -> str:
     if rest[:1] in '{[",' or re.match(r"^-?\d|^true|^false|^null", rest):
         # multi-value or object-continuation case — leave for the parser
         return s
-    if "{" in rest or "[" in rest:
-        # prose followed by ANOTHER structure (log-embedded JSON): the
-        # reference's MultipleJsonDetector runs BEFORE layer 1 and
-        # keeps it; our multi-value pass lives in the parser, so layer
-        # 1 must not eat it.  Pure prose (no opener) still drops.
+    brace = rest.find("{")
+    if brace != -1 and ":" in rest[brace:]:
+        # prose followed by a REAL object (log-embedded JSON — an
+        # opener with a colon in its tail): the reference's
+        # MultipleJsonDetector runs BEFORE layer 1 and keeps it; our
+        # multi-value pass lives in the parser, so layer 1 must not
+        # eat it.  Prose-shaped brackets ("see [1]", "use {curly}
+        # syntax") have no colon and still drop — keying on ANY
+        # opener fabricated values out of citations (review r3).
         return s
     log.append({"layer": "layer1", "action": "removed trailing wrapper text", "position": len(span)})
     return span

@@ -106,9 +106,20 @@ class StageCheckpointer:
         self.computed: list = []
         self.skipped: list = []
 
+    def _marker_exists(self, path: str) -> bool:
+        """Hadoop FileSystem probe, not os.path — the checkpoint root
+        may be HDFS/S3 at production scale, where a driver-local
+        os.path.exists is always False and resume would silently
+        become a no-op (review r3).  Local paths route through the
+        same API (file:// default FS)."""
+        jvm = self.spark._jvm
+        conf = self.spark._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        return p.getFileSystem(conf).exists(p)
+
     def stage(self, name: str, compute_fn) -> DataFrame:
         path = os.path.join(self.root, name)
-        if os.path.exists(os.path.join(path, "_SUCCESS")):
+        if self._marker_exists(os.path.join(path, "_SUCCESS")):
             self.skipped.append(name)
             return self.spark.read.parquet(path)
         compute_fn().write.mode("overwrite").parquet(path)

@@ -65,19 +65,14 @@ def run_line_dedup_stream(
     import numpy as np
 
     from json_remedy_spark.functions.corpus import line_dedup_incremental
-    from json_remedy_spark.functions.dedup import build_bloom
+    from json_remedy_spark.functions.dedup import bloom_positions, build_bloom
 
     state: dict = {"bloom": None}
 
     def _positions(df) -> "np.ndarray":
         rows = df.select(
             F.explode(
-                F.array(
-                    *[
-                        F.pmod(F.xxhash64(F.col("line_hash"), F.lit(i)), F.lit(bloom_bits))
-                        for i in range(bloom_hashes)
-                    ]
-                )
+                bloom_positions(F.col("line_hash"), bloom_bits, bloom_hashes)
             ).alias("p")
         ).distinct().collect()
         return np.array([r["p"] for r in rows], dtype=np.int64)
@@ -97,9 +92,11 @@ def run_line_dedup_stream(
                 )
             bloom = (state["bloom"], bloom_bits, bloom_hashes)
         pages = batch_df.select("url", "text")
+        batch_handles: list = []
         deduped, new_hashes = line_dedup_incremental(
             pages, seen, id_col="url", text_col="text",
             min_line_chars=min_line_chars, seen_bloom=bloom,
+            handles=batch_handles,
         )
         out = (
             batch_df.drop("text", "html")
@@ -120,6 +117,8 @@ def run_line_dedup_stream(
                 np.bitwise_or.at(
                     state["bloom"], idx >> 3, (1 << (idx & 7)).astype("uint8")
                 )
+        for h in batch_handles:
+            h.unpersist()
 
     q = (
         spark.readStream.schema(schema or PAGE_SCHEMA)

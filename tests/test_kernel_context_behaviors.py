@@ -174,3 +174,13 @@ def test_issue8_missing_terminators(case_no, newline):
     r = repair(doc.replace("\n", newline))
     assert r.ok
     assert json.loads(r.repaired) == expected
+
+
+def test_trailing_prose_with_citation_brackets_dropped():
+    """Review r3 regression: bracketed citations / brace mentions in
+    trailing prose must NOT be fabricated into JSON values; a real
+    object after prose (colon inside the opener's tail) survives."""
+    assert repair('{"a": 1} Thanks, see [1] for details.').repaired == '{"a":1}'
+    assert repair('{"a": 1} Use {curly} syntax.').repaired == '{"a":1}'
+    r = repair('{"a": 1} log follows {"level": "INFO"}')
+    assert json.loads(r.repaired) == [{"a": 1}, {"level": "INFO"}]

@@ -1567,3 +1567,19 @@ def test_nfc_matches_duckdb(spark):
     got = {r["doc_id"]: r["text"] for r in nfc_normalize(d).collect()}
     for i, t in rows:
         assert got[i] == duckdb.sql("select nfc_normalize(?)", params=[t]).fetchone()[0]
+
+
+def test_ngram_repetition_null_text_row(spark):
+    """A NULL text row must yield 0.0 fractions, not crash the stage
+    (review r3 regression: the Arrow kernel called len(None))."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from json_remedy_spark.functions.quality import ngram_repetition
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    d = spark.createDataFrame([(1, "a a a a"), (2, None)], schema)
+    out = {r["doc_id"]: r for r in ngram_repetition(d).collect()}
+    assert out[2]["top2_frac"] == 0.0 and out[2]["dup5_frac"] == 0.0
+    assert out[1]["top2_frac"] > 0
