@@ -190,28 +190,30 @@ def extract_from_prose(s: str, log: list) -> str:
     return span
 
 
+# One alternation: a whole string literal is ONE match (consumed at
+# C speed), structural chars another; a bare trailing quote (the
+# unterminated-string case) falls through to the single-char branch.
+_SPAN_RE = re.compile(r'"(?:[^"\\]|\\.)*"|[{}\[\]"]')
+
+
 def _balanced_span(s: str, start: int) -> str | None:
+    """Single-pass regex scan (the per-char Python loop ran over the
+    whole doc once per repair; quote-dense docs need strings consumed
+    as single tokens for the regex form to win)."""
     depth = 0
-    in_str = False
-    esc = False
-    for j in range(start, len(s)):
-        ch = s[j]
-        if in_str:
-            if esc:
-                esc = False
-            elif ch == "\\":
-                esc = True
-            elif ch == '"':
-                in_str = False
+    for m in _SPAN_RE.finditer(s, start):
+        tok = m.group(0)
+        c = tok[0]
+        if c == '"':
+            if len(tok) == 1:
+                return None  # unterminated string -> no balanced span
             continue
-        if ch == '"':
-            in_str = True
-        elif ch in "{[":
+        if c in "{[":
             depth += 1
-        elif ch in "}]":
+        else:
             depth -= 1
             if depth == 0:
-                return s[start : j + 1]
+                return s[start : m.start() + 1]
     return None
 
 

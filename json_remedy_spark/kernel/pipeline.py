@@ -126,6 +126,17 @@ def _span_fast_path(s: str) -> Any:
 _QUOTE_STARTS = {"'", "“", "”", "‘", "’"}
 
 
+def _maybe_unwrap(value: Any, src: str, log: list) -> Any:
+    """Gate the recursive unwrap walk on the SOURCE containing a fence
+    at all — a fenced string value must literally contain ``` which
+    must appear in the source, so docs without backticks (the common
+    case) skip the full-structure rebuild (profiling: ~6% of the
+    malformed-doc slow path)."""
+    if "```" not in src:
+        return value
+    return _unwrap_fenced_strings(value, log)
+
+
 def _unwrap_fenced_strings(value: Any, log: list) -> Any:
     """Recursive walk: string values that are fully fenced get re-repaired
     and inlined (code_fence_extractor.ex:9-39)."""
@@ -232,14 +243,14 @@ def repair(
         v = _span_fast_path(s)
         if v is not SKIP:
             log.append({"layer": "layer1", "action": "extracted valid JSON value (span fast path)", "position": 0})
-            v = _unwrap_fenced_strings(v, log)
+            v = _maybe_unwrap(v, s, log)
             return RepairResult(ok=True, value=v, repaired=to_canonical(v), repairs=log, fast_path=True)
 
     work = cleaning.clean(s, log)
     if work != s and fast_path_optimization:
         v = _fast_path(work)
         if v is not SKIP:
-            v = _unwrap_fenced_strings(v, log)
+            v = _maybe_unwrap(v, work, log)
             return RepairResult(ok=True, value=v, repaired=to_canonical(v), repairs=log)
     work = prepass.apply(work, log, early_hardcoded=enable_early_hardcoded_patterns)
     if normalize_escapes:
@@ -260,7 +271,7 @@ def repair(
         if is_plain_text(work) or not (_JSON_CHARS_RE.search(work) or "'" in work):
             return RepairResult(ok=True, value="", repaired='""', repairs=log)
         return RepairResult(ok=False, error="Could not repair JSON", repairs=log)
-    value = _unwrap_fenced_strings(value, log)
+    value = _maybe_unwrap(value, work, log)
     return RepairResult(ok=True, value=value, repaired=to_canonical(value), repairs=log)
 
 
@@ -318,7 +329,7 @@ def repair_with_debug(s: str | bytes) -> tuple[RepairResult, list[dict]]:
     })
     if value is SKIP:
         return RepairResult(ok=False, error="Could not repair JSON", repairs=log), steps
-    value = _unwrap_fenced_strings(value, log)
+    value = _maybe_unwrap(value, work, log)
     return RepairResult(ok=True, value=value, repaired=to_canonical(value), repairs=log), steps
 
 
