@@ -148,3 +148,19 @@ def test_null_bytes_no_crash():
     assert isinstance(out, str)
     r = repair("test\0null")
     assert r.ok  # plain text -> dropped, never a crash
+
+
+def test_examples_combined_patterns():
+    """examples/hardcoded_patterns_examples.exs:263-269 — guillemets,
+    thousands commas, and in-string comma preservation in ONE doc."""
+    import json
+
+    r = repair('{"name": "John Doe", "balance": 1,234.56, "message": «Welcome!»}')
+    assert r.ok
+    assert json.loads(r.repaired) == {
+        "name": "John Doe", "balance": 1234.56, "message": "Welcome!"
+    }
+    r2 = repair('{"message": "We sold 1,234 units", "count": 1,234}')
+    assert json.loads(r2.repaired) == {
+        "message": "We sold 1,234 units", "count": 1234
+    }
