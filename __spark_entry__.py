@@ -1119,7 +1119,6 @@ def _dup_span_removal_sql(window: int = 4, min_count: int = 2) -> str:
 
 
 def _normalize_text_sql() -> str:
-    from __spark_entry__ import _MOJI_MARKERS  # self-import for markers
     from json_remedy_spark.functions.normalize import fix_mojibake_sql
 
     def lit(t: str) -> str:
@@ -1134,11 +1133,13 @@ def _normalize_text_sql() -> str:
       WITH src AS (
         SELECT doc_id, concat(substr(text, 1, 40), ' ', {case}) AS t
         FROM documents
+      ),
+      fixed AS (
+        SELECT doc_id, t, nfc_normalize({fix_mojibake_sql('t')}) AS text
+        FROM src
       )
-      SELECT doc_id::BIGINT AS doc_id,
-             nfc_normalize({fix_mojibake_sql('t')}) AS text,
-             (nfc_normalize({fix_mojibake_sql('t')}) != t) AS changed
-      FROM src
+      SELECT doc_id::BIGINT AS doc_id, text, (text != t) AS changed
+      FROM fixed
     """
 
 

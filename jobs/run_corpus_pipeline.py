@@ -125,22 +125,22 @@ def main() -> None:
 
     # 2c. global line-level dedup (boilerplate removal); docs whose
     # every line was boilerplate drop out here
+    def replace_text(d, rewritten):
+        """Swap in a rewriting stage's text; docs it emptied drop out."""
+        return d.drop("text").join(
+            rewritten.where(F.length(F.trim("text")) > 0).select("doc_id", "text"),
+            "doc_id",
+        )
+
     if not args.no_line_dedup:
-        def _line(d=docs):
-            deduped = line_dedup(d)
-            return d.drop("text").join(
-                deduped.where(F.length(F.trim("text")) > 0).select("doc_id", "text"), "doc_id"
-            )
-        docs = stage("s2_line_dedup", _line)
+        docs = stage("s2_line_dedup", lambda d=docs: replace_text(d, line_dedup(d)))
 
     # 2d. optional duplicate-substring removal (token-window spans)
     if args.dup_span_window:
-        def _spans(d=docs):
-            spans = dup_span_removal(d, window=args.dup_span_window)
-            return d.drop("text").join(
-                spans.where(F.length(F.trim("text")) > 0).select("doc_id", "text"), "doc_id"
-            )
-        docs = stage("s3_dup_span", _spans)
+        docs = stage(
+            "s3_dup_span",
+            lambda d=docs: replace_text(d, dup_span_removal(d, window=args.dup_span_window)),
+        )
 
     # 2e. optional incremental gate against an at-rest seen store
     if args.seen_input:

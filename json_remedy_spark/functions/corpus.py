@@ -187,21 +187,11 @@ def line_dedup_incremental(
     if seen_hashes is not None:
         store = seen_hashes.select("line_hash").distinct()
         if seen_bloom is not None:
-            from json_remedy_spark.functions.dedup import _bloom_hit_udf, bloom_positions
+            from json_remedy_spark.functions.dedup import bloom_split_anti_join
 
-            bitmap, n_bits, n_hashes = seen_bloom
-            hit_udf = _bloom_hit_udf(bitmap, n_bits, n_hashes)
-            # persist the NARROW probed frame: the miss/hit union would
-            # otherwise re-execute the upstream explode per branch
-            probed = narrow.withColumn(
-                "bloom_hit",
-                hit_udf(bloom_positions(F.col("line_hash"), n_bits, n_hashes)),
-            ).persist()
-            if handles is not None:
-                handles.append(probed)
-            misses = probed.where(~F.col("bloom_hit")).drop("bloom_hit")
-            hits = probed.where(F.col("bloom_hit")).drop("bloom_hit")
-            narrow = misses.unionByName(hits.join(store, "line_hash", "left_anti"))
+            narrow = bloom_split_anti_join(
+                narrow, store, "line_hash", seen_bloom, handles
+            )
         else:
             narrow = narrow.join(store, "line_hash", "left_anti")
     winners_h = narrow.groupBy("line_hash").agg(

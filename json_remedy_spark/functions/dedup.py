@@ -676,6 +676,31 @@ def _bloom_hit_udf(bitmap, n_bits: int, n_hashes: int):
     return hit
 
 
+def bloom_split_anti_join(
+    keyed: DataFrame,
+    store: DataFrame,
+    key_col: str,
+    bloom: tuple,
+    handles: list | None = None,
+) -> DataFrame:
+    """The miss/hit split shared by every bloom-prefiltered exact
+    lookup (batch docs, line dedup, streaming): rows that MISS the
+    bloom pass through join-free; HITS take the real left-anti join
+    against ``store``.  The probed frame persists first — Catalyst
+    re-executes common subtrees once per union branch otherwise; pass
+    ``handles`` to receive it for caller-controlled unpersist."""
+    bitmap, n_bits, n_hashes = bloom
+    hit = _bloom_hit_udf(bitmap, n_bits, n_hashes)
+    probed = keyed.withColumn(
+        "bloom_hit", hit(bloom_positions(F.col(key_col), n_bits, n_hashes))
+    ).persist()
+    if handles is not None:
+        handles.append(probed)
+    misses = probed.where(~F.col("bloom_hit")).drop("bloom_hit")
+    hits = probed.where(F.col("bloom_hit")).drop("bloom_hit")
+    return misses.unionByName(hits.join(store, key_col, "left_anti"))
+
+
 def incremental_new_docs(
     new: DataFrame,
     seen: DataFrame,
@@ -714,13 +739,7 @@ def incremental_new_docs(
             "doc_id", "text_hash"
         )
     bitmap = build_bloom(seen_keyed, "text_hash", n_bits, n_hashes)
-    hit = _bloom_hit_udf(bitmap, n_bits, n_hashes)
-    probed = new_keyed.withColumn(
-        "bloom_hit", hit(bloom_positions(F.col("text_hash"), n_bits, n_hashes))
-    ).persist()
-    if handles is not None:
-        handles.append(probed)
-    definite_new = probed.where(~F.col("bloom_hit")).drop("bloom_hit")
-    maybe_seen = probed.where(F.col("bloom_hit")).drop("bloom_hit")
-    survivors = maybe_seen.join(seen_keyed.distinct(), "text_hash", "left_anti")
-    return definite_new.unionByName(survivors).select("doc_id", "text_hash")
+    return bloom_split_anti_join(
+        new_keyed, seen_keyed.distinct(), "text_hash",
+        (bitmap, n_bits, n_hashes), handles,
+    ).select("doc_id", "text_hash")
