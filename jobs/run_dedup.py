@@ -5,6 +5,7 @@
       --sig-dir <dir>      at-rest banded signature table (resume unit) \
       --output <dir>       (doc_id, rep_id, is_canonical) parquet \
       [--threshold 0.8] [--buckets 64] [--id-col doc_id] [--text-col text]
+      [--embeddings] [--emb-col embedding]   semantic mode over vectors
 
 The 100 TB shape, stage by stage:
 
@@ -20,6 +21,14 @@ The 100 TB shape, stage by stage:
 4. ``components_from_pairs`` assigns one canonical representative per
    near-dup cluster; filtering ``is_canonical`` downstream yields the
    deduplicated corpus.
+
+``--embeddings`` switches to the SEMANTIC path over (id, embedding)
+vectors: multi-table hyperplane LSH candidates scored by the Arrow
+cosine kernel (``embedding_near_dup``), then the same components last
+mile.  No at-rest signature stage there — the sign-pattern bucketing
+is cheap column math over the already-at-rest embedding table, unlike
+the shingle+minhash kernel that justifies checkpointing text
+signatures.
 """
 
 import argparse
@@ -38,6 +47,8 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
+    ap.add_argument("--embeddings", action="store_true")
+    ap.add_argument("--emb-col", default="embedding")
     args = ap.parse_args()
 
     from pyspark import StorageLevel
@@ -59,6 +70,29 @@ def main() -> None:
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .getOrCreate()
     )
+    if args.embeddings:
+        from json_remedy_spark.functions.similarity import embedding_near_dup
+
+        vectors = read_table(spark, args.input).select(
+            F.col(args.id_col).alias("vec_id"),
+            F.col(args.emb_col).cast("array<double>").alias("embedding"),
+        )
+        pairs = embedding_near_dup(vectors, threshold=args.threshold).select(
+            F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+        )
+        comp = components_from_pairs(
+            vectors.select(F.col("vec_id").alias("doc_id")), pairs
+        )
+        write_table(comp, args.output, mode="overwrite")
+        n_docs = comp.count()
+        n_kept = comp.where("is_canonical").count()
+        print(
+            f"signatures=embedding-lsh docs={n_docs} kept={n_kept} "
+            f"dropped={n_docs - n_kept} -> {args.output}"
+        )
+        spark.stop()
+        return
+
     docs = read_table(spark, args.input).select(
         F.col(args.id_col).alias("doc_id"), F.col(args.text_col).alias("text")
     )
