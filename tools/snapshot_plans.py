@@ -213,6 +213,19 @@ def main():
         )
     )
 
+    from json_remedy_spark.functions.normalize import nfc_normalize
+
+    nn = nfc_normalize(docs.select("doc_id", "text"))
+    nnplan = formatted(nn)
+    sections.append(
+        (
+            "nfc_normalize (mojibake chain + NFC, map-only)",
+            f"Exchange tree nodes: {tree_nodes(nnplan, 'Exchange')} (budget 0 — "
+            "29-replace mojibake chain in codegen, ONE Arrow hop for NFC)\n"
+            f"ArrowEvalPython hops: {arrow_hops(nn)}\n\n" + nnplan[:1200],
+        )
+    )
+
     out = ["# Physical plan evidence (generated by tools/snapshot_plans.py)\n"]
     for title, body in sections:
         out.append(f"\n## {title}\n\n```\n{body}\n```\n")
