@@ -142,18 +142,25 @@ def main() -> None:
             lambda d=docs: replace_text(d, dup_span_removal(d, window=args.dup_span_window)),
         )
 
+    # Persisted intermediates (bloom-probed frame, LSH signatures,
+    # fuzzy-dedup input) accumulate across a 7-stage run otherwise —
+    # every stage appends its handles here and the job frees them all
+    # after the final write materializes (ADVICE r3 / VERDICT r3 #8).
+    job_handles: list = []
+
     # 2e. optional incremental gate against an at-rest seen store
     if args.seen_input:
         def _gate(d=docs):
             seen = read_table(spark, args.seen_input).select("text")
-            fresh = incremental_new_docs(d, seen)
+            fresh = incremental_new_docs(d, seen, handles=job_handles)
             return d.join(fresh.select("doc_id"), "doc_id", "left_semi")
         docs = stage("s4_incremental_gate", _gate)
 
     # 3. fuzzy near-dup dedup over the line-deduped scrubbed text
     def _fuzzy(d=docs):
         d = d.persist()
-        comp = near_dup_components(d, threshold=args.threshold)
+        job_handles.append(d)
+        comp = near_dup_components(d, threshold=args.threshold, handles=job_handles)
         return d.join(comp.where("is_canonical").select("doc_id"), "doc_id", "left_semi")
     docs = stage("s5_fuzzy_dedup", _fuzzy)
 
@@ -174,6 +181,8 @@ def main() -> None:
 
     write_table(docs.select("url", "lang_id", "text"), args.output, mode="overwrite")
     n_out = docs.count()
+    for h in job_handles:
+        h.unpersist()
     resume_note = (
         f" (stages computed={stager.computed} skipped={stager.skipped})" if stager else ""
     )

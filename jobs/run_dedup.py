@@ -107,6 +107,8 @@ def main() -> None:
     write_table(comp, args.output, mode="overwrite")
     n_docs = comp.count()
     n_kept = comp.where("is_canonical").count()
+    for h in (cand, sh):
+        h.unpersist()
     print(
         f"signatures={fmt} docs={n_docs} kept={n_kept} "
         f"dropped={n_docs - n_kept} -> {args.output}"

@@ -91,8 +91,12 @@ def nfc_normalize(
     src = docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("_orig")
     ).withColumn("text", nfc_udf(fix_mojibake(F.col("_orig"))))
+    # NULL text: `text != _orig` is NULL, not False — coalesce so the
+    # flag is NULL-total like the ngram kernel (ADVICE r3)
     return src.select(
-        "doc_id", "text", (F.col("text") != F.col("_orig")).alias("changed")
+        "doc_id",
+        "text",
+        F.coalesce(F.col("text") != F.col("_orig"), F.lit(False)).alias("changed"),
     )
 
 

@@ -21,6 +21,7 @@ interpreted per element and were the round-1 hot-path bottleneck
 JVM-side (HALF_UP, matching DuckDB) so oracles compare cleanly.
 """
 
+import functools
 import hashlib
 
 import numpy as np
@@ -196,17 +197,26 @@ def recommended_planes(n_vectors: int) -> int:
     return max(8, int(math.ceil(math.log2(max(n_vectors, 2)))))
 
 
+@functools.lru_cache(maxsize=64)
 def _plane_matrix(dims: int, table: int = 0, n_planes: int = N_PLANES):
     """Deterministic hyperplanes: md5(plane:dim) -> uniform [-1, 1).
     Table 0 keeps the round-1 seeding; tables > 0 are independent
     banded variants.  Plane p's row is the same for every n_planes, so
-    growing the plane count only APPENDS planes (prefix-stable)."""
+    growing the plane count only APPENDS planes (prefix-stable).
+
+    Cached per (dims, table, n_planes): the bucket UDFs call this once
+    per Arrow batch x table, and at production dims (768-1024) the md5
+    generation is ~10^5 Python hash calls — executor-resident lru_cache
+    makes every call after the first a dict hit (VERDICT r3 #3).  The
+    matrix is deterministic, so caching cannot change values; callers
+    must NOT mutate the returned array."""
     m = np.empty((dims, n_planes), dtype=np.float64)
     for p in range(n_planes):
         for d in range(dims):
             key = f"{p}:{d}" if table == 0 else f"t{table}:{p}:{d}"
             h = int(hashlib.md5(key.encode()).hexdigest()[:8], 16)
             m[d, p] = h / float(2**31) - 1.0
+    m.setflags(write=False)
     return m
 
 

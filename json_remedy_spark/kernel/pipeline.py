@@ -131,8 +131,11 @@ def _maybe_unwrap(value: Any, src: str, log: list) -> Any:
     at all — a fenced string value must literally contain ``` which
     must appear in the source, so docs without backticks (the common
     case) skip the full-structure rebuild (profiling: ~6% of the
-    malformed-doc slow path)."""
-    if "```" not in src:
+    malformed-doc slow path).  Backticks may also reach the decoded
+    value via \\u0060 escapes (the reference's code_fence_extractor
+    inspects the DECODED value), so the escape form keeps the walk
+    too (ADVICE r3)."""
+    if "```" not in src and "\\u0060" not in src:
         return value
     return _unwrap_fenced_strings(value, log)
 

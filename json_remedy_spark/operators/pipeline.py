@@ -59,11 +59,16 @@ def quality_filter(
     ]
     if with_actions:
         repair_cols.append(F.col("r.actions").alias("actions"))
+    # one shared quality-kernel struct: passes_quality and the optional
+    # metric columns reference the SAME UDF expression, and Spark's
+    # ExtractPythonUDFs collects it with the repair UDF into ONE
+    # ArrowEvalPython node (both depend only on `text`)
+    hof = quality.hof_metrics(text)
     out = (
         docs
-        # JVM-side stages first: langid + quality fuse into the scan project
+        # JVM-side stages first: langid + regex quality fuse into the scan project
         .withColumn("lang_id", langid.detect_language(text))
-        .withColumn("q_pass", quality.passes_quality(text))
+        .withColumn("q_pass", quality.passes_quality(text, hof=hof))
         .withColumn("r", repair_udf(text))
         .select("*", *repair_cols)
         .drop("r")
@@ -74,7 +79,7 @@ def quality_filter(
         )
     )
     if with_quality_cols:
-        for name, col in quality.quality_columns(text).items():
+        for name, col in quality.quality_columns(text, hof=hof).items():
             out = out.withColumn(name, col)
     return out
 
