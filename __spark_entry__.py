@@ -607,6 +607,10 @@ def q_repair_documents(spark, sf_dir):
         r["fast_path"].alias("fast_path"),
         r["n_repairs"].cast("long").alias("n_repairs"),
         r["repaired"].alias("repaired"),
+        # full lineage structs (layer/action/position/original/
+        # replacement) flattened to a json string so the driver's
+        # row-hash stays deterministic across Arrow struct orderings
+        F.to_json(r["repairs"]).alias("repairs_json"),
     )
 
 

@@ -38,7 +38,8 @@ def strip_trailing_lone_fence(s: str, log: list) -> str:
     fence pair — drop it (utils/repair_pipeline.ex:56-66)."""
     t = s.rstrip()
     if t.endswith("```") and t.count("```") == 1:
-        log.append({"layer": "layer1", "action": "removed trailing code fence", "position": len(t) - 3})
+        log.append({"layer": "layer1", "action": "removed trailing code fence", "position": len(t) - 3,
+                    "original": "```", "replacement": ""})
         return t[:-3]
     return s
 
@@ -69,11 +70,15 @@ def remove_code_fences(s: str, log: list) -> str:
         inner = s[body_start:]
     else:
         inner = s[body_start:end]
-    log.append({"layer": "layer1", "action": "removed code fences", "position": idx})
     # anything before the fence is wrapper text; after the closing fence may
     # hold more values — keep it so the multi-value detector can see it
     tail = s[end + 3 :] if end != -1 else ""
-    return (inner.strip() + (" " + tail if tail.strip() else "")).strip()
+    result = (inner.strip() + (" " + tail if tail.strip() else "")).strip()
+    # original/replacement per content_cleaning.ex:334-335 (whole input
+    # -> extracted content)
+    log.append({"layer": "layer1", "action": "removed code fences", "position": idx,
+                "original": s, "replacement": result})
+    return result
 
 
 def remove_comments(s: str, log: list) -> str:
@@ -93,7 +98,6 @@ def remove_comments(s: str, log: list) -> str:
     in_str = False
     in_sq = False
     esc = False
-    removed = False
     prev_sig = ""  # last non-whitespace char emitted outside strings
     while i < n:
         ch = s[i]
@@ -130,10 +134,16 @@ def remove_comments(s: str, log: list) -> str:
             continue
         if ch == "/" and i + 1 < n and s[i + 1] == "/":
             nl = s.find("\n", i)
-            i = nl if nl != -1 else n
-            removed = True
+            end = nl if nl != -1 else n
+            # per-comment record like the reference
+            # (content_cleaning.ex:556-559): original = the comment
+            # text, replacement = ""
+            log.append({"layer": "layer1", "action": "removed comments", "position": i,
+                        "original": s[i:end], "replacement": ""})
+            i = end
             continue
         if ch == "/" and i + 1 < n and s[i + 1] == "*":
+            start = i
             depth = 1
             i += 2
             while i < n and depth:
@@ -145,14 +155,13 @@ def remove_comments(s: str, log: list) -> str:
                     i += 2
                 else:
                     i += 1
-            removed = True
+            log.append({"layer": "layer1", "action": "removed comments", "position": start,
+                        "original": s[start:i], "replacement": ""})
             continue
         out.append(ch)
         if not ch.isspace():
             prev_sig = ch
         i += 1
-    if removed:
-        log.append({"layer": "layer1", "action": "removed comments", "position": 0})
     return "".join(out)
 
 
@@ -162,7 +171,8 @@ def extract_from_html(s: str, log: list) -> str:
     for tag in _HTML_WRAPPERS:
         m = re.search(rf"<{tag}[^>]*>(.*?)</{tag}>", s, re.DOTALL | re.IGNORECASE)
         if m and any(c in m.group(1) for c in "{["):
-            log.append({"layer": "layer1", "action": "extracted JSON from html wrapper", "position": m.start()})
+            log.append({"layer": "layer1", "action": "extracted JSON from html wrapper", "position": m.start(),
+                        "original": s, "replacement": m.group(1).strip()})
             return m.group(1).strip()
     return s
 
@@ -183,10 +193,12 @@ def extract_from_prose(s: str, log: list) -> str:
     if span is None:
         # unbalanced: take from first opener to end (pipeline will repair)
         if len(t) > 100:
-            log.append({"layer": "layer1", "action": "extracted JSON from wrapper text", "position": start})
+            log.append({"layer": "layer1", "action": "extracted JSON from wrapper text", "position": start,
+                        "original": s, "replacement": t[start:]})
             return t[start:]
         return s
-    log.append({"layer": "layer1", "action": "extracted JSON from wrapper text", "position": start})
+    log.append({"layer": "layer1", "action": "extracted JSON from wrapper text", "position": start,
+                "original": s, "replacement": span})
     return span
 
 
@@ -240,7 +252,8 @@ def remove_trailing_wrapper_text(s: str, log: list) -> str:
         # syntax") have no colon and still drop — keying on ANY
         # opener fabricated values out of citations (review r3).
         return s
-    log.append({"layer": "layer1", "action": "removed trailing wrapper text", "position": len(span)})
+    log.append({"layer": "layer1", "action": "removed trailing wrapper text", "position": len(span),
+                "original": t[len(span):], "replacement": ""})
     return span
 
 
@@ -249,7 +262,8 @@ def strip_trailing_dots(s: str, log: list) -> str:
     content_cleaning.ex:136-182 (threshold at :149)."""
     m = _TRAILING_DOTS.search(s)
     if m and m.group(0).count(".") + m.group(0).count("…") >= 10:
-        log.append({"layer": "layer1", "action": "removed trailing dots", "position": m.start()})
+        log.append({"layer": "layer1", "action": "removed trailing dots", "position": m.start(),
+                    "original": m.group(0), "replacement": ""})
         return s[: m.start()]
     return s
 
@@ -262,7 +276,8 @@ def normalize_encoding(raw: bytes | str, log: list) -> str:
     try:
         return raw.decode("utf-8")
     except UnicodeDecodeError:
-        log.append({"layer": "layer1", "action": "normalized encoding to ascii", "position": 0})
+        log.append({"layer": "layer1", "action": "normalized encoding to ascii", "position": 0,
+                    "original": None, "replacement": None})
         return raw.decode("ascii", errors="ignore")
 
 

@@ -152,7 +152,7 @@ def _unwrap_fenced_strings(value: Any, log: list) -> Any:
         if m and m.group(1)[:1] in "{[":
             sub = repair(m.group(1))
             if sub.ok and sub.value not in ("", None):
-                log.append({"layer": "layer1", "action": "unwrapped fenced JSON string", "position": -1})
+                log.append({"layer": "layer1", "action": "unwrapped fenced JSON string", "position": -1, "original": None, "replacement": None})
                 return sub.value
     return value
 
@@ -245,7 +245,7 @@ def repair(
     if fast_path_optimization:
         v = _span_fast_path(s)
         if v is not SKIP:
-            log.append({"layer": "layer1", "action": "extracted valid JSON value (span fast path)", "position": 0})
+            log.append({"layer": "layer1", "action": "extracted valid JSON value (span fast path)", "position": 0, "original": None, "replacement": None})
             v = _maybe_unwrap(v, s, log)
             return RepairResult(ok=True, value=v, repaired=to_canonical(v), repairs=log, fast_path=True)
 
@@ -278,62 +278,112 @@ def repair(
     return RepairResult(ok=True, value=value, repaired=to_canonical(value), repairs=log)
 
 
-def repair_with_debug(s: str | bytes) -> tuple[RepairResult, list[dict]]:
-    """Per-stage observability — mirrors ``repair_with_debug/2``
-    (lib/json_remedy.ex:297-343): for each stage, input/output sizes,
-    repair count and processing time in µs.  Stages here are the
-    kernel's real phases (clean / prepass / parse) rather than the
-    reference's five layers; layer attribution lives in each action's
-    ``layer`` field."""
+def repair_with_debug(s: str | bytes) -> tuple[RepairResult, dict]:
+    """Per-layer observability — the reference's ``repair_with_debug/2``
+    record shape (lib/json_remedy.ex:297-343, 464-636):
+
+    * fast path hit -> ``steps == [{layer: "fast_path", status:
+      "validated", input_size}]`` (ex:320-329);
+    * otherwise one step per layer — ``layer1`` (content cleaning),
+      ``preprocessing`` (regex pre-passes; our explicit extra phase),
+      ``layer2`` (structural), ``layer3`` (syntax), ``layer4``
+      (validation) — each ``{layer, status, input_size, output_size,
+      repairs, repair_count, processing_time_us}`` with
+      ``status in {processed, skipped, error}`` (ex:596-623) and
+      ``repairs`` holding that layer's NEW action records;
+    * debug_info wraps them: ``{steps, total_repairs,
+      processing_time_us}`` + ``error_at_layer`` on failure
+      (ex:538-556).
+
+    Fusion note: our layers 2+3 run as ONE tolerant-parse pass
+    (SURVEY.md §3.1), so their records are reconstructed from the
+    layer-tagged action log; each gets half the fused pass's wall time
+    (the reference times real per-layer passes — attribution, not a
+    second measurement)."""
     import time as _time
 
-    steps: list[dict] = []
+    t_start = _time.perf_counter()
+
+    def us(t0: float) -> int:
+        return int((_time.perf_counter() - t0) * 1e6)
+
     log: list = []
     if isinstance(s, bytes):
         s = cleaning.normalize_encoding(s, log)
 
-    t0 = _time.perf_counter()
     v = _fast_path(s)
-    steps.append({
-        "stage": "fast_path", "status": "processed" if v is not SKIP else "skipped",
-        "input_size": len(s), "output_size": len(s), "repairs": 0,
-        "processing_time_us": int((_time.perf_counter() - t0) * 1e6),
-    })
     if v is not SKIP:
-        return RepairResult(ok=True, value=v, repaired=to_canonical(v), fast_path=True), steps
+        debug = {
+            "steps": [
+                {"layer": "fast_path", "status": "validated", "input_size": len(s)}
+            ],
+            "total_repairs": 0,
+            "processing_time_us": us(t_start),
+        }
+        return RepairResult(ok=True, value=v, repaired=to_canonical(v), fast_path=True), debug
+
+    steps: list[dict] = []
+
+    def record(layer, status, in_size, out_size, new, t_us):
+        steps.append({
+            "layer": layer, "status": status,
+            "input_size": in_size, "output_size": out_size,
+            "repairs": new, "repair_count": len(new),
+            "processing_time_us": t_us,
+        })
 
     def staged(name, fn, arg):
         n0 = len(log)
-        t = _time.perf_counter()
+        t0 = _time.perf_counter()
         out = fn(arg, log)
-        steps.append({
-            "stage": name, "status": "processed" if out != arg else "skipped",
-            "input_size": len(arg), "output_size": len(out),
-            "repairs": len(log) - n0,
-            "processing_time_us": int((_time.perf_counter() - t) * 1e6),
-        })
+        new = log[n0:]
+        record(name, "processed" if (new or out != arg) else "skipped",
+               len(arg), len(out), new, us(t0))
         return out
 
-    work = staged("layer1_clean", cleaning.clean, s)
-    work = staged("prepass", prepass.apply, work)
-    t0 = _time.perf_counter()
+    work = staged("layer1", cleaning.clean, s)
+    work = staged("preprocessing", prepass.apply, work)
+
     n0 = len(log)
+    t0 = _time.perf_counter()
     parser = TolerantParser(work, log=log)
+    err = None
     try:
         value = parser.parse()
-        status = "processed"
-    except RecursionError:
+    except RecursionError as e:
         value = SKIP
-        status = "error"
-    steps.append({
-        "stage": "tolerant_parse", "status": status,
-        "input_size": len(work), "output_size": -1, "repairs": len(log) - n0,
-        "processing_time_us": int((_time.perf_counter() - t0) * 1e6),
-    })
+        err = f"nesting too deep: {e}"
+    parse_us = us(t0)
+    new = log[n0:]
+    l2 = [a for a in new if a["layer"] == "layer2"]
+    l3 = [a for a in new if a["layer"] != "layer2"]
+    l2_status = "error" if err else ("processed" if l2 else "skipped")
+    l3_status = "error" if err else ("processed" if l3 else "skipped")
+    record("layer2", l2_status, len(work), len(work), l2, parse_us // 2)
+    record("layer3", l3_status, len(work), len(work), l3, parse_us - parse_us // 2)
+
+    # layer4 validation: the parse either emitted a term (processed) or
+    # SKIP (skipped — reference :skipped means validation failed,
+    # ex:664-676)
+    t0 = _time.perf_counter()
     if value is SKIP:
-        return RepairResult(ok=False, error="Could not repair JSON", repairs=log), steps
+        record("layer4", "error" if err else "skipped", len(work), 0, [], us(t0))
+        debug = {
+            "steps": steps,
+            "total_repairs": len(log),
+            "processing_time_us": us(t_start),
+            "error_at_layer": "layer2" if err else "layer4",
+        }
+        return RepairResult(ok=False, error=err or "Could not repair JSON", repairs=log), debug
     value = _maybe_unwrap(value, work, log)
-    return RepairResult(ok=True, value=value, repaired=to_canonical(value), repairs=log), steps
+    repaired = to_canonical(value)
+    record("layer4", "processed", len(work), len(repaired), [], us(t0))
+    debug = {
+        "steps": steps,
+        "total_repairs": len(log),
+        "processing_time_us": us(t_start),
+    }
+    return RepairResult(ok=True, value=value, repaired=repaired, repairs=log), debug
 
 
 def repair_to_string(s: str | bytes, **kw) -> RepairResult:

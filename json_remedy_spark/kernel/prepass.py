@@ -69,7 +69,7 @@ _UNCLOSED_BEFORE_DELIM = [
 def normalize_smart_quotes(s: str, log: list) -> str:
     out = s.translate(_SMART_TRANS)
     if out != s:
-        log.append({"layer": "layer3", "action": "normalized smart quotes", "position": 0})
+        log.append({"layer": "layer3", "action": "normalized smart quotes", "position": 0, "original": None, "replacement": None})
     return out
 
 
@@ -82,7 +82,7 @@ def extract_fenced_json_in_strings(s: str, log: list) -> str:
     def repl(m: re.Match) -> str:
         inner = m.group(2)
         if inner[:1] in "{[":
-            log.append({"layer": "layer1", "action": "extracted fenced JSON from string value", "position": m.start()})
+            log.append({"layer": "layer1", "action": "extracted fenced JSON from string value", "position": m.start(), "original": None, "replacement": None})
             return m.group(1) + inner
         return m.group(0)
 
@@ -96,7 +96,7 @@ def fix_fence_terminators(s: str, log: list) -> str:
     for pat, rep in _FENCE_TERMINATOR:
         s = pat.sub(rep, s)
     if s != before:
-        log.append({"layer": "layer3", "action": "fixed code-fence terminator", "position": 0})
+        log.append({"layer": "layer3", "action": "fixed code-fence terminator", "position": 0, "original": None, "replacement": None})
     return s
 
 
@@ -113,7 +113,7 @@ def filter_ellipsis(s: str, log: list) -> str:
                 changed = hit = True
                 s = s2
     if hit:
-        log.append({"layer": "layer3", "action": "removed ellipsis placeholder", "position": 0})
+        log.append({"layer": "layer3", "action": "removed ellipsis placeholder", "position": 0, "original": None, "replacement": None})
     return s
 
 
@@ -127,7 +127,7 @@ def filter_keywords(s: str, log: list) -> str:
     for pat, rep in KEYWORD_PATTERNS:
         s = pat.sub(rep, s)
     if s != before:
-        log.append({"layer": "layer3", "action": "removed placeholder keyword", "position": 0})
+        log.append({"layer": "layer3", "action": "removed placeholder keyword", "position": 0, "original": None, "replacement": None})
     return s
 
 
@@ -136,7 +136,7 @@ def fix_unclosed_string_before_delimiter(s: str, log: list) -> str:
     for pat, rep in _UNCLOSED_BEFORE_DELIM:
         s = pat.sub(rep, s)
     if s != before:
-        log.append({"layer": "layer3", "action": "added missing closing quote before delimiter", "position": 0})
+        log.append({"layer": "layer3", "action": "added missing closing quote before delimiter", "position": 0, "original": None, "replacement": None})
     return s
 
 
@@ -194,5 +194,5 @@ def normalize_escape_sequences(s: str, log: list | None = None) -> str:
     for ch, repl in _STD_ESCAPES.items():
         out = out.replace("\\" + ch, repl)
     if out != s and log is not None:
-        log.append({"layer": "layer3", "action": "normalized literal escape sequences", "position": 0})
+        log.append({"layer": "layer3", "action": "normalized literal escape sequences", "position": 0, "original": None, "replacement": None})
     return out

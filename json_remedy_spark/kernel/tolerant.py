@@ -12,9 +12,14 @@ The reference implements these as string->string rewrite passes plus a
 strict parse; we fuse them into one pass that emits the parsed term
 directly — same observable semantics (golden-tested), one O(n) scan.
 
-Every repair appends an action record ``{"layer", "action", "position"}``
-mirroring the reference ``repair_action`` shape
-(``lib/json_remedy/layer_behaviour.ex:9-15``).
+Every repair appends an action record
+``{"layer", "action", "position", "original", "replacement"}`` — the
+reference's full ``repair_action`` struct
+(``lib/json_remedy/layer_behaviour.ex:9-15``).  Layer-3 records carry
+``original``/``replacement`` as None, matching the reference's public
+examples (``lib/json_remedy.ex:80,251-254``); layer-2 structural
+records carry the removed char / added closer
+(``layer2/structural_repair.ex:166-171``).
 """
 
 from __future__ import annotations
@@ -114,8 +119,29 @@ class TolerantParser:
         self._first_nonws = j
 
     # ------------------------------------------------------------- helpers
-    def _rec(self, layer: str, action: str) -> None:
-        self.log.append({"layer": layer, "action": action, "position": self.i})
+    def _rec(
+        self,
+        layer: str,
+        action: str,
+        original: str | None = None,
+        replacement: str | None = None,
+    ) -> None:
+        """Append one repair action in the reference's full record shape
+        `%{layer, action, position, original, replacement}`
+        (lib/json_remedy/layer_behaviour.ex:9-15).  Layer-3 syntax
+        actions carry nil/nil like the reference's public examples
+        (lib/json_remedy.ex:80,251-254); layer-2 structural actions
+        carry the removed char / added closer
+        (layer2/structural_repair.ex:166-171,191-196)."""
+        self.log.append(
+            {
+                "layer": layer,
+                "action": action,
+                "position": self.i,
+                "original": original,
+                "replacement": replacement,
+            }
+        )
 
     def _peek(self, off: int = 0) -> str:
         j = self.i + off
@@ -289,13 +315,13 @@ class TolerantParser:
         # `{` immediately closed by `]` with nothing inside -> delete it.
         c = self._skip_ws()
         if c == "]":
-            self._rec("layer2", "removed spurious opening brace")
+            self._rec("layer2", "removed spurious opening brace", original="{", replacement="")
             self.i += 1
             return SKIP
         if c == "{" and not self.ctx and self._looks_like_doubled_opener("{"):
             # top-level only: a nested `[[…]]`/`{{…}}` tail at EOF is far
             # more likely a truncated document than a doubled opener
-            self._rec("layer2", "removed extra opening brace")
+            self._rec("layer2", "removed extra opening brace", original="{", replacement="")
             self.i += 1
 
         # `{"key", 105,12,}` -> {"key": "105,12"} — a single quoted key,
@@ -323,7 +349,7 @@ class TolerantParser:
         while True:
             c = self._skip_ws()
             if not c:
-                self._rec("layer2", "added missing closing brace at EOF")
+                self._rec("layer2", "added missing closing brace at EOF", replacement="}")
                 break
             if c == "}":
                 self.i += 1
@@ -335,9 +361,9 @@ class TolerantParser:
                 break
             if c == "]":
                 if obj:
-                    self._rec("layer2", "added missing closing brace before ]")
+                    self._rec("layer2", "added missing closing brace before ]", replacement="}")
                 else:
-                    self._rec("layer2", "removed empty object before ]")
+                    self._rec("layer2", "removed empty object before ]", original="{", replacement="")
                     # empty object closed by ] -> drop object, don't eat ]
                     return SKIP
                 break
@@ -348,7 +374,7 @@ class TolerantParser:
                 # unclosed — close it and let the array consume the comma
                 nxt, _ = self._next_nonws(self.i + 1)
                 if nxt in "{[" and _Frame.ARRAY in self.ctx:
-                    self._rec("layer2", "added missing closing brace before next element")
+                    self._rec("layer2", "added missing closing brace before next element", replacement="}")
                     break
                 if nxt == "}":
                     self._rec("layer3", "removed trailing comma")
@@ -365,7 +391,10 @@ class TolerantParser:
                 # non-ASCII non-space chars start unquoted keys instead
                 # (reference: `🚀status:` keeps the emoji in the key,
                 # critical/byte_size_vs_string_length_layer_3_test.exs)
-                self._rec("layer1", "skipped non-JSON character in object")
+                self._rec(
+                    "layer1", "skipped non-JSON character in object",
+                    original=c, replacement="",
+                )
                 self.i += 1
                 continue
             key = self.parse_string(ctx=_Frame.OBJECT_KEY)
@@ -604,7 +633,7 @@ class TolerantParser:
         self.i += 1
         c = self._skip_ws()
         if c == "[" and not self.ctx and self._looks_like_doubled_opener("["):
-            self._rec("layer2", "removed extra opening bracket")
+            self._rec("layer2", "removed extra opening bracket", original="[", replacement="")
             self.i += 1
         arr: list[Any] = []
         self.ctx.append(_Frame.ARRAY)
@@ -612,14 +641,14 @@ class TolerantParser:
             while True:
                 c = self._skip_ws()
                 if not c:
-                    self._rec("layer2", "added missing closing bracket at EOF")
+                    self._rec("layer2", "added missing closing bracket at EOF", replacement="]")
                     break
                 if c == "]":
                     self.i += 1
                     break
                 if c == "}":
                     # mismatched closer for an array frame -> treat as ]
-                    self._rec("layer2", "rewrote } closing an array to ]")
+                    self._rec("layer2", "rewrote } closing an array to ]", original="}", replacement="]")
                     self.i += 1
                     break
                 if c == ",":
@@ -862,7 +891,7 @@ class TolerantParser:
             out.append(ch)
             self.i += 1
         else:
-            self._rec("layer2", "closed unquoted value at EOF")
+            self._rec("layer2", "closed unquoted value at EOF", replacement='"')
         token = "".join(out).strip()
         if not token:
             return SKIP
@@ -1084,7 +1113,7 @@ def _filter_trailing_primitives(values: list, log: list) -> list:
         if isinstance(v, (dict, list)):
             last = idx
     if last >= 0 and last < len(values) - 1:
-        log.append({"layer": "layer1", "action": "dropped trailing wrapper primitives", "position": -1})
+        log.append({"layer": "layer1", "action": "dropped trailing wrapper primitives", "position": -1, "original": None, "replacement": None})
         return values[: last + 1]
     return values
 

@@ -40,12 +40,17 @@ def quality_filter(
     docs: DataFrame,
     with_quality_cols: bool = False,
     with_actions: bool = True,
+    with_repairs: bool = False,
 ) -> DataFrame:
     """Full pipeline.  Input: the web-page table; output adds
     ``repaired, ok, fast_path, n_repairs, layer_hits, lang_id, ppl,
     q_pass, scrubbed, keep`` (+ ``actions`` unless disabled — the
     per-doc action strings are the widest Arrow payload; drop them
-    when lineage detail isn't consumed downstream)."""
+    when lineage detail isn't consumed downstream).  ``with_repairs``
+    additionally projects the full repair_action structs
+    (layer/action/position/original/replacement — reference
+    lib/json_remedy/layer_behaviour.ex:9-15); heaviest payload (layer-1
+    extractions carry the replaced span), for repair-rule audit jobs."""
     repair_udf = make_repair_udf()
 
     text = F.col("text")
@@ -59,6 +64,8 @@ def quality_filter(
     ]
     if with_actions:
         repair_cols.append(F.col("r.actions").alias("actions"))
+    if with_repairs:
+        repair_cols.append(F.col("r.repairs").alias("repairs"))
     # one shared quality-kernel struct: passes_quality and the optional
     # metric columns reference the SAME UDF expression, and Spark's
     # ExtractPythonUDFs collects it with the repair UDF into ONE

@@ -25,6 +25,18 @@ from pyspark.sql.types import (
 
 from pyspark.sql.types import DoubleType
 
+# one row of the reference's repair_action struct
+# (lib/json_remedy/layer_behaviour.ex:9-15)
+REPAIR_ACTION_SCHEMA = StructType(
+    [
+        StructField("layer", StringType()),
+        StructField("action", StringType()),
+        StructField("position", IntegerType()),
+        StructField("original", StringType()),
+        StructField("replacement", StringType()),
+    ]
+)
+
 REPAIR_SCHEMA = StructType(
     [
         StructField("repaired", StringType()),
@@ -33,6 +45,10 @@ REPAIR_SCHEMA = StructType(
         StructField("n_repairs", IntegerType()),
         StructField("layer_hits", MapType(StringType(), IntegerType())),
         StructField("actions", ArrayType(StringType())),
+        # full lineage records incl. original/replacement — the widest
+        # payload (fence extraction carries the replaced span); project
+        # it only where per-fix diffs are consumed
+        StructField("repairs", ArrayType(REPAIR_ACTION_SCHEMA)),
         StructField("error", StringType()),
         # perplexity rides in the same struct: one Arrow hop for all
         # Python-side work instead of two UDF stages (two extra python
@@ -67,6 +83,7 @@ def make_repair_udf(**repair_opts):
             "n_repairs": [0] * n,
             "layer_hits": [None] * n,
             "actions": [None] * n,
+            "repairs": [None] * n,
             "error": [None] * n,
         }
         vals = texts.fillna("").tolist()
@@ -84,6 +101,7 @@ def make_repair_udf(**repair_opts):
                     hits[a["layer"]] = hits.get(a["layer"], 0) + 1
                 out["layer_hits"][i] = hits
                 out["actions"][i] = [a["action"] for a in r.repairs]
+                out["repairs"][i] = r.repairs
         out["ppl"] = ppl
         return pd.DataFrame(out)
 

@@ -102,19 +102,83 @@ def test_repair_log_counts_three_missing_braces():
     assert len(closes) >= 1  # we close LIFO in one pass; at least logged
 
 
-def test_repair_with_debug_stages():
+def test_repair_with_debug_five_layer_records():
+    """Reference debug-record shape (lib/json_remedy.ex:464-636): one
+    step per layer with status in {processed, skipped, error},
+    input/output sizes, the layer's new repairs + repair_count, and
+    per-layer timing, wrapped in {steps, total_repairs,
+    processing_time_us}.  The doc exercises every layer: fence (L1),
+    smart quotes (preprocessing), missing closer (L2), unquoted key +
+    trailing comma (L3), validation (L4)."""
     from json_remedy_spark.kernel.pipeline import repair_with_debug
 
-    r, steps = repair_with_debug('```json\n{name: "Alice",}\n```')
-    assert r.ok and r.value == {"name": "Alice"}
-    names = [s["stage"] for s in steps]
-    assert names == ["fast_path", "layer1_clean", "prepass", "tolerant_parse"]
-    assert steps[0]["status"] == "skipped" or steps[0]["status"] == "processed"
-    assert all("processing_time_us" in s for s in steps)
-    assert sum(s["repairs"] for s in steps) == len(r.repairs)
+    r, debug = repair_with_debug('```json\n{name: “Alice”, "x": [1,\n```')
+    assert r.ok and r.value == {"name": "Alice", "x": [1]}
+    steps = debug["steps"]
+    assert [s["layer"] for s in steps] == [
+        "layer1", "preprocessing", "layer2", "layer3", "layer4"
+    ]
+    for s in steps:
+        assert s["status"] in ("processed", "skipped", "error")
+        assert s["input_size"] >= 0 and s["output_size"] >= 0
+        assert s["repair_count"] == len(s["repairs"])
+        assert "processing_time_us" in s
+        for a in s["repairs"]:
+            # full repair_action struct (layer_behaviour.ex:9-15)
+            assert set(a) == {"layer", "action", "position", "original", "replacement"}
+    assert steps[0]["status"] == "processed"  # fence removed
+    assert steps[2]["status"] == "processed"  # missing ] and } closed
+    assert any("missing closing" in a["action"] for a in steps[2]["repairs"])
+    assert steps[3]["status"] == "processed"  # unquoted key quoted
+    assert steps[4]["status"] == "processed"  # validated
+    assert debug["total_repairs"] == len(r.repairs) == sum(
+        s["repair_count"] for s in steps
+    )
+    assert debug["processing_time_us"] >= sum(s["processing_time_us"] for s in steps)
 
-    r2, steps2 = repair_with_debug('{"a": 1}')
-    assert r2.fast_path and len(steps2) == 1
+
+def test_repair_with_debug_fast_path_record():
+    """Fast-path hit emits the single validated step (json_remedy.ex:320-329)."""
+    from json_remedy_spark.kernel.pipeline import repair_with_debug
+
+    r2, debug2 = repair_with_debug('{"a": 1}')
+    assert r2.fast_path
+    assert debug2["steps"] == [
+        {"layer": "fast_path", "status": "validated", "input_size": 8}
+    ]
+    assert debug2["total_repairs"] == 0
+
+
+def test_repair_actions_carry_original_replacement():
+    """Reference value conventions: layer2 removals carry the removed
+    char + "" (structural_repair.ex:166-171), layer2 additions carry
+    the added closer (json_remedy.ex:28), layer1 extractions carry
+    input -> content (content_cleaning.ex:334-335), comments carry the
+    comment text -> "" (content_cleaning.ex:556-559), layer3 records
+    stay nil/nil (json_remedy.ex:80,251-254)."""
+    from json_remedy_spark.kernel import repair
+
+    r = repair('{"a": 1')
+    add = [a for a in r.repairs if a["action"] == "added missing closing brace at EOF"]
+    assert add and add[0]["original"] is None and add[0]["replacement"] == "}"
+
+    r = repair('{{"a": 1}')  # doubled opener skipped as stray char
+    rem = [a for a in r.repairs if "skipped non-JSON character" in a["action"]]
+    assert rem and rem[0]["original"] == "{" and rem[0]["replacement"] == ""
+
+    r = repair('{"a": 1, // note\n"b": 2}')
+    com = [a for a in r.repairs if a["action"] == "removed comments"]
+    assert com and com[0]["original"] == "// note" and com[0]["replacement"] == ""
+
+    # malformed inner so the span fast path can't short-circuit the cleaner
+    src = '```json\n{"a": 1,}\n```'
+    r = repair(src)
+    fen = [a for a in r.repairs if a["action"] == "removed code fences"]
+    assert fen and fen[0]["original"] == src and fen[0]["replacement"] == '{"a": 1,}'
+
+    r = repair("{'a': 1,}")
+    l3 = [a for a in r.repairs if a["layer"] == "layer3"]
+    assert l3 and all(a["original"] is None and a["replacement"] is None for a in l3)
 
 
 def test_issue8_missing_terminators_crlf():
