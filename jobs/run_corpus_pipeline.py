@@ -46,7 +46,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main() -> None:
+def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
@@ -59,9 +59,13 @@ def main() -> None:
     ap.add_argument("--seen-input", default=None)
     ap.add_argument("--checkpoint-root", default=None)
     ap.add_argument("--normalize", action="store_true")
-    args = ap.parse_args()
+    return ap
 
-    from pyspark.sql import SparkSession
+
+def run(spark, args) -> str:
+    """The composed job against a caller-owned session — importable so
+    tests can drive the full composition in-process and assert cache
+    hygiene afterwards (VERDICT r3 #8).  Returns the summary line."""
     from pyspark.sql import functions as F
 
     from json_remedy_spark.functions.corpus import (
@@ -77,12 +81,6 @@ def main() -> None:
     from json_remedy_spark.operators.pipeline import quality_filter
     from json_remedy_spark.sources.catalog import read_table, write_table
 
-    spark = (
-        SparkSession.builder.appName("jrs-corpus-pipeline")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .getOrCreate()
-    )
     pages = read_table(spark, args.input)
     n_in = pages.count()
     stager = StageCheckpointer(spark, args.checkpoint_root) if args.checkpoint_root else None
@@ -186,7 +184,20 @@ def main() -> None:
     resume_note = (
         f" (stages computed={stager.computed} skipped={stager.skipped})" if stager else ""
     )
-    print(f"corpus: {n_in} in -> {n_out} out -> {args.output}{resume_note}")
+    return f"corpus: {n_in} in -> {n_out} out -> {args.output}{resume_note}"
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    args = build_parser().parse_args()
+    spark = (
+        SparkSession.builder.appName("jrs-corpus-pipeline")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    print(run(spark, args))
     spark.stop()
 
 

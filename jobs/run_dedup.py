@@ -38,7 +38,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main() -> None:
+def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
     ap.add_argument("--sig-dir", required=True)
@@ -49,10 +49,14 @@ def main() -> None:
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--embeddings", action="store_true")
     ap.add_argument("--emb-col", default="embedding")
-    args = ap.parse_args()
+    return ap
 
+
+def run(spark, args) -> str:
+    """The dedup job against a caller-owned session — importable so
+    tests can drive either path in-process and assert cache hygiene
+    afterwards (VERDICT r3 #8).  Returns the summary line."""
     from pyspark import StorageLevel
-    from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
 
     from json_remedy_spark.functions.dedup import (
@@ -64,12 +68,6 @@ def main() -> None:
     )
     from json_remedy_spark.sources.catalog import read_table, write_table
 
-    spark = (
-        SparkSession.builder.appName("jrs-dedup")
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .getOrCreate()
-    )
     if args.embeddings:
         from json_remedy_spark.functions.similarity import embedding_near_dup
 
@@ -86,12 +84,10 @@ def main() -> None:
         write_table(comp, args.output, mode="overwrite")
         n_docs = comp.count()
         n_kept = comp.where("is_canonical").count()
-        print(
+        return (
             f"signatures=embedding-lsh docs={n_docs} kept={n_kept} "
             f"dropped={n_docs - n_kept} -> {args.output}"
         )
-        spark.stop()
-        return
 
     docs = read_table(spark, args.input).select(
         F.col(args.id_col).alias("doc_id"), F.col(args.text_col).alias("text")
@@ -109,10 +105,23 @@ def main() -> None:
     n_kept = comp.where("is_canonical").count()
     for h in (cand, sh):
         h.unpersist()
-    print(
+    return (
         f"signatures={fmt} docs={n_docs} kept={n_kept} "
         f"dropped={n_docs - n_kept} -> {args.output}"
     )
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    args = build_parser().parse_args()
+    spark = (
+        SparkSession.builder.appName("jrs-dedup")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+    print(run(spark, args))
     spark.stop()
 
 

@@ -512,6 +512,7 @@ def components_from_pairs(
                 .withColumn("is_canonical", F.col("doc_id") == F.col("rep_id"))
             )
         prev_sum = new_sum
+    edges.unpersist()
     raise ValueError(f"components_from_pairs did not converge in {max_iters} rounds")
 
 

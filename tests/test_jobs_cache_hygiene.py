@@ -1,0 +1,93 @@
+"""Cache hygiene of the composed production jobs (VERDICT r3 #8).
+
+Every operator that persists an intermediate (bloom-probed frame,
+banded LSH signatures, shingle table, fuzzy-dedup input) exposes a
+``handles=`` list; the composed jobs must collect those handles and
+unpersist after the final write — otherwise a 7-stage run holds every
+stage's cached blocks for its whole lifetime.
+
+The assertion targets the SQL CacheManager (where ``DataFrame.persist``
+registers), not ``getPersistentRDDs``: the components loop's
+``localCheckpoint`` RDDs are lineage-truncation artifacts freed
+asynchronously by the ContextCleaner and would make a raw RDD count
+flaky, while a leaked DataFrame persist sits in the CacheManager
+deterministically.
+"""
+
+import pytest
+
+
+def _sql_cache_empty(spark) -> bool:
+    return spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+@pytest.fixture()
+def pages_parquet(spark, tmp_path):
+    from json_remedy_spark.sources.webpages import synthesize_corpus
+
+    path = str(tmp_path / "pages")
+    docs, _ = synthesize_corpus(spark, 300, partitions=4)
+    docs.write.parquet(path)
+    return path
+
+
+def test_corpus_pipeline_job_frees_all_persists(spark, pages_parquet, tmp_path):
+    """Full composition — line dedup, dup-span, incremental gate,
+    fuzzy dedup, decontamination, packing — leaves the SQL cache empty."""
+    from jobs.run_corpus_pipeline import build_parser, run
+
+    spark.catalog.clearCache()
+    assert _sql_cache_empty(spark)
+
+    out1 = str(tmp_path / "out1")
+    msg = run(spark, build_parser().parse_args(
+        ["--input", pages_parquet, "--output", out1,
+         "--dup-span-window", "8", "--token-budget", "2000"]
+    ))
+    assert " in -> " in msg
+    assert _sql_cache_empty(spark), "corpus job leaked persisted DataFrames"
+
+    # plain run pair: the rerun gates against the first run's output
+    # and exercises the incremental gate's bloom-probed persist
+    # (ADVICE r3 #4) — gate text equals stored text only without the
+    # rewriting/packing stages, so identical plain flags both times
+    out2 = str(tmp_path / "out2")
+    run(spark, build_parser().parse_args(
+        ["--input", pages_parquet, "--output", out2]
+    ))
+    out3 = str(tmp_path / "out3")
+    msg3 = run(spark, build_parser().parse_args(
+        ["--input", pages_parquet, "--output", out3, "--seen-input", out2]
+    ))
+    assert "-> 0 out" in msg3  # everything already seen
+    assert _sql_cache_empty(spark), "incremental gate leaked the probed frame"
+
+
+def test_dedup_job_frees_all_persists(spark, tmp_path):
+    from jobs.run_dedup import build_parser, run
+
+    spark.catalog.clearCache()
+    assert _sql_cache_empty(spark)
+
+    msg = run(spark, build_parser().parse_args(
+        ["--input", "/root/testdata/sf0.001/documents.parquet",
+         "--sig-dir", str(tmp_path / "sig"),
+         "--output", str(tmp_path / "out"),
+         "--buckets", "4", "--threshold", "0.5"]
+    ))
+    assert "docs=" in msg and "kept=" in msg
+    assert _sql_cache_empty(spark), "dedup job leaked persisted DataFrames"
+
+
+def test_dedup_job_embedding_path_frees_all_persists(spark, tmp_path):
+    from jobs.run_dedup import build_parser, run
+
+    spark.catalog.clearCache()
+    msg = run(spark, build_parser().parse_args(
+        ["--input", "/root/testdata/sf0.001/embeddings.parquet",
+         "--sig-dir", str(tmp_path / "sig"),
+         "--output", str(tmp_path / "out"),
+         "--embeddings", "--id-col", "vec_id", "--threshold", "0.9"]
+    ))
+    assert msg.startswith("signatures=embedding-lsh")
+    assert _sql_cache_empty(spark), "embedding dedup path leaked persists"
