@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import os
 import sys
+import tempfile
 from collections.abc import Callable
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -779,12 +780,23 @@ def q_ivf_ann_topk(spark, sf_dir):
     )
 
 
+# Exact-oracle protocol (VERDICT r3 #6): both approximate methods
+# are deterministic, so their candidate sets — and therefore
+# recall@5 — are fixed numbers.  The Spark query EXPORTS the
+# candidate sets to this fixed path; the oracle recomputes the exact
+# ground truth AND the recall join independently in DuckDB over the
+# export.  The driver always runs the Spark side before the SQL side
+# (it compares their outputs), so the export exists when read.
+_ANN_EXPORT = os.path.join(tempfile.gettempdir(), "jrs_ann_candidates")
+
+
 def q_ann_recall(spark, sf_dir):
     """Driver-visible recall contract for both approximate ANN paths
     (VERDICT r2 #5): recall@5 of LSH-bucketed and IVF-routed top-k
-    against the exact ``cosine_topk`` ground truth.  Rows-only by
-    nature (the approximate methods are sub-1 recall by design); the
-    pytest companion asserts floors (LSH >= 0.6, IVF >= 0.8)."""
+    against the exact ``cosine_topk`` ground truth.  Exact oracle
+    (VERDICT r3 #6): candidates are exported to parquet and DuckDB
+    recomputes truth + recall from them; the pytest companion asserts
+    floors (LSH >= 0.6, IVF >= 0.8)."""
     from json_remedy_spark.functions.similarity import (
         cosine_topk,
         ivf_topk,
@@ -795,20 +807,34 @@ def q_ann_recall(spark, sf_dir):
         "embedding", F.col("embedding").cast("array<double>")
     )
     qs = e.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
-    truth = cosine_topk(e, qs, k=5).select("q_id", "vec_id")
 
-    def recall_row(df, method):
-        hits = df.select("q_id", "vec_id").join(truth, ["q_id", "vec_id"])
-        return hits.groupBy().agg(
-            F.lit(method).alias("method"),
-            F.round(F.count("*") / F.lit(truth.count()), 4).cast("double").alias("recall_at_5"),
-        )
-
-    lsh = recall_row(
-        lsh_bucketed_topk(e, qs, k=5, n_tables=_ANN_TABLES, n_planes=_ANN_PLANES), "lsh"
+    lsh = lsh_bucketed_topk(e, qs, k=5, n_tables=_ANN_TABLES, n_planes=_ANN_PLANES)
+    ivf = ivf_topk(e, qs, k=5, probes=_IVF_PROBES)
+    cand = (
+        lsh.select(F.lit("lsh").alias("method"), "q_id", "vec_id")
+        .unionByName(ivf.select(F.lit("ivf").alias("method"), "q_id", "vec_id"))
+        .select("method", F.col("q_id").cast("long"), F.col("vec_id").cast("long"))
     )
-    ivf = recall_row(ivf_topk(e, qs, k=5, probes=_IVF_PROBES), "ivf")
-    return lsh.unionByName(ivf).select("method", "recall_at_5")
+    cand.write.mode("overwrite").parquet(_ANN_EXPORT)
+
+    # score the EXPORTED bytes (what DuckDB will read), not the lineage
+    exported = spark.read.parquet(_ANN_EXPORT).distinct()
+    truth = cosine_topk(e, qs, k=5).select("q_id", "vec_id")
+    n_truth = truth.count()
+
+    hits = exported.join(truth, ["q_id", "vec_id"]).groupBy("method").agg(
+        F.count("*").alias("h")
+    )
+    methods = spark.createDataFrame([("lsh",), ("ivf",)], ["method"])
+    return (
+        methods.join(hits, "method", "left")
+        .select(
+            "method",
+            F.round(F.coalesce(F.col("h"), F.lit(0)) / F.lit(n_truth), 4)
+            .cast("double")
+            .alias("recall_at_5"),
+        )
+    )
 
 
 def q_repair_metrics(spark, sf_dir):
@@ -1381,6 +1407,23 @@ def oracle_sql() -> dict[str, str]:
         "vocab_stats": textstats.vocab_stats_sql(top_k=VOCAB_TOP_K),
         "ngram_repetition": quality.ngram_repetition_sql(),
         "cosine_topk": _cosine_topk_sql(),
+        "ann_recall": f"""
+          WITH truth AS ({_cosine_topk_sql()}),
+          cand AS (
+            SELECT DISTINCT method, q_id, vec_id
+            FROM read_parquet('{_ANN_EXPORT}/*.parquet')
+          ),
+          hits AS (
+            SELECT c.method, count(*) AS h
+            FROM cand c JOIN truth t ON t.q_id = c.q_id AND t.vec_id = c.vec_id
+            GROUP BY c.method
+          )
+          SELECT m.method,
+                 round(coalesce(h, 0) * 1.0 / (SELECT count(*) FROM truth), 4)::DOUBLE
+                   AS recall_at_5
+          FROM (VALUES ('lsh'), ('ivf')) m(method)
+          LEFT JOIN hits ON hits.method = m.method
+        """,
         "perplexity": _perplexity_sql(),
         "ppl_histogram": f"""
           WITH p AS ({_perplexity_sql()})
