@@ -601,7 +601,7 @@ def q_repair_documents(spark, sf_dir):
     from json_remedy_spark.operators.repair_udf import make_repair_udf
 
     d = _t(spark, sf_dir, "documents")
-    r = make_repair_udf()(F.col("text"))
+    r = make_repair_udf(with_repairs=True)(F.col("text"))
     return d.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         r["ok"].alias("ok"),

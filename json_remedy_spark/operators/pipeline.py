@@ -51,7 +51,7 @@ def quality_filter(
     (layer/action/position/original/replacement — reference
     lib/json_remedy/layer_behaviour.ex:9-15); heaviest payload (layer-1
     extractions carry the replaced span), for repair-rule audit jobs."""
-    repair_udf = make_repair_udf()
+    repair_udf = make_repair_udf(with_repairs=with_repairs)
 
     text = F.col("text")
     repair_cols = [

@@ -58,8 +58,15 @@ REPAIR_SCHEMA = StructType(
 )
 
 
-def make_repair_udf(**repair_opts):
+def make_repair_udf(with_repairs: bool = False, **repair_opts):
     """Build the pandas UDF lazily (imports pandas on executors only).
+
+    ``with_repairs`` adds the full repair_action structs to the output
+    struct.  OPT-IN because it is by far the widest Arrow payload:
+    layer-1 extraction records carry the replaced span — for fence /
+    prose extraction that is the whole input text, which would nearly
+    double the Arrow transfer of every malformed doc in the hot
+    pipeline that doesn't consume per-fix diffs.
 
     ``repair_opts`` forward to the kernel per batch — the reference's
     per-call toggles (``fast_path_optimization``,
@@ -69,11 +76,18 @@ def make_repair_udf(**repair_opts):
     job-level config, captured in the UDF closure."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StructType
 
     from ..functions.perplexity import score_texts
     from ..kernel import repair as _repair
 
-    @pandas_udf(REPAIR_SCHEMA)
+    schema = (
+        REPAIR_SCHEMA
+        if with_repairs
+        else StructType([f for f in REPAIR_SCHEMA.fields if f.name != "repairs"])
+    )
+
+    @pandas_udf(schema)
     def repair_udf(texts: pd.Series) -> pd.DataFrame:
         n = len(texts)
         out = {
@@ -83,9 +97,10 @@ def make_repair_udf(**repair_opts):
             "n_repairs": [0] * n,
             "layer_hits": [None] * n,
             "actions": [None] * n,
-            "repairs": [None] * n,
             "error": [None] * n,
         }
+        if with_repairs:
+            out["repairs"] = [None] * n
         vals = texts.fillna("").tolist()
         ppl = score_texts(vals)
         for i, s in enumerate(vals):
@@ -101,9 +116,11 @@ def make_repair_udf(**repair_opts):
                     hits[a["layer"]] = hits.get(a["layer"], 0) + 1
                 out["layer_hits"][i] = hits
                 out["actions"][i] = [a["action"] for a in r.repairs]
-                out["repairs"][i] = r.repairs
+                if with_repairs:
+                    out["repairs"][i] = r.repairs
         out["ppl"] = ppl
-        return pd.DataFrame(out)
+        # column order must match the declared schema
+        return pd.DataFrame(out)[[f.name for f in schema.fields]]
 
     return repair_udf
 

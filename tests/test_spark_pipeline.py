@@ -31,6 +31,24 @@ def test_output_schema(spark, corpus):
         assert c in names
 
 
+def test_with_repairs_projects_full_action_structs(spark, corpus):
+    """Opt-in lineage: with_repairs surfaces the reference's full
+    repair_action structs (layer/action/position/original/replacement);
+    the default path omits the field from the Arrow payload entirely."""
+    docs, _ = corpus
+    import pyspark.sql.functions as F
+
+    assert "repairs" not in quality_filter(docs).columns
+    result = quality_filter(docs.limit(200), with_repairs=True)
+    assert "repairs" in result.columns
+    rows = result.where(F.col("n_repairs") > 0).select("repairs").head(5)
+    assert rows
+    for r in rows:
+        for a in r["repairs"]:
+            assert set(a.asDict()) == {"layer", "action", "position", "original", "replacement"}
+            assert a["layer"] in {"layer1", "layer2", "layer3"}
+
+
 def test_langid_accuracy(spark, corpus):
     docs, labels = corpus
     from json_remedy_spark.functions.langid import detect_language
