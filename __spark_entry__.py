@@ -837,6 +837,80 @@ def q_ann_recall(spark, sf_dir):
     )
 
 
+# semantic_dedup's verified companion (VERDICT r3 #10): the greedy
+# kernel's cell/keep assignment is exported, and BOTH engines then
+# recompute the invariant summary from it — within-cell >=threshold
+# pairs (round-6 cosine, the kernel's own comparison) rolled up into
+# violating-kept-pair and unwitnessed-dropped counts per cell.  Equal
+# summaries mean DuckDB independently confirms the kernel's keep set
+# satisfies the SemDeDup contract.
+_SEMDEDUP_EXPORT = os.path.join(tempfile.gettempdir(), "jrs_semdedup_export")
+# the synthetic embeddings top out near cos 0.51 — 0.45 makes the
+# greedy pruner actually drop points, so the witness invariant is
+# non-vacuous (0.9, the production default, would keep everything)
+_SEMDEDUP_THRESHOLD = 0.45
+
+
+def q_semantic_dedup_verified(spark, sf_dir):
+    """Greedy-invariant verification of ``semantic_dedup`` (exact
+    oracle): per cell — size, kept count, kept pairs at >= threshold
+    (must be 0), dropped points with no kept witness (must be 0)."""
+    from json_remedy_spark.functions.similarity import (
+        cosine_pairs_exact,
+        semantic_dedup,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    semantic_dedup(
+        e, threshold=_SEMDEDUP_THRESHOLD, cells=8, iters=1
+    ).write.mode("overwrite").parquet(_SEMDEDUP_EXPORT)
+    exp = spark.read.parquet(_SEMDEDUP_EXPORT).select("vec_id", "cell", "keep")
+
+    pairs = cosine_pairs_exact(e, threshold=_SEMDEDUP_THRESHOLD)
+    a = exp.select(
+        F.col("vec_id").alias("id_a"), F.col("cell").alias("cell_a"), F.col("keep").alias("keep_a")
+    )
+    b = exp.select(
+        F.col("vec_id").alias("id_b"), F.col("cell").alias("cell_b"), F.col("keep").alias("keep_b")
+    )
+    p = pairs.join(a, "id_a").join(b, "id_b").where(F.col("cell_a") == F.col("cell_b"))
+    viol = (
+        p.where(F.col("keep_a") & F.col("keep_b"))
+        .groupBy(F.col("cell_a").alias("cell"))
+        .agg(F.count("*").alias("violating"))
+    )
+    wit = (
+        p.where(~F.col("keep_a") & F.col("keep_b"))
+        .select(F.col("cell_a").alias("cell"), F.col("id_a").alias("vec_id"))
+        .union(
+            p.where(F.col("keep_a") & ~F.col("keep_b")).select(
+                F.col("cell_a").alias("cell"), F.col("id_b").alias("vec_id")
+            )
+        )
+        .distinct()
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_witnessed"))
+    )
+    base = exp.groupBy("cell").agg(
+        F.count("*").alias("n"), F.sum(F.col("keep").cast("int")).alias("n_kept")
+    )
+    return (
+        base.join(viol, "cell", "left")
+        .join(wit, "cell", "left")
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            F.col("n").cast("long").alias("n"),
+            F.col("n_kept").cast("long").alias("n_kept"),
+            F.coalesce("violating", F.lit(0)).cast("long").alias("violating_kept_pairs"),
+            (F.col("n") - F.col("n_kept") - F.coalesce("n_witnessed", F.lit(0)))
+            .cast("long")
+            .alias("dropped_without_witness"),
+        )
+    )
+
+
 def q_repair_metrics(spark, sf_dir):
     """Repair-rule frequency table (reference analyze/1) — rows-only."""
     from json_remedy_spark.operators.metrics import repair_action_frequencies
@@ -894,6 +968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": q_lsh_ann_topk,
         "ann_recall": q_ann_recall,
         "semantic_dedup": q_semantic_dedup,
+        "semantic_dedup_verified": q_semantic_dedup_verified,
         "repair_metrics": q_repair_metrics,
         "layer_hits": q_layer_hits,
     }
@@ -1407,6 +1482,47 @@ def oracle_sql() -> dict[str, str]:
         "vocab_stats": textstats.vocab_stats_sql(top_k=VOCAB_TOP_K),
         "ngram_repetition": quality.ngram_repetition_sql(),
         "cosine_topk": _cosine_topk_sql(),
+        "semantic_dedup_verified": f"""
+          WITH exp AS (
+            SELECT vec_id, cell, keep
+            FROM read_parquet('{_SEMDEDUP_EXPORT}/*.parquet')
+          ),
+          v AS (
+            SELECT e.vec_id, x.cell, x.keep,
+                   list_transform(e.embedding::DOUBLE[], t -> t /
+                     greatest(sqrt(list_sum(list_transform(e.embedding::DOUBLE[], y -> y*y))), 1e-12)) AS unit
+            FROM embeddings e JOIN exp x ON x.vec_id = e.vec_id
+          ),
+          p AS (
+            SELECT a.cell, a.vec_id AS id_a, b.vec_id AS id_b,
+                   a.keep AS keep_a, b.keep AS keep_b
+            FROM v a JOIN v b ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE round(list_sum(list_transform(list_zip(a.unit, b.unit), q -> q[1] * q[2])), 6)
+                  >= {_SEMDEDUP_THRESHOLD}
+          ),
+          viol AS (
+            SELECT cell, count(*) AS violating FROM p
+            WHERE keep_a AND keep_b GROUP BY cell
+          ),
+          wit AS (
+            SELECT cell, count(DISTINCT vec_id) AS n_witnessed FROM (
+              SELECT cell, id_a AS vec_id FROM p WHERE NOT keep_a AND keep_b
+              UNION ALL
+              SELECT cell, id_b AS vec_id FROM p WHERE keep_a AND NOT keep_b
+            ) GROUP BY cell
+          ),
+          base AS (
+            SELECT cell, count(*) AS n,
+                   sum(CASE WHEN keep THEN 1 ELSE 0 END) AS n_kept
+            FROM exp GROUP BY cell
+          )
+          SELECT base.cell::BIGINT AS cell, n::BIGINT AS n, n_kept::BIGINT AS n_kept,
+                 coalesce(violating, 0)::BIGINT AS violating_kept_pairs,
+                 (n - n_kept - coalesce(n_witnessed, 0))::BIGINT AS dropped_without_witness
+          FROM base
+          LEFT JOIN viol ON viol.cell = base.cell
+          LEFT JOIN wit ON wit.cell = base.cell
+        """,
         "ann_recall": f"""
           WITH truth AS ({_cosine_topk_sql()}),
           cand AS (

@@ -426,7 +426,10 @@ def simhash_near_dup(
 
 
 def components_from_pairs(
-    all_ids: DataFrame, pairs: DataFrame, max_iters: int = 20
+    all_ids: DataFrame,
+    pairs: DataFrame,
+    max_iters: int = 20,
+    algorithm: str = "min_label",
 ) -> DataFrame:
     """Connected components over a near-dup pair graph: every doc gets
     ``rep_id`` = the smallest doc_id reachable through pairs (its
@@ -440,14 +443,20 @@ def components_from_pairs(
     returning a silently-unconverged labeling).  Each round is one
     shuffle join keyed by doc_id; convergence is detected by the
     monotonically-decreasing label sum, one cheap aggregate per round
-    instead of an old-vs-new join.  At 10^9+ docs with adversarial
-    long-chain graphs, switch to large-star/small-star (Kiveris et
-    al., "Connected Components in MapReduce"), which converges in
-    O(log n) rounds at two joins per round — not needed for the dedup
-    graph shape.
+    instead of an old-vs-new join.
+
+    ``algorithm="star"`` switches to large-star/small-star (Kiveris et
+    al. 2014, "Connected Components in MapReduce and Beyond"): two
+    joins per round but O(log n) rounds — the escape hatch for 10^9+
+    docs with adversarial long-chain graphs, where min-label's
+    O(diameter) rounds would dominate.  Identical output (parity
+    tested); default stays min-label because near-dup graphs are
+    shallow.
 
     ``all_ids``: one column ``doc_id``; ``pairs``: ``doc_a``/``doc_b``.
     Returns (doc_id, rep_id, is_canonical)."""
+    if algorithm not in ("min_label", "star"):
+        raise ValueError(f"unknown components algorithm: {algorithm!r}")
     # materialize the pair list ONCE before mirroring: the union's two
     # branches each scan `pairs`, and when pairs is an expensive DAG
     # (the LSH->jaccard verifier) an unmaterialized union runs it twice
@@ -458,6 +467,8 @@ def components_from_pairs(
     # empty tasks; at 10^9 pairs this grows back to a real fan-out
     n_pairs = p.count()
     parts = max(1, min(2048, n_pairs // 500_000 + 1))
+    if algorithm == "star":
+        return _rejoin_singletons(all_ids, _star_components(p, parts, max_iters))
     edges = (
         p.union(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .repartition(parts, "v")
@@ -502,18 +513,115 @@ def components_from_pairs(
         new_sum = labels.agg(F.sum(F.col("rep_id").cast("decimal(38,0)"))).collect()[0][0]
         if new_sum == prev_sum:  # labels only decrease; fixpoint reached
             edges.unpersist()
-            return (
-                all_ids.select("doc_id")
-                .join(labels.withColumnRenamed("rep_id", "pair_rep"), "doc_id", "left")
-                .select(
-                    "doc_id",
-                    F.coalesce("pair_rep", F.col("doc_id")).alias("rep_id"),
-                )
-                .withColumn("is_canonical", F.col("doc_id") == F.col("rep_id"))
-            )
+            return _rejoin_singletons(all_ids, labels)
         prev_sum = new_sum
     edges.unpersist()
     raise ValueError(f"components_from_pairs did not converge in {max_iters} rounds")
+
+
+def _rejoin_singletons(all_ids: DataFrame, labels: DataFrame) -> DataFrame:
+    """(doc_id, rep_id) for graph nodes -> full (doc_id, rep_id,
+    is_canonical) table: docs outside the pair graph keep themselves."""
+    return (
+        all_ids.select("doc_id")
+        .join(labels.withColumnRenamed("rep_id", "pair_rep"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("pair_rep", F.col("doc_id")).alias("rep_id"),
+        )
+        .withColumn("is_canonical", F.col("doc_id") == F.col("rep_id"))
+    )
+
+
+def _star_components(p: DataFrame, parts: int, max_iters: int) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al. 2014,
+    "Connected Components in MapReduce and Beyond") over the pair list
+    ``p`` (columns u, v) — O(log n) rounds, two shuffle joins per
+    round.  Returns (doc_id, rep_id) for every node in the graph.
+
+    Round structure, edges kept canonical as (u > v):
+
+    * large-star at node u: every STRICTLY LARGER neighbor is
+      re-pointed at m = min(neighborhood of u, including u) — long
+      tails collapse toward small labels from both ends;
+    * small-star at node u: u and all its smaller neighbors re-point
+      at the smallest of them.
+
+    Both steps only ever replace an edge endpoint with a smaller
+    node id, so (count, sum(u), sum(v)) is a monotone potential — the
+    same cheap fixpoint detector as min-label's label sum (DECIMAL to
+    survive full-range 64-bit hash ids under ANSI mode).  At fixpoint
+    the edge set is a star forest (u -> component min); a node with
+    two remaining parents would still change under small-star, so each
+    non-root has exactly one.  Every round localCheckpoints — the
+    iterative-plan-growth driver-OOM gotcha applies here exactly as in
+    min-label."""
+    # canonical dedup'd edge set, self-loops dropped
+    e = (
+        p.where(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .repartition(parts, "u")
+        .localCheckpoint()
+    )
+
+    def stats(df):
+        r = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("u").cast("decimal(38,0)")).alias("su"),
+            F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
+        ).collect()[0]
+        return (r["n"], r["su"], r["sv"])
+
+    prev = stats(e)
+    for _ in range(max_iters):
+        # ---- large-star ------------------------------------------------
+        nbrs = e.select("u", "v").union(
+            e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            nbrs.groupBy("u")
+            .agg(F.min("v").alias("mn"))
+            .select("u", F.least("mn", F.col("u")).alias("m"))
+        )
+        e = (
+            nbrs.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            # new edge (v, m): v > u >= m, already canonical, never a loop
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # ---- small-star ------------------------------------------------
+        sm = e.groupBy("u").agg(F.min("v").alias("m"))
+        from_u = sm.select("u", F.col("m").alias("v"))
+        from_nbrs = (
+            e.join(sm, "u")
+            .where(F.col("v") != F.col("m"))
+            # old smaller neighbor v re-points at m < v: canonical
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        e = (
+            from_u.union(from_nbrs)
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+            .repartition(parts, "u")
+            .localCheckpoint()
+        )
+        cur = stats(e)
+        if cur == prev:  # star forest reached
+            nodes = (
+                e.select(F.col("u").alias("doc_id"))
+                .union(e.select(F.col("v").alias("doc_id")))
+                .distinct()
+            )
+            return nodes.join(
+                e.select(F.col("u").alias("doc_id"), F.col("v").alias("rep_id")),
+                "doc_id",
+                "left",
+            ).select("doc_id", F.coalesce("rep_id", F.col("doc_id")).alias("rep_id"))
+        prev = cur
+    raise ValueError(f"_star_components did not converge in {max_iters} rounds")
 
 
 def near_dup_components(
@@ -522,13 +630,16 @@ def near_dup_components(
     id_col: str = "doc_id",
     text_col: str = "text",
     handles: list | None = None,
+    algorithm: str = "min_label",
 ) -> DataFrame:
     """The last mile of fuzzy dedup: verified near-dup pairs
     (``lsh_verified_pairs``) clustered into components, one canonical
     representative (min doc_id) per cluster.  ``is_canonical`` is the
     keep set — filtering on it yields the deduplicated corpus."""
     pairs = lsh_verified_pairs(docs, threshold, id_col, text_col, handles=handles)
-    return components_from_pairs(docs.select(F.col(id_col).alias("doc_id")), pairs)
+    return components_from_pairs(
+        docs.select(F.col(id_col).alias("doc_id")), pairs, algorithm=algorithm
+    )
 
 
 def minhash_from_shingles(sh: DataFrame) -> DataFrame:
