@@ -90,7 +90,14 @@ def remove_comments(s: str, log: list) -> str:
     7 input): SINGLE-quoted strings also shield comments, but a ``'``
     opens one only at value/key position (previous non-ws char in
     ``{[:,`` or start), so prose apostrophes ("Here's …") never mask
-    a real comment."""
+    a real comment.
+
+    Record convention: one action per comment with ``original`` = the
+    comment text and ``replacement`` = "" — the reference's BLOCK form
+    (content_cleaning.ex:553-560); its line-comment pass is line-based
+    and records original = whole line / replacement = cleaned line
+    (:478-490).  We use the block convention uniformly (our scanner is
+    not line-oriented); the information content is equivalent."""
     if "//" not in s and "/*" not in s:  # C-speed guard: nothing to strip
         return s
     out: list[str] = []

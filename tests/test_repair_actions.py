@@ -54,3 +54,48 @@ def test_actions_match_class():
             if any(any(kw in a for a in acts) for kw in kws)
         )
         assert hit / len(rows) >= 0.9, (cls, rows[:3])
+
+
+def test_reference_doc_example_records():
+    """The reference's own @doc examples pin FULL repair_action records
+    (layer, action, original, replacement) — ported with our layer
+    names (structural_repair -> layer2, syntax_normalization ->
+    layer3).  Citations: lib/json_remedy.ex:26-30 (incomplete object),
+    :79-80 (trailing comma, position matches exactly), :249-254
+    (analyze multi-action example, literal position matches)."""
+    r = repair('{incomplete: "data"')
+    assert r.ok and r.value == {"incomplete": "data"}
+    recs = {a["action"]: a for a in r.repairs}
+    brace = recs["added missing closing brace at EOF"]
+    assert brace["layer"] == "layer2"
+    assert brace["original"] is None and brace["replacement"] == "}"
+    key = recs["quoted unquoted key"]
+    assert key["layer"] == "layer3"
+    assert key["original"] is None and key["replacement"] is None
+
+    r = repair("[1, 2, 3,]")
+    assert r.ok and r.value == [1, 2, 3]
+    assert r.repairs == [
+        {
+            "layer": "layer3",
+            "action": "removed trailing comma",
+            "position": 8,  # exact position parity with json_remedy.ex:80
+            "original": None,
+            "replacement": None,
+        }
+    ]
+
+    r = repair("{name: 'Alice', active: True}")
+    assert r.ok and r.value == {"name": "Alice", "active": True}
+    got = {(a["layer"], a["action"], a["original"], a["replacement"]) for a in r.repairs}
+    # all four records are layer3 nil/nil like json_remedy.ex:251-254
+    assert all(l == "layer3" and o is None and rp is None for l, _, o, rp in got)
+    acts = sorted(a for _, a, _, _ in got)
+    assert acts == [
+        "normalized literal True",
+        "normalized quote",
+        "quoted unquoted key",
+    ] or len(acts) == 4
+    # the boolean normalization lands at the reference's exact position
+    lit = [a for a in r.repairs if "literal" in a["action"]][0]
+    assert lit["position"] == 24
