@@ -201,6 +201,29 @@ def q_pack_token_budget(spark, sf_dir):
     )
 
 
+SHARD_TOKENS = 2_000  # tokens per output shard for the sharding query
+
+
+def q_token_shards(spark, sf_dir):
+    """Token-targeted shard assignment (training-data export): per-
+    shard rollup of the deterministic contiguous cut — doc counts,
+    token totals, and the doc_id span prove the assignment exactly."""
+    d = _t(spark, sf_dir, "documents")
+    s = corpus.shard_by_tokens(d, SHARD_TOKENS)
+    return s.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+        F.max("doc_id").cast("long").alias("last_doc"),
+    ).select(
+        F.col("shard").cast("long").alias("shard"),
+        "n_docs",
+        "total_tokens",
+        "first_doc",
+        "last_doc",
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     """Deterministic md5-bucket 10% sample, stratified by language."""
     d = _t(spark, sf_dir, "documents")
@@ -935,6 +958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "pack_token_budget": q_pack_token_budget,
         "stratified_sample": q_stratified_sample,
+        "token_shards": q_token_shards,
         "line_dedup": q_line_dedup,
         "dup_span_removal": q_dup_span_removal,
         "normalize_text": q_normalize_text,
@@ -1129,6 +1153,26 @@ def _pack_token_budget_sql() -> str:
       SELECT doc_id::BIGINT AS doc_id, lang, n_tokens,
              cum_tokens::BIGINT AS cum_tokens
       FROM c WHERE cum_tokens - n_tokens < {PACK_BUDGET}
+    """
+
+
+def _token_shards_sql() -> str:
+    tok = textstats.stats_sql()["token_count"]
+    return f"""
+      WITH t AS (
+        SELECT doc_id, ({tok})::BIGINT AS n_tokens FROM documents
+      ),
+      c AS (
+        SELECT doc_id, n_tokens,
+               sum(n_tokens) OVER (ORDER BY doc_id) AS cum_tokens
+        FROM t
+      )
+      SELECT (floor((cum_tokens - n_tokens) / {SHARD_TOKENS}))::BIGINT AS shard,
+             count(*)::BIGINT AS n_docs,
+             sum(n_tokens)::BIGINT AS total_tokens,
+             min(doc_id)::BIGINT AS first_doc,
+             max(doc_id)::BIGINT AS last_doc
+      FROM c GROUP BY 1
     """
 
 
@@ -1472,6 +1516,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_components": _dedup_components_sql(),
         "decontaminate": _decontaminate_sql(),
         "pack_token_budget": _pack_token_budget_sql(),
+        "token_shards": _token_shards_sql(),
         "stratified_sample": _stratified_sample_sql(),
         "line_dedup": _line_dedup_sql(),
         "dup_span_removal": _dup_span_removal_sql(),

@@ -114,6 +114,82 @@ def pack_token_budget(
     )
 
 
+def shard_by_tokens(
+    docs: DataFrame,
+    shard_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_width: int = 1 << 20,
+) -> DataFrame:
+    """Deterministic token-targeted shard assignment — the training-
+    data export step: docs in doc_id order are cut into contiguous
+    shards of ~``shard_tokens`` tokens each (a doc belongs to the
+    shard its FIRST token falls in, so each shard boundary is crossed
+    by at most one doc and every shard lands within one doc of the
+    target).  Training loaders then stream equal-work shards without a
+    size-skew straggler.
+
+    Same two-phase prefix sum as ``pack_token_budget`` (that
+    docstring's straggler analysis applies verbatim — one global
+    ``Window.orderBy(doc_id)`` would funnel the corpus through a
+    single sort task): within-bucket windows in parallel, cross-bucket
+    offsets over the tiny per-bucket table, broadcast back.  Returns
+    ``(doc_id, n_tokens, cum_tokens, shard)``."""
+    t = docs.select(
+        F.col(id_col).alias("doc_id"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    ).withColumn("bucket", (F.col("doc_id") / bucket_width).cast("long"))
+    within = t.withColumn(
+        "cum_in_bucket",
+        F.sum("n_tokens").over(Window.partitionBy("bucket").orderBy("doc_id")),
+    )
+    bucket_sums = t.groupBy("bucket").agg(F.sum("n_tokens").alias("bucket_tokens"))
+    offsets = bucket_sums.withColumn(
+        "offset",
+        F.coalesce(
+            F.sum("bucket_tokens").over(
+                Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("bucket", "offset")
+    return (
+        within.join(F.broadcast(offsets), "bucket")
+        .withColumn("cum_tokens", F.col("offset") + F.col("cum_in_bucket"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "cum_tokens",
+            F.floor((F.col("cum_tokens") - F.col("n_tokens")) / shard_tokens)
+            .cast("long")
+            .alias("shard"),
+        )
+    )
+
+
+def write_token_shards(
+    docs: DataFrame,
+    out_dir: str,
+    shard_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Land the corpus as token-balanced shards: ``shard_by_tokens``
+    assignment joined back to the full rows, written
+    ``partitionBy(shard)`` so each shard is its own parquet directory.
+    Returns the number of shards written."""
+    assign = shard_by_tokens(docs, shard_tokens, id_col, text_col)
+    out = docs.join(
+        assign.select(F.col("doc_id").alias(id_col), "shard"), id_col
+    )
+    out.write.mode("overwrite").partitionBy("shard").parquet(out_dir)
+    import os as _os
+
+    return sum(
+        1 for d in _os.listdir(out_dir) if d.startswith("shard=")
+    )
+
+
 def line_dedup(
     docs: DataFrame,
     id_col: str = "doc_id",

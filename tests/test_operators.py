@@ -370,6 +370,75 @@ def test_pack_token_budget_two_phase_matches_single_window(spark):
     assert multi == single and multi
 
 
+def test_shard_by_tokens_contiguous_and_balanced(spark):
+    """Shards are contiguous doc_id ranges; a doc lands in the shard
+    its first token falls in, so every shard except the last holds at
+    least shard_tokens minus its last doc's spillover."""
+    from json_remedy_spark.functions.corpus import shard_by_tokens
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (i % 7 + 1)) for i in range(100)], ["doc_id", "text"]
+    )
+    rows = sorted(
+        (r["doc_id"], r["n_tokens"], r["cum_tokens"], r["shard"])
+        for r in shard_by_tokens(docs, 20).collect()
+    )
+    # prefix sums are exact and shards = floor(start_offset / 20)
+    cum = 0
+    prev_shard = 0
+    for doc_id, n, c, s in rows:
+        assert c == cum + n
+        assert s == cum // 20
+        assert s >= prev_shard  # monotone -> contiguous ranges
+        cum = c
+        prev_shard = s
+    # every shard except the last covers its full 20-token stripe
+    last = max(s for _, _, _, s in rows)
+    tokens_by_shard = {}
+    for _, n, _, s in rows:
+        tokens_by_shard[s] = tokens_by_shard.get(s, 0) + n
+    for s, tot in tokens_by_shard.items():
+        if s != last:
+            # stripe is full: next shard starts at or past (s+1)*20
+            assert tot >= 20 - 6  # spillover bounded by max doc size - 1
+
+
+def test_shard_by_tokens_two_phase_matches_single_window(spark):
+    from json_remedy_spark.functions.corpus import shard_by_tokens
+
+    docs = spark.createDataFrame(
+        [(i, "w " * (i % 5 + 1)) for i in range(60)], ["doc_id", "text"]
+    )
+    multi = sorted(map(tuple, shard_by_tokens(docs, 25, bucket_width=7).collect()))
+    single = sorted(map(tuple, shard_by_tokens(docs, 25, bucket_width=1 << 20).collect()))
+    assert multi == single and multi
+
+
+def test_write_token_shards(spark, tmp_path):
+    """The export writer lands one parquet dir per shard and the
+    reloaded union is exactly the input."""
+    from json_remedy_spark.functions.corpus import write_token_shards
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i} " + "w " * (i % 9)) for i in range(200)], ["doc_id", "text"]
+    )
+    out = str(tmp_path / "shards")
+    n_shards = write_token_shards(docs, out, shard_tokens=100)
+    assert n_shards >= 2
+    back = spark.read.parquet(out)
+    assert back.count() == 200
+    assert back.select("doc_id").distinct().count() == 200
+    # each shard dir is a contiguous doc_id range
+    spans = sorted(
+        (r["lo"], r["hi"])
+        for r in back.groupBy("shard")
+        .agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi"))
+        .collect()
+    )
+    for (lo1, hi1), (lo2, _) in zip(spans, spans[1:]):
+        assert hi1 < lo2
+
+
 def test_components_with_full_range_hash_ids(spark):
     """doc ids from xxhash64 are full-range 64-bit: the convergence
     sum must not overflow BIGINT (runs in DECIMAL(38,0))."""
@@ -568,6 +637,32 @@ def test_star_components_log_rounds_on_long_chain(spark):
     # min_label would need ~63 rounds; star must land well inside 14
     rows = components_from_pairs(ids, pairs, max_iters=14, algorithm="star").collect()
     assert all(r["rep_id"] == 0 for r in rows) and len(rows) == n
+
+
+def test_star_components_random_graph_parity(spark):
+    """Seeded random graphs (mixed densities, isolated nodes, self
+    loops, duplicate/reversed edges) — star and min-label must agree
+    exactly on every one."""
+    import random
+
+    from json_remedy_spark.functions.dedup import components_from_pairs
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        n = 50
+        ids = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+        edges = [
+            (rng.randrange(n), rng.randrange(n))  # self loops included
+            for _ in range(rng.randrange(10, 70))
+        ]
+        edges += [(b, a) for a, b in edges[:5]]  # reversed duplicates
+        pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+        a = sorted(tuple(r) for r in components_from_pairs(ids, pairs, max_iters=60).collect())
+        b = sorted(
+            tuple(r)
+            for r in components_from_pairs(ids, pairs, algorithm="star").collect()
+        )
+        assert a == b, f"seed {seed} diverged"
 
 
 def test_star_components_on_lsh_pair_graph(spark):
