@@ -11,6 +11,7 @@
       [--eval-input <docs to decontaminate against>] \
       [--token-budget N] [--threshold 0.8] [--max-per-domain K]
       [--no-line-dedup] [--dup-span-window W] [--seen-input <store>]
+      [--shard-tokens N]   output as contiguous ~N-token shards
 
 Stage shapes (each documented at its operator):
   1. quality_filter — map-only DAG, one Arrow hop (repair+perplexity),
@@ -59,6 +60,13 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--seen-input", default=None)
     ap.add_argument("--checkpoint-root", default=None)
     ap.add_argument("--normalize", action="store_true")
+    ap.add_argument(
+        "--shard-tokens",
+        type=int,
+        default=0,
+        help="write the output as contiguous ~N-token parquet shards "
+        "(partitionBy shard) instead of one flat table",
+    )
     return ap
 
 
@@ -177,7 +185,14 @@ def run(spark, args) -> str:
             return d.join(packed.select("doc_id"), "doc_id", "left_semi")
         docs = stage("s7_packed", _pack)
 
-    write_table(docs.select("url", "lang_id", "text"), args.output, mode="overwrite")
+    out_cols = docs.select("doc_id", "url", "lang_id", "text")
+    if args.shard_tokens:
+        # training-loader export: contiguous ~N-token shards
+        from json_remedy_spark.functions.corpus import write_token_shards
+
+        write_token_shards(out_cols, args.output, args.shard_tokens)
+    else:
+        write_table(out_cols.drop("doc_id"), args.output, mode="overwrite")
     n_out = docs.count()
     for h in job_handles:
         h.unpersist()

@@ -42,10 +42,14 @@ def test_corpus_pipeline_job_frees_all_persists(spark, pages_parquet, tmp_path):
     out1 = str(tmp_path / "out1")
     msg = run(spark, build_parser().parse_args(
         ["--input", pages_parquet, "--output", out1,
-         "--dup-span-window", "8", "--token-budget", "2000"]
+         "--dup-span-window", "8", "--token-budget", "2000",
+         "--shard-tokens", "500"]
     ))
     assert " in -> " in msg
     assert _sql_cache_empty(spark), "corpus job leaked persisted DataFrames"
+    import os
+
+    assert any(d.startswith("shard=") for d in os.listdir(out1))
 
     # plain run pair: the rerun gates against the first run's output
     # and exercises the incremental gate's bloom-probed persist
