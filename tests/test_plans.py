@@ -43,6 +43,22 @@ def test_cosine_topk_scans_corpus_once_map_only(spark):
     assert plan.count("Exchange") <= 1
 
 
+def test_shard_by_tokens_plan_shape(spark):
+    """The corpus never funnels through one sort task: the doc-side
+    window partitions by bucket (parallel sorts); the cross-bucket
+    offsets — the only single-partition window — run over the TINY
+    per-bucket aggregate and come back via broadcast join."""
+    from json_remedy_spark.functions.corpus import shard_by_tokens
+    from json_remedy_spark.plans.explain import executed_plan
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = executed_plan(shard_by_tokens(d, 2000, bucket_width=64))
+    assert "BroadcastHashJoin" in plan  # offsets join, not a shuffle join
+    assert "SortMergeJoin" not in plan
+    # the full-table window partitions by bucket, not SinglePartition
+    assert "hashpartitioning(bucket" in plan
+
+
 def test_minhash_zero_shuffle(spark):
     """MinHash signatures are per-document math: the plan must be
     map-only — no Exchange at all."""
