@@ -174,6 +174,18 @@ def q_dedup_components(spark, sf_dir):
     )
 
 
+def q_dedup_cluster_sizes(spark, sf_dir):
+    """Cluster-size histogram of the near-dup components — the
+    corpus-health metric an operator reads first (how much of the
+    crawl is duplicated, and how big the blobs are)."""
+    d = _t(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism)
+    comp = dedup.near_dup_components(d, threshold=0.5)
+    sizes = comp.groupBy("rep_id").agg(F.count("*").alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count("*").cast("long").alias("n_clusters")
+    ).select(F.col("cluster_size").cast("long").alias("cluster_size"), "n_clusters")
+
+
 PACK_BUDGET = 2_000  # tokens per language for the packing query
 SAMPLE_PCT = 10
 
@@ -955,6 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": q_simhash_near_dup,
         "lsh_jaccard_verified": q_lsh_jaccard_verified,
         "dedup_components": q_dedup_components,
+        "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "decontaminate": q_decontaminate,
         "pack_token_budget": q_pack_token_budget,
         "stratified_sample": q_stratified_sample,
@@ -1514,6 +1527,13 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dup": _simhash_near_dup_sql(),
         "lsh_jaccard_verified": _lsh_verified_sql(),
         "dedup_components": _dedup_components_sql(),
+        "dedup_cluster_sizes": f"""
+          WITH comp AS ({_dedup_components_sql()}),
+          sizes AS (SELECT rep_id, count(*) AS cluster_size FROM comp GROUP BY rep_id)
+          SELECT cluster_size::BIGINT AS cluster_size,
+                 count(*)::BIGINT AS n_clusters
+          FROM sizes GROUP BY 1
+        """,
         "decontaminate": _decontaminate_sql(),
         "pack_token_budget": _pack_token_budget_sql(),
         "token_shards": _token_shards_sql(),
