@@ -765,17 +765,28 @@ _ANN_PLANES = 4
 _IVF_PROBES = 8
 
 
+# Exact-oracle exports for the two approximate top-k paths (same
+# protocol as ann_recall): the deterministic candidate membership is
+# exported, and DuckDB independently recomputes cosine, ordering, and
+# rank for exactly those pairs — scoring math fully value-checked,
+# membership taken from the (deterministic) bucketing.
+_LSH_TOPK_EXPORT = os.path.join(tempfile.gettempdir(), "jrs_lsh_topk_export")
+_IVF_TOPK_EXPORT = os.path.join(tempfile.gettempdir(), "jrs_ivf_topk_export")
+
+
 def q_lsh_ann_topk(spark, sf_dir):
     from json_remedy_spark.functions.similarity import lsh_bucketed_topk
 
     e = _t(spark, sf_dir, "embeddings").withColumn("embedding", F.col("embedding").cast("array<double>"))
     queries = e.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
-    return lsh_bucketed_topk(e, queries, k=5, n_tables=_ANN_TABLES, n_planes=_ANN_PLANES).select(
+    out = lsh_bucketed_topk(e, queries, k=5, n_tables=_ANN_TABLES, n_planes=_ANN_PLANES).select(
         F.col("q_id").cast("long").alias("q_id"),
         F.col("vec_id").cast("long").alias("vec_id"),
         F.col("cos").cast("double").alias("cos"),
         F.col("rank").cast("long").alias("rank"),
     )
+    out.select("q_id", "vec_id").write.mode("overwrite").parquet(_LSH_TOPK_EXPORT)
+    return out
 
 
 def q_layer_hits(spark, sf_dir):
@@ -802,17 +813,20 @@ def q_winnow_fingerprints(spark, sf_dir):
 
 
 def q_ivf_ann_topk(spark, sf_dir):
-    """IVF-routed ANN top-k (rows-only; recall<1 by design)."""
+    """IVF-routed ANN top-k (export-verified: DuckDB recomputes cos +
+    rank for the routed candidate set)."""
     from json_remedy_spark.functions.similarity import ivf_topk
 
     e = _t(spark, sf_dir, "embeddings").withColumn("embedding", F.col("embedding").cast("array<double>"))
     queries = e.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
-    return ivf_topk(e, queries, k=5, probes=_IVF_PROBES).select(
+    out = ivf_topk(e, queries, k=5, probes=_IVF_PROBES).select(
         F.col("q_id").cast("long").alias("q_id"),
         F.col("vec_id").cast("long").alias("vec_id"),
         F.col("cos").cast("double").alias("cos"),
         F.col("rank").cast("long").alias("rank"),
     )
+    out.select("q_id", "vec_id").write.mode("overwrite").parquet(_IVF_TOPK_EXPORT)
+    return out
 
 
 # Exact-oracle protocol (VERDICT r3 #6): both approximate methods
@@ -1166,6 +1180,32 @@ def _pack_token_budget_sql() -> str:
       SELECT doc_id::BIGINT AS doc_id, lang, n_tokens,
              cum_tokens::BIGINT AS cum_tokens
       FROM c WHERE cum_tokens - n_tokens < {PACK_BUDGET}
+    """
+
+
+def _ann_topk_export_sql(path: str) -> str:
+    """Recompute cosine + rank in DuckDB for an exported (q_id, vec_id)
+    candidate set — the scoring math of the approximate top-k paths,
+    independently value-checked (membership comes from the export)."""
+    return f"""
+      WITH cand AS (
+        SELECT DISTINCT q_id, vec_id FROM read_parquet('{path}/*.parquet')
+      ),
+      v AS (
+        SELECT vec_id, list_transform(embedding::DOUBLE[], x -> x /
+          greatest(sqrt(list_sum(list_transform(embedding::DOUBLE[], y -> y*y))), 1e-12)) AS unit
+        FROM embeddings
+      ),
+      scored AS (
+        SELECT c.q_id, c.vec_id,
+               round(list_sum(list_transform(list_zip(a.unit, b.unit), p -> p[1] * p[2])), 6) AS cos
+        FROM cand c
+        JOIN v a ON a.vec_id = c.vec_id
+        JOIN v b ON b.vec_id = c.q_id
+      )
+      SELECT q_id::BIGINT AS q_id, vec_id::BIGINT AS vec_id, cos::DOUBLE AS cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id)::BIGINT AS rank
+      FROM scored
     """
 
 
@@ -1547,6 +1587,8 @@ def oracle_sql() -> dict[str, str]:
         "vocab_stats": textstats.vocab_stats_sql(top_k=VOCAB_TOP_K),
         "ngram_repetition": quality.ngram_repetition_sql(),
         "cosine_topk": _cosine_topk_sql(),
+        "lsh_ann_topk": _ann_topk_export_sql(_LSH_TOPK_EXPORT),
+        "ivf_ann_topk": _ann_topk_export_sql(_IVF_TOPK_EXPORT),
         "semantic_dedup_verified": f"""
           WITH exp AS (
             SELECT vec_id, cell, keep
