@@ -397,6 +397,93 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def write_ivf_index(
+    vectors: DataFrame,
+    out_dir: str,
+    cells: int = N_IVF_CELLS,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+    refine: int = 1,
+) -> int:
+    """Materialize the IVF index AT REST — the 100 TB form of
+    ``ivf_topk``'s in-session assignment, mirroring the LSH signature
+    table: the small centroid table lands as one parquet, corpus
+    vectors land ``partitionBy(cell)`` so a query's probed cells map
+    to PARTITION PRUNING at the scan (a query touches probes/cells of
+    the data; nothing else is read).  Returns the number of cells
+    written."""
+    import os
+
+    _require_numeric_id(vectors, id_col)
+    src = vectors.select(F.col(id_col).alias("vec_id"), F.col(col).alias(col))
+    cen = _ivf_centroids(src, col, cells, refine=refine)
+    spark = vectors.sparkSession
+    spark.createDataFrame(
+        [(i, [float(x) for x in cen[i]]) for i in range(len(cen))],
+        "cell int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "centroids"))
+    assigned = with_ivf_cell(src, cen, col, n_probes=1).select(
+        "vec_id",
+        F.col(col).alias("embedding"),
+        F.element_at("ivf_cells", 1).cast("int").alias("cell"),
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(out_dir, "vectors")
+    )
+    return sum(
+        1 for d in os.listdir(os.path.join(out_dir, "vectors")) if d.startswith("cell=")
+    )
+
+
+def read_ivf_centroids(spark, out_dir: str) -> np.ndarray:
+    import os
+
+    rows = spark.read.parquet(os.path.join(out_dir, "centroids")).orderBy("cell").collect()
+    return np.array([r["centroid"] for r in rows], dtype=np.float64)
+
+
+def ivf_topk_from_index(
+    spark,
+    out_dir: str,
+    queries: DataFrame,
+    k: int = 5,
+    q_id_col: str = "q_id",
+    col: str = "embedding",
+    probes: int = N_IVF_PROBES,
+) -> DataFrame:
+    """Query the AT-REST IVF index: probe cells come from the stored
+    centroids, and the corpus scan filters on the PARTITION column —
+    only the probed cell directories are listed and read (static
+    partition pruning; the probed set is at most ``probes x |Q|``
+    values collected driver-side, never corpus-sized).  Byte-identical
+    results to ``ivf_topk`` over the same corpus and parameters."""
+    import os
+
+    cen = read_ivf_centroids(spark, out_dir)
+    q = with_ivf_cell(with_unit_norm(queries, col), cen, col, n_probes=probes).select(
+        F.col(q_id_col).alias("q_id"),
+        F.col("unit").alias("q_unit"),
+        F.explode("ivf_cells").alias("cell"),
+    )
+    probed = sorted(r["cell"] for r in q.select("cell").distinct().collect())
+    v = (
+        spark.read.parquet(os.path.join(out_dir, "vectors"))
+        .where(F.col("cell").isin(probed))  # -> PartitionFilters at the scan
+    )
+    v = with_unit_norm(v, "embedding").select(
+        "vec_id", F.col("unit").alias("v_unit"), F.col("cell").cast("int").alias("cell")
+    )
+    dot = make_dot_udf()
+    scored = (
+        v.join(F.broadcast(q), "cell")
+        .select("q_id", "vec_id", F.round(dot(F.col("v_unit"), F.col("q_unit")), 6).alias("cos"))
+        .groupBy("q_id", "vec_id")
+        .agg(F.max("cos").alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def embedding_near_dup(
     vectors: DataFrame,
     threshold: float = 0.95,

@@ -439,6 +439,36 @@ def test_write_token_shards(spark, tmp_path):
         assert hi1 < lo2
 
 
+def test_ivf_index_at_rest_matches_in_memory(spark, tmp_path):
+    """The at-rest IVF index (centroids parquet + corpus partitioned by
+    cell) returns byte-identical top-k to the in-session ivf_topk, and
+    the corpus scan prunes to the probed cell partitions."""
+    from json_remedy_spark.functions.similarity import (
+        ivf_topk,
+        ivf_topk_from_index,
+        write_ivf_index,
+    )
+    from json_remedy_spark.plans.explain import executed_plan
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = e.where(F.col("vec_id") < 4).select(F.col("vec_id").alias("q_id"), "embedding")
+
+    idx = str(tmp_path / "ivf")
+    n_cells = write_ivf_index(e, idx, cells=8)
+    assert n_cells >= 2
+
+    mem = sorted(map(tuple, ivf_topk(e, q, k=5, cells=8, probes=3).collect()))
+    stored_df = ivf_topk_from_index(spark, idx, q, k=5, probes=3)
+    stored = sorted(map(tuple, stored_df.collect()))
+    assert stored == mem and stored
+
+    # the scan must carry a partition filter on cell (probed set only)
+    plan = executed_plan(stored_df)
+    assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]
+
+
 def test_components_with_full_range_hash_ids(spark):
     """doc ids from xxhash64 are full-range 64-bit: the convergence
     sum must not overflow BIGINT (runs in DECIMAL(38,0))."""
