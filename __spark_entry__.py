@@ -784,7 +784,7 @@ def q_lsh_ann_topk(spark, sf_dir):
         F.col("vec_id").cast("long").alias("vec_id"),
         F.col("cos").cast("double").alias("cos"),
         F.col("rank").cast("long").alias("rank"),
-    )
+    ).persist()  # the export write materializes it; the caller's collect reuses
     out.select("q_id", "vec_id").write.mode("overwrite").parquet(_LSH_TOPK_EXPORT)
     return out
 
@@ -824,7 +824,7 @@ def q_ivf_ann_topk(spark, sf_dir):
         F.col("vec_id").cast("long").alias("vec_id"),
         F.col("cos").cast("double").alias("cos"),
         F.col("rank").cast("long").alias("rank"),
-    )
+    ).persist()  # the export write materializes it; the caller's collect reuses
     out.select("q_id", "vec_id").write.mode("overwrite").parquet(_IVF_TOPK_EXPORT)
     return out
 
