@@ -52,6 +52,14 @@ _LITERALS_BY_FIRST: dict = {}
 for _w, _v in _LITERALS.items():
     _LITERALS_BY_FIRST.setdefault(_w[0], []).append((_w, _v))
 
+# maximal run of characters the top-level garbage skip would consume
+# one at a time: everything except value openers ({ [ "), number
+# starts, literal first-chars, and whitespace (handled by _skip_ws so
+# the garbage flag stays accurate).  Quotes other than `"` only break
+# the loop at the very first non-ws position, which can never be
+# mid-run — safe to swallow.
+_GARBAGE_RUN = re.compile("[^" + re.escape('{["0123456789-.TtFfNn' + _WS) + "]+")
+
 _NUM_START = set("0123456789-.")
 # Between-token whitespace includes the common exotic Unicode spaces
 # web text carries (NBSP, en/em quads, narrow NBSP, ideographic space,
@@ -232,6 +240,9 @@ class TolerantParser:
                     return lit
             saw_garbage_box[0] = True
             self.i += 1
+            m = _GARBAGE_RUN.match(self.s, self.i)
+            if m:
+                self.i = m.end()
         if c in _NUM_START:
             start = self.i
             v = self.parse_number()
