@@ -439,6 +439,29 @@ def test_write_token_shards(spark, tmp_path):
         assert hi1 < lo2
 
 
+def test_new_operator_edges(spark, tmp_path):
+    """Edge inputs stay total: empty corpora, probe counts past the
+    cell count, and empty query sets return empty results, not errors."""
+    from json_remedy_spark.functions.corpus import shard_by_tokens
+    from json_remedy_spark.functions.similarity import (
+        ivf_topk_from_index,
+        write_ivf_index,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert shard_by_tokens(empty, 100).count() == 0
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    idx = str(tmp_path / "ivf_edge")
+    write_ivf_index(e, idx, cells=4)
+    q = e.where(F.col("vec_id") < 2).select(F.col("vec_id").alias("q_id"), "embedding")
+    # argsort clamps probes at the cell count
+    assert ivf_topk_from_index(spark, idx, q, k=3, probes=99).count() == 6
+    assert ivf_topk_from_index(spark, idx, q.where(F.lit(False)), k=3, probes=2).count() == 0
+
+
 def test_ivf_index_at_rest_matches_in_memory(spark, tmp_path):
     """The at-rest IVF index (centroids parquet + corpus partitioned by
     cell) returns byte-identical top-k to the in-session ivf_topk, and
