@@ -960,6 +960,52 @@ def q_semantic_dedup_verified(spark, sf_dir):
     )
 
 
+def q_repair_debug(spark, sf_dir):
+    """Per-layer observability rollup over the reference-shaped
+    ``repair_with_debug`` records (lib/json_remedy.ex:464-636): how
+    many docs each layer processed / skipped, and the layer's total
+    repair count across the corpus.  Rows-only (kernel-derived), the
+    driver-visible face of the five-layer debug path."""
+    import pandas as pd
+
+    d = _t(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        from json_remedy_spark.kernel.pipeline import repair_with_debug
+
+        for pdf in batches:
+            acc: dict = {}
+            for t in pdf["text"]:
+                _, dbg = repair_with_debug(t or "")
+                for step in dbg["steps"]:
+                    row = acc.setdefault(
+                        step["layer"], {"processed": 0, "skipped": 0, "error": 0, "repairs": 0}
+                    )
+                    if step["status"] == "validated":
+                        row["processed"] += 1
+                    else:
+                        row[step["status"]] += 1
+                    row["repairs"] += step.get("repair_count", 0)
+            yield pd.DataFrame(
+                [
+                    {"layer": k, "n_processed": v["processed"], "n_skipped": v["skipped"],
+                     "n_error": v["error"], "total_repairs": v["repairs"]}
+                    for k, v in acc.items()
+                ]
+            )
+
+    part = d.select("text").mapInPandas(
+        gen,
+        schema="layer string, n_processed long, n_skipped long, n_error long, total_repairs long",
+    )
+    return part.groupBy("layer").agg(
+        F.sum("n_processed").cast("long").alias("n_processed"),
+        F.sum("n_skipped").cast("long").alias("n_skipped"),
+        F.sum("n_error").cast("long").alias("n_error"),
+        F.sum("total_repairs").cast("long").alias("total_repairs"),
+    )
+
+
 def q_repair_metrics(spark, sf_dir):
     """Repair-rule frequency table (reference analyze/1) — rows-only."""
     from json_remedy_spark.operators.metrics import repair_action_frequencies
@@ -1021,6 +1067,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": q_semantic_dedup,
         "semantic_dedup_verified": q_semantic_dedup_verified,
         "repair_metrics": q_repair_metrics,
+        "repair_debug": q_repair_debug,
         "layer_hits": q_layer_hits,
     }
 

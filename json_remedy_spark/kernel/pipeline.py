@@ -190,6 +190,7 @@ def repair(
     enable_multiple_json_aggregation: bool = True,
     enable_early_hardcoded_patterns: bool = True,
     fix_doubled_quotes: bool = False,
+    _debug: "_DebugCollector | None" = None,
 ) -> RepairResult:
     """Main entry — mirrors ``JsonRemedy.repair/2`` (lib/json_remedy.ex:86).
 
@@ -221,43 +222,81 @@ def repair(
     doubling repairs per that suite's spec — ``{"k": ""v""}`` ->
     ``{"k":"v"}``, asymmetric/tripled variants, ``""`` before a
     terminator stays a legitimate empty string."""
+    dbg = _debug
     log: list = []
     if isinstance(s, bytes):
         s = cleaning.normalize_encoding(s, log)
     if strict_mode:
-        return strict_validate(s)
+        r = strict_validate(s)
+        if dbg is not None:
+            dbg.step("layer4", "processed" if r.ok else "error",
+                     len(s), len(r.repaired or ""), r.repairs or [], 0)
+            if not r.ok:
+                dbg.error_at = "layer4"
+            dbg.fill_skipped(len(s))
+        return r
     if len(s) > max_bytes:
         # pathological-doc guard: route to drop with a reason, keeps a
         # 1000-executor run free of stragglers (SURVEY.md §7.4)
-        return RepairResult(ok=True, value="", repaired='""',
-                            repairs=[{"layer": "guard", "action": "oversize document dropped", "position": 0}])
+        guard = [{"layer": "guard", "action": "oversize document dropped", "position": 0}]
+        if dbg is not None:
+            dbg.step("guard", "processed", len(s), 2, guard, 0)
+            dbg.fill_skipped(len(s))
+        return RepairResult(ok=True, value="", repaired='""', repairs=guard)
 
     # fast path (lib/json_remedy.ex:118-127), gated by the option (ex:90,119)
     if fast_path_optimization:
         v = _fast_path(s)
         if v is not SKIP:
+            if dbg is not None:
+                dbg.fast_path(len(s))
             return RepairResult(ok=True, value=v, repaired=to_canonical(v), fast_path=True)
 
     if is_plain_text(s):
-        return RepairResult(ok=True, value="", repaired='""',
-                            repairs=[{"layer": "layer1", "action": "plain text replaced with empty string", "position": 0}])
+        act = [{"layer": "layer1", "action": "plain text replaced with empty string", "position": 0}]
+        if dbg is not None:
+            dbg.step("layer1", "processed", len(s), 0, act, dbg.us(dbg.t0))
+            dbg.step("layer4", "processed", 0, 2, [], 0)
+            dbg.fill_skipped(len(s))
+        return RepairResult(ok=True, value="", repaired='""', repairs=act)
 
     if fast_path_optimization:
+        t0 = dbg.mark() if dbg is not None else 0.0
         v = _span_fast_path(s)
         if v is not SKIP:
             log.append({"layer": "layer1", "action": "extracted valid JSON value (span fast path)", "position": 0, "original": None, "replacement": None})
             v = _maybe_unwrap(v, s, log)
-            return RepairResult(ok=True, value=v, repaired=to_canonical(v), repairs=log, fast_path=True)
+            repaired = to_canonical(v)
+            if dbg is not None:
+                dbg.step("layer1", "processed", len(s), len(repaired), log, dbg.us(t0))
+                dbg.step("layer4", "processed", len(repaired), len(repaired), [], 0)
+                dbg.fill_skipped(len(s))
+            return RepairResult(ok=True, value=v, repaired=repaired, repairs=log, fast_path=True)
 
+    t0 = dbg.mark() if dbg is not None else 0.0
     work = cleaning.clean(s, log)
+    if dbg is not None:
+        dbg.step("layer1", "processed" if (log or work != s) else "skipped",
+                 len(s), len(work), list(log), dbg.us(t0))
     if work != s and fast_path_optimization:
         v = _fast_path(work)
         if v is not SKIP:
             v = _maybe_unwrap(v, work, log)
-            return RepairResult(ok=True, value=v, repaired=to_canonical(v), repairs=log)
+            repaired = to_canonical(v)
+            if dbg is not None:
+                dbg.step("layer4", "processed", len(work), len(repaired), [], 0)
+                dbg.fill_skipped(len(work))
+            return RepairResult(ok=True, value=v, repaired=repaired, repairs=log)
+    n_pre = len(log)
+    t0 = dbg.mark() if dbg is not None else 0.0
+    pre_in = len(work)
     work = prepass.apply(work, log, early_hardcoded=enable_early_hardcoded_patterns)
     if normalize_escapes:
         work = prepass.normalize_escape_sequences(work, log)
+    if dbg is not None:
+        new = log[n_pre:]
+        dbg.step("preprocessing", "processed" if (new or len(work) != pre_in) else "skipped",
+                 pre_in, len(work), new, dbg.us(t0))
 
     parser = TolerantParser(
         work,
@@ -266,19 +305,109 @@ def repair(
         multi_value=enable_multiple_json_aggregation,
         fix_doubled_quotes=fix_doubled_quotes,
     )
+    n_parse = len(log)
+    t0 = dbg.mark() if dbg is not None else 0.0
     try:
         value = parser.parse()
     except RecursionError:
+        if dbg is not None:
+            dbg.parse_steps(log[n_parse:], len(work), dbg.us(t0), err=True)
+            dbg.step("layer4", "error", len(work), 0, [], 0)
+            dbg.error_at = "layer2"
         return RepairResult(ok=False, error="nesting too deep", repairs=log)
+    if dbg is not None:
+        dbg.parse_steps(log[n_parse:], len(work), dbg.us(t0))
     if value is SKIP:
         if is_plain_text(work) or not (_JSON_CHARS_RE.search(work) or "'" in work):
+            if dbg is not None:
+                dbg.step("layer4", "processed", len(work), 2, [], 0)
             return RepairResult(ok=True, value="", repaired='""', repairs=log)
+        if dbg is not None:
+            dbg.step("layer4", "skipped", len(work), 0, [], 0)
+            dbg.error_at = "layer4"
         return RepairResult(ok=False, error="Could not repair JSON", repairs=log)
+    n4 = len(log)
     value = _maybe_unwrap(value, work, log)
-    return RepairResult(ok=True, value=value, repaired=to_canonical(value), repairs=log)
+    repaired = to_canonical(value)
+    if dbg is not None:
+        dbg.step("layer4", "processed", len(work), len(repaired), log[n4:], 0)
+    return RepairResult(ok=True, value=value, repaired=repaired, repairs=log)
 
 
-def repair_with_debug(s: str | bytes) -> tuple[RepairResult, dict]:
+class _DebugCollector:
+    """Instrumentation sink threaded through ``repair()`` so the debug
+    path IS the repair path — one control flow.  (The previous
+    standalone reimplementation drifted on the plain-text / span-fast-
+    path / post-clean short circuits and returned ok=False where
+    ``repair()`` returned ok=True.)"""
+
+    LAYERS = ("layer1", "preprocessing", "layer2", "layer3", "layer4")
+
+    def __init__(self):
+        import time as _time
+
+        self._now = _time.perf_counter
+        self.t0 = self._now()
+        self.steps: list[dict] = []
+        self.error_at: str | None = None
+        self.fast = False
+
+    def mark(self) -> float:
+        return self._now()
+
+    def us(self, t0: float) -> int:
+        return int((self._now() - t0) * 1e6)
+
+    def step(self, layer, status, in_size, out_size, repairs, t_us) -> None:
+        self.steps.append({
+            "layer": layer, "status": status,
+            "input_size": in_size, "output_size": out_size,
+            "repairs": list(repairs), "repair_count": len(repairs),
+            "processing_time_us": t_us,
+        })
+
+    def fast_path(self, in_size: int) -> None:
+        """ex:320-329 — a fast-path hit yields ONE validated step."""
+        self.fast = True
+        self.steps = [{"layer": "fast_path", "status": "validated", "input_size": in_size}]
+
+    def parse_steps(self, new, work_len, parse_us, err: bool = False) -> None:
+        """Our layers 2+3 run as ONE tolerant-parse pass (SURVEY.md
+        §3.1): reconstruct the two records from the layer-tagged
+        action log, splitting the fused pass's wall time (the
+        reference times real per-layer passes — attribution, not a
+        second measurement)."""
+        l2 = [a for a in new if a["layer"] == "layer2"]
+        l3 = [a for a in new if a["layer"] != "layer2"]
+        self.step("layer2", "error" if err else ("processed" if l2 else "skipped"),
+                  work_len, work_len, l2, parse_us // 2)
+        self.step("layer3", "error" if err else ("processed" if l3 else "skipped"),
+                  work_len, work_len, l3, parse_us - parse_us // 2)
+
+    def fill_skipped(self, in_size: int) -> None:
+        """Skipped records for layers a short circuit never reached,
+        in canonical order (no-op after a fast-path hit)."""
+        if self.fast:
+            return
+        done = {s["layer"] for s in self.steps}
+        for layer in self.LAYERS:
+            if layer not in done:
+                self.step(layer, "skipped", in_size, in_size, [], 0)
+        order = {l: i for i, l in enumerate(self.LAYERS)}
+        self.steps.sort(key=lambda s: order.get(s["layer"], -1))
+
+    def finish(self, total_repairs: int) -> dict:
+        d = {
+            "steps": self.steps,
+            "total_repairs": total_repairs,
+            "processing_time_us": self.us(self.t0),
+        }
+        if self.error_at:
+            d["error_at_layer"] = self.error_at
+        return d
+
+
+def repair_with_debug(s: str | bytes, **kw) -> tuple[RepairResult, dict]:
     """Per-layer observability — the reference's ``repair_with_debug/2``
     record shape (lib/json_remedy.ex:297-343, 464-636):
 
@@ -295,95 +424,14 @@ def repair_with_debug(s: str | bytes) -> tuple[RepairResult, dict]:
       processing_time_us}`` + ``error_at_layer`` on failure
       (ex:538-556).
 
-    Fusion note: our layers 2+3 run as ONE tolerant-parse pass
-    (SURVEY.md §3.1), so their records are reconstructed from the
-    layer-tagged action log; each gets half the fused pass's wall time
-    (the reference times real per-layer passes — attribution, not a
-    second measurement)."""
-    import time as _time
-
-    t_start = _time.perf_counter()
-
-    def us(t0: float) -> int:
-        return int((_time.perf_counter() - t0) * 1e6)
-
-    log: list = []
-    if isinstance(s, bytes):
-        s = cleaning.normalize_encoding(s, log)
-
-    v = _fast_path(s)
-    if v is not SKIP:
-        debug = {
-            "steps": [
-                {"layer": "fast_path", "status": "validated", "input_size": len(s)}
-            ],
-            "total_repairs": 0,
-            "processing_time_us": us(t_start),
-        }
-        return RepairResult(ok=True, value=v, repaired=to_canonical(v), fast_path=True), debug
-
-    steps: list[dict] = []
-
-    def record(layer, status, in_size, out_size, new, t_us):
-        steps.append({
-            "layer": layer, "status": status,
-            "input_size": in_size, "output_size": out_size,
-            "repairs": new, "repair_count": len(new),
-            "processing_time_us": t_us,
-        })
-
-    def staged(name, fn, arg):
-        n0 = len(log)
-        t0 = _time.perf_counter()
-        out = fn(arg, log)
-        new = log[n0:]
-        record(name, "processed" if (new or out != arg) else "skipped",
-               len(arg), len(out), new, us(t0))
-        return out
-
-    work = staged("layer1", cleaning.clean, s)
-    work = staged("preprocessing", prepass.apply, work)
-
-    n0 = len(log)
-    t0 = _time.perf_counter()
-    parser = TolerantParser(work, log=log)
-    err = None
-    try:
-        value = parser.parse()
-    except RecursionError as e:
-        value = SKIP
-        err = f"nesting too deep: {e}"
-    parse_us = us(t0)
-    new = log[n0:]
-    l2 = [a for a in new if a["layer"] == "layer2"]
-    l3 = [a for a in new if a["layer"] != "layer2"]
-    l2_status = "error" if err else ("processed" if l2 else "skipped")
-    l3_status = "error" if err else ("processed" if l3 else "skipped")
-    record("layer2", l2_status, len(work), len(work), l2, parse_us // 2)
-    record("layer3", l3_status, len(work), len(work), l3, parse_us - parse_us // 2)
-
-    # layer4 validation: the parse either emitted a term (processed) or
-    # SKIP (skipped — reference :skipped means validation failed,
-    # ex:664-676)
-    t0 = _time.perf_counter()
-    if value is SKIP:
-        record("layer4", "error" if err else "skipped", len(work), 0, [], us(t0))
-        debug = {
-            "steps": steps,
-            "total_repairs": len(log),
-            "processing_time_us": us(t_start),
-            "error_at_layer": "layer2" if err else "layer4",
-        }
-        return RepairResult(ok=False, error=err or "Could not repair JSON", repairs=log), debug
-    value = _maybe_unwrap(value, work, log)
-    repaired = to_canonical(value)
-    record("layer4", "processed", len(work), len(repaired), [], us(t0))
-    debug = {
-        "steps": steps,
-        "total_repairs": len(log),
-        "processing_time_us": us(t_start),
-    }
-    return RepairResult(ok=True, value=value, repaired=repaired, repairs=log), debug
+    Delegates to ``repair()`` with a collector — the RESULT is
+    guaranteed identical to ``repair(s, **kw)`` by construction
+    (same function, same flow); the collector only observes.
+    ``kw`` forwards the reference's per-call toggles."""
+    dbg = _DebugCollector()
+    r = repair(s, _debug=dbg, **kw)
+    dbg.fill_skipped(0)  # no-op on complete paths; belt-and-braces
+    return r, dbg.finish(len(r.repairs or []))
 
 
 def repair_to_string(s: str | bytes, **kw) -> RepairResult:

@@ -137,6 +137,43 @@ def test_repair_with_debug_five_layer_records():
     assert debug["processing_time_us"] >= sum(s["processing_time_us"] for s in steps)
 
 
+def test_repair_with_debug_result_parity():
+    """The debug path delegates to repair() itself (one control flow),
+    so results are identical BY CONSTRUCTION on every corpus row —
+    including the plain-text / span-fast-path / post-clean short
+    circuits the old standalone reimplementation drifted on."""
+    from json_remedy_spark.kernel import repair
+    from json_remedy_spark.kernel.pipeline import repair_with_debug
+    from json_remedy_spark.sources.webpages import make_row
+
+    for i in range(0, 3000, 7):
+        t = make_row(i)["text"]
+        r = repair(t)
+        rd, dbg = repair_with_debug(t)
+        assert (r.ok, r.repaired, r.error) == (rd.ok, rd.repaired, rd.error), i
+        if dbg["steps"][0]["layer"] not in ("fast_path", "guard"):
+            assert dbg["total_repairs"] == sum(
+                s["repair_count"] for s in dbg["steps"]
+            ), i
+
+
+def test_repair_with_debug_short_circuit_shapes():
+    """Short-circuit paths still emit the five-layer skeleton."""
+    from json_remedy_spark.kernel.pipeline import repair_with_debug
+
+    rd, dbg = repair_with_debug("the plain text doc")
+    assert rd.ok and rd.repaired == '""'
+    shapes = [(s["layer"], s["status"]) for s in dbg["steps"]]
+    assert shapes == [
+        ("layer1", "processed"), ("preprocessing", "skipped"),
+        ("layer2", "skipped"), ("layer3", "skipped"), ("layer4", "processed"),
+    ]
+
+    rd, dbg = repair_with_debug("[" * 5000)
+    assert not rd.ok and dbg["error_at_layer"] == "layer2"
+    assert [s["status"] for s in dbg["steps"]][2:] == ["error", "error", "error"]
+
+
 def test_repair_with_debug_fast_path_record():
     """Fast-path hit emits the single validated step (json_remedy.ex:320-329)."""
     from json_remedy_spark.kernel.pipeline import repair_with_debug
