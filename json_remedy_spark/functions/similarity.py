@@ -411,7 +411,14 @@ def write_ivf_index(
     vectors land ``partitionBy(cell)`` so a query's probed cells map
     to PARTITION PRUNING at the scan (a query touches probes/cells of
     the data; nothing else is read).  Returns the number of cells
-    written."""
+    written.
+
+    No per-cell manifest resume (unlike ``write_signature_table``,
+    whose shingle+minhash kernel justifies bucket-level checkpoints):
+    cell assignment is ONE cheap matmul map pass over the embedding
+    table, so a killed build simply reruns; on a cluster with an
+    Iceberg catalog, route the write through ``writeTo`` for an atomic
+    snapshot commit instead."""
     import os
 
     _require_numeric_id(vectors, id_col)
