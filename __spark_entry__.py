@@ -441,9 +441,12 @@ def q_embedding_near_dup(spark, sf_dir):
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup: deterministic k-means cells + within-cell greedy
     near-dup pruning (keep the point farthest from the centroid).
-    Rows-only by nature (Lloyd iterations are not one SQL query);
-    exactness is pinned by pytest invariants: kept points pairwise
-    below threshold, every dropped point has a kept witness."""
+    Rows-only by nature (Lloyd iterations are not one SQL query) —
+    but its invariants ARE exactly checked: the companion
+    ``semantic_dedup_verified`` query exports the cell/keep assignment
+    and DuckDB independently recomputes the within-cell pair
+    violations and witness counts (both zero, hash-compared); pytest
+    pins the same invariants plus determinism."""
     from json_remedy_spark.functions.similarity import semantic_dedup
 
     e = _t(spark, sf_dir, "embeddings").withColumn(
