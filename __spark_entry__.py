@@ -201,6 +201,20 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_contamination_overlap(spark, sf_dir):
+    """Per-doc contamination fraction vs the src0 eval split — the
+    reported number behind decontaminate's binary gate."""
+    d = _t(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism)
+    ev = d.where(F.col("source") == "src0")
+    corp = d.where(F.col("source") != "src0")
+    return corpus.contamination_overlap(corp, ev).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_shingles",
+        "n_matched",
+        "overlap_frac",
+    )
+
+
 def q_pack_token_budget(spark, sf_dir):
     """Per-language token packing: deterministic doc_id-ordered prefix
     whose cumulative token count reaches the budget (floor semantics)."""
@@ -1032,6 +1046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "decontaminate": q_decontaminate,
+        "contamination_overlap": q_contamination_overlap,
         "pack_token_budget": q_pack_token_budget,
         "stratified_sample": q_stratified_sample,
         "token_shards": q_token_shards,
@@ -1625,6 +1640,26 @@ def oracle_sql() -> dict[str, str]:
           FROM sizes GROUP BY 1
         """,
         "decontaminate": _decontaminate_sql(),
+        "contamination_overlap": f"""
+          WITH sh AS ({_SHINGLES}),
+          ev AS (SELECT doc_id FROM documents WHERE source = 'src0'),
+          ev_sh AS (SELECT DISTINCT shingle FROM sh JOIN ev USING (doc_id)),
+          corpus AS (SELECT doc_id FROM documents WHERE source <> 'src0'),
+          per_doc AS (
+            SELECT sh.doc_id, count(*) AS n_sh,
+                   count(ev_sh.shingle) AS n_hit
+            FROM sh
+            JOIN corpus USING (doc_id)
+            LEFT JOIN ev_sh ON ev_sh.shingle = sh.shingle
+            GROUP BY sh.doc_id
+          )
+          SELECT c.doc_id::BIGINT AS doc_id,
+                 coalesce(n_sh, 0)::BIGINT AS n_shingles,
+                 coalesce(n_hit, 0)::BIGINT AS n_matched,
+                 round(coalesce(n_hit, 0) * 1.0 / greatest(coalesce(n_sh, 0), 1), 6)::DOUBLE
+                   AS overlap_frac
+          FROM corpus c LEFT JOIN per_doc p ON p.doc_id = c.doc_id
+        """,
         "pack_token_budget": _pack_token_budget_sql(),
         "token_shards": _token_shards_sql(),
         "stratified_sample": _stratified_sample_sql(),

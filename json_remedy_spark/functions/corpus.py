@@ -60,6 +60,58 @@ def decontaminate(
     )
 
 
+def contamination_overlap(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Per-doc contamination REPORT — the fraction of a doc's distinct
+    w-word shingles that appear in the eval/benchmark set.  This is
+    the number decontamination writeups quote; ``decontaminate``'s
+    binary gate is exactly ``overlap_frac > 0``.
+
+    Scale shape mirrors ``decontaminate``: the eval set's distinct
+    shingles broadcast; the corpus shingle table (already distinct per
+    doc by the shingle kernel's contract) streams map-only into ONE
+    hash aggregate keyed by doc_id — no corpus-side re-key.  Returns
+    ``(doc_id, n_shingles, n_matched, overlap_frac)`` for every doc."""
+    corpus_sh = shingles(docs, id_col, text_col)
+    eval_sh = (
+        shingles(eval_docs, id_col, text_col)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    if broadcast_eval:
+        eval_sh = F.broadcast(eval_sh)
+    per_doc = (
+        corpus_sh.join(eval_sh, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_sh"),
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("n_hit"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_sh", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_matched"),
+            F.round(
+                F.coalesce("n_hit", F.lit(0))
+                / F.greatest(F.coalesce("n_sh", F.lit(0)), F.lit(1)),
+                6,
+            )
+            .cast("double")
+            .alias("overlap_frac"),
+        )
+    )
+
+
 def pack_token_budget(
     docs: DataFrame,
     budget: int,

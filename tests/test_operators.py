@@ -370,6 +370,32 @@ def test_pack_token_budget_two_phase_matches_single_window(spark):
     assert multi == single and multi
 
 
+def test_contamination_overlap_consistent_with_gate(spark):
+    """overlap_frac > 0 reproduces decontaminate's binary flag exactly,
+    fractions are in [0,1], and a fully-eval-copied doc reads 1.0."""
+    from json_remedy_spark.functions.corpus import contamination_overlap, decontaminate
+
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], ["doc_id", "text"]
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta"),       # exact eval copy -> 1.0
+            (1, "alpha beta gamma unrelated words"),  # shares one 3-shingle
+            (2, "completely different content"), # clean
+        ],
+        ["doc_id", "text"],
+    )
+    frac = {r["doc_id"]: r for r in contamination_overlap(docs, ev).collect()}
+    gate = {r["doc_id"]: r["contaminated"] for r in decontaminate(docs, ev).collect()}
+    assert frac[0]["overlap_frac"] == 1.0
+    assert 0.0 < frac[1]["overlap_frac"] < 1.0
+    assert frac[2]["overlap_frac"] == 0.0 and frac[2]["n_matched"] == 0
+    for did, r in frac.items():
+        assert (r["overlap_frac"] > 0) == gate[did]
+        assert 0.0 <= r["overlap_frac"] <= 1.0 and r["n_matched"] <= r["n_shingles"]
+
+
 def test_shard_by_tokens_contiguous_and_balanced(spark):
     """Shards are contiguous doc_id ranges; a doc lands in the shard
     its first token falls in, so every shard except the last holds at
