@@ -1235,7 +1235,7 @@ def _pack_token_budget_sql() -> str:
     tok = textstats.stats_sql()["token_count"]
     return f"""
       WITH t AS (
-        SELECT doc_id, lang, ({tok})::BIGINT AS n_tokens FROM documents
+        SELECT doc_id, lang, coalesce(({tok}), 0)::BIGINT AS n_tokens FROM documents
       ),
       c AS (
         SELECT doc_id, lang, n_tokens,
@@ -1278,7 +1278,7 @@ def _token_shards_sql() -> str:
     tok = textstats.stats_sql()["token_count"]
     return f"""
       WITH t AS (
-        SELECT doc_id, ({tok})::BIGINT AS n_tokens FROM documents
+        SELECT doc_id, coalesce(({tok}), 0)::BIGINT AS n_tokens FROM documents
       ),
       c AS (
         SELECT doc_id, n_tokens,

@@ -142,7 +142,9 @@ def pack_token_budget(
     t = docs.select(
         F.col(id_col).alias("doc_id"),
         F.col(lang_col).alias("lang"),
-        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        # NULL text counts 0 tokens (regexp_count(NULL) is NULL and would
+        # poison the prefix sums downstream — NULL-totality, ADVICE r3)
+        F.coalesce(token_count(F.col(text_col)), F.lit(0)).cast("long").alias("n_tokens"),
     ).withColumn("bucket", (F.col("doc_id") / bucket_width).cast("long"))
     within = t.withColumn(
         "cum_in_bucket",
@@ -189,7 +191,9 @@ def shard_by_tokens(
     ``(doc_id, n_tokens, cum_tokens, shard)``."""
     t = docs.select(
         F.col(id_col).alias("doc_id"),
-        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        # NULL text counts 0 tokens (regexp_count(NULL) is NULL and would
+        # poison the prefix sums downstream — NULL-totality, ADVICE r3)
+        F.coalesce(token_count(F.col(text_col)), F.lit(0)).cast("long").alias("n_tokens"),
     ).withColumn("bucket", (F.col("doc_id") / bucket_width).cast("long"))
     within = t.withColumn(
         "cum_in_bucket",
