@@ -701,6 +701,38 @@ def q_canonical_url(spark, sf_dir):
     )
 
 
+def q_url_dedup(spark, sf_dir):
+    """Crawl-recency URL dedup (latest snapshot wins): three messy URL
+    variants per canonical page are synthesized from orders in BOTH
+    engines — host-case + :80 port, utm tracking param, #fragment —
+    with an integer crawl timestamp from o_orderdate; the op must
+    collapse them to one winner per canonical URL."""
+    o = _t(spark, sf_dir, "orders")
+    k = (F.col("o_orderkey") % 500).cast("string")
+    variant = F.pmod(F.col("o_orderkey"), F.lit(3))
+    messy = (
+        F.when(variant == 0, F.concat(F.lit("HTTP://News.Example.COM:80/a/"), k))
+        .when(variant == 1, F.concat(F.lit("http://news.example.com/a/"), k, F.lit("?utm_source=feed")))
+        .otherwise(F.concat(F.lit("http://news.example.com/a/"), k, F.lit("#top")))
+    )
+    ts_num = (
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")).cast("long") * 86400
+        + F.col("o_orderkey") % 86400
+    )
+    pages = o.select(
+        F.col("o_orderkey").cast("long").alias("doc_id"),
+        messy.alias("url"),
+        ts_num.alias("warc_ts"),
+    )
+    out = corpus.latest_crawl_per_url(pages)
+    return out.select(
+        "canon_url",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("crawl_ts").cast("long").alias("crawl_ts"),
+        F.col("n_crawls").cast("long").alias("n_crawls"),
+    )
+
+
 def q_ppl_histogram(spark, sf_dir):
     """North-rule metrics surface: the perplexity histogram (0.125-wide
     buckets, exactly representable in binary) — exact because the per-doc scores are exact (same
@@ -1033,6 +1065,41 @@ def q_repair_metrics(spark, sf_dir):
     return repair_action_frequencies(r)
 
 
+# Export-oracle placeholder schemas.  The driver always invokes the
+# query function (which writes the export) before running its oracle
+# SQL, but EXPLAIN-only consumers — the oracle-wellformedness test, a
+# fresh host whose /tmp was cleared — need the read_parquet() targets
+# to exist.  Column names/types mirror exactly what each query exports.
+EXPORT_SCHEMAS: dict[str, str] = {
+    _LSH_TOPK_EXPORT: "q_id BIGINT, vec_id BIGINT",
+    _IVF_TOPK_EXPORT: "q_id BIGINT, vec_id BIGINT",
+    _ANN_EXPORT: "method VARCHAR, q_id BIGINT, vec_id BIGINT",
+    _SEMDEDUP_EXPORT: "vec_id BIGINT, cell INTEGER, keep BOOLEAN",
+}
+
+
+def ensure_export_placeholders() -> list[str]:
+    """Write an empty, schema-correct placeholder parquet for any
+    export path that has no parquet yet; returns the paths written."""
+    import duckdb as _dd
+
+    written = []
+    for path, schema in EXPORT_SCHEMAS.items():
+        if os.path.isdir(path) and any(
+            f.endswith(".parquet") for f in os.listdir(path)
+        ):
+            continue
+        os.makedirs(path, exist_ok=True)
+        cols = ", ".join(
+            f"CAST(NULL AS {c.strip().split(' ', 1)[1]}) AS {c.strip().split(' ', 1)[0]}"
+            for c in schema.split(",")
+        )
+        target = os.path.join(path, "placeholder.parquet")
+        _dd.sql(f"COPY (SELECT {cols} WHERE false) TO '{target}' (FORMAT PARQUET)")
+        written.append(target)
+    return written
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_dedup": q_exact_dedup,
@@ -1080,6 +1147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity": q_perplexity,
         "ppl_histogram": q_ppl_histogram,
         "canonical_url": q_canonical_url,
+        "url_dedup": q_url_dedup,
         "lsh_ann_topk": q_lsh_ann_topk,
         "ann_recall": q_ann_recall,
         "semantic_dedup": q_semantic_dedup,
@@ -1740,6 +1808,29 @@ def oracle_sql() -> dict[str, str]:
           FROM p GROUP BY 1
         """,
         "canonical_url": _canonical_url_sql(),
+        "url_dedup": f"""
+          WITH p AS (
+            SELECT o_orderkey::BIGINT AS doc_id,
+                   CASE o_orderkey % 3
+                     WHEN 0 THEN 'HTTP://News.Example.COM:80/a/' || (o_orderkey % 500)
+                     WHEN 1 THEN 'http://news.example.com/a/' || (o_orderkey % 500) || '?utm_source=feed'
+                     ELSE 'http://news.example.com/a/' || (o_orderkey % 500) || '#top'
+                   END AS url,
+                   (datediff('day', DATE '1970-01-01', o_orderdate::DATE)::BIGINT * 86400
+                    + o_orderkey % 86400)::BIGINT AS crawl_ts
+            FROM orders
+          ),
+          c AS (SELECT {corpus.canonical_url_sql('url')} AS canon_url, doc_id, crawl_ts FROM p),
+          r AS (
+            SELECT canon_url, doc_id, crawl_ts,
+                   count(*) OVER (PARTITION BY canon_url) AS n_crawls,
+                   row_number() OVER (PARTITION BY canon_url
+                                      ORDER BY crawl_ts DESC, doc_id ASC) AS rn
+            FROM c
+          )
+          SELECT canon_url, doc_id, crawl_ts, n_crawls::BIGINT AS n_crawls
+          FROM r WHERE rn = 1
+        """,
         "embedding_near_dup": """
           WITH v AS (
             SELECT vec_id AS id, list_transform(embedding::DOUBLE[], x -> x /

@@ -473,6 +473,45 @@ def canonical_url_sql(col: str = "url") -> str:
     return f"regexp_replace({u2}, '(://[^/:]+):(?:443|80)(/|$)', '\\1\\2', 'g')"
 
 
+def latest_crawl_per_url(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Crawl-recency URL dedup: canonicalize the URL and keep ONE row
+    per canonical URL — the newest ``ts_col``, ties broken by the
+    smallest id (deterministic latest-snapshot-wins, the standard
+    re-crawl rule for Common-Crawl-style ingests; input_hint columns
+    ``url``/``warc_ts``).
+
+    Output: ``(canon_url, doc_id, crawl_ts, n_crawls)`` — the winner
+    plus how many crawls collapsed into it.
+
+    100 TB shape: exactly one shuffle, keyed on the canonical URL.
+    URL keys are near-unique (group size = re-crawl count, single
+    digits), so the window buffers a handful of rows per key and no
+    salting is needed; both window functions share the one exchange.
+    At rest the same rule lands as a write bucketed by ``canon_url``
+    so repeated ingests co-locate without reshuffling history.
+    """
+    w = Window.partitionBy("canon_url").orderBy(
+        F.col("crawl_ts").desc(), F.col("doc_id").asc()
+    )
+    wc = Window.partitionBy("canon_url")
+    return (
+        pages.select(
+            canonical_url(F.col(url_col)).alias("canon_url"),
+            F.col(id_col).alias("doc_id"),
+            F.col(ts_col).alias("crawl_ts"),
+        )
+        .withColumn("n_crawls", F.count("*").over(wc))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
 def hash_mod_bucket(id_col: Column, buckets: int = 100) -> Column:
     """Portable deterministic bucket in [0, buckets): md5-prefix of the
     stringified id — identical integers in Spark and DuckDB (xxhash64

@@ -41,6 +41,9 @@ def test_ann_recall_floors(spark):
 def test_oracle_sql_is_wellformed_duckdb():
     import duckdb
 
+    # export-oracle SQLs read_parquet() /tmp paths the queries write;
+    # on a fresh host none has run yet — materialize empty placeholders
+    entry.ensure_export_placeholders()
     con = duckdb.connect()
     for t in entry.TABLES:
         p = f"/root/testdata/sf0.001/{t}.parquet"

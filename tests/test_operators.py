@@ -1814,3 +1814,29 @@ def test_ngram_repetition_null_text_row(spark):
     out = {r["doc_id"]: r for r in ngram_repetition(d).collect()}
     assert out[2]["top2_frac"] == 0.0 and out[2]["dup5_frac"] == 0.0
     assert out[1]["top2_frac"] > 0
+
+
+def test_latest_crawl_per_url(spark):
+    """Latest snapshot wins per canonical URL; messy variants collapse
+    to one key; ties break on the smaller doc_id."""
+    from json_remedy_spark.functions.corpus import latest_crawl_per_url
+
+    rows = [
+        # three spellings of one page, increasing crawl_ts
+        (1, "HTTP://Ex.COM:80/a", 100),
+        (2, "http://ex.com/a?utm_source=x", 300),
+        (3, "http://ex.com/a#frag", 200),
+        # tie on ts -> smaller doc_id wins
+        (10, "https://ex.com/b", 500),
+        (11, "https://ex.com/b", 500),
+        # singleton
+        (20, "https://ex.com/c", 1),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "url", "warc_ts"])
+    out = {r["canon_url"]: r for r in latest_crawl_per_url(d).collect()}
+    assert set(out) == {"http://ex.com/a", "https://ex.com/b", "https://ex.com/c"}
+    a = out["http://ex.com/a"]
+    assert (a["doc_id"], a["crawl_ts"], a["n_crawls"]) == (2, 300, 3)
+    b = out["https://ex.com/b"]
+    assert (b["doc_id"], b["n_crawls"]) == (10, 2)
+    assert out["https://ex.com/c"]["n_crawls"] == 1
