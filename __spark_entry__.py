@@ -419,6 +419,30 @@ def q_fasttext_langid(spark, sf_dir):
     )
 
 
+def q_quality_classifier(spark, sf_dir):
+    """DCLM-style 2-class fastText quality head (functions/classifier):
+    integer class scores, margin, and the high/low label, bit-exact vs
+    the DuckDB explode-hash-join-sum oracle.  Marker words are injected
+    per doc_id in BOTH engines so both labels and the no-signal tie
+    path are exercised."""
+    from json_remedy_spark.functions.classifier import quality_classifier
+
+    d = _t(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism)
+    variant = F.pmod(F.col("doc_id"), F.lit(3))
+    text2 = (
+        F.when(variant == 0, F.concat(F.col("text"), F.lit(" because research study evidence")))
+        .when(variant == 1, F.concat(F.col("text"), F.lit(" click subscribe free offer bonus")))
+        .otherwise(F.col("text"))
+    )
+    return quality_classifier(d.withColumn("text", text2)).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("s_hi").cast("long").alias("s_hi"),
+        F.col("s_lo").cast("long").alias("s_lo"),
+        F.col("margin").cast("long").alias("margin"),
+        "quality_label",
+    )
+
+
 def q_cosine_topk(spark, sf_dir):
     e = (
         _t(spark, sf_dir, "embeddings")
@@ -1123,6 +1147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_stats": q_domain_stats,
         "domain_cap": q_domain_cap,
         "fasttext_langid": q_fasttext_langid,
+        "quality_classifier": q_quality_classifier,
         "vocab_stats": q_vocab_stats,
         "ngram_repetition": q_ngram_repetition,
         "cosine_topk": q_cosine_topk,
@@ -1397,6 +1422,41 @@ def _fasttext_langid_sql() -> str:
              coalesce(s_de, 0)::BIGINT AS s_de,
              coalesce(s_en, 0)::BIGINT AS s_en,
              coalesce(s_fr, 0)::BIGINT AS s_fr
+      FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+    """
+
+
+def _quality_classifier_sql() -> str:
+    from json_remedy_spark.functions import classifier
+
+    bucket = _hex_to_int("md5(bigram)", 1, 8)
+    return f"""
+      WITH t0 AS (
+        SELECT doc_id,
+               lower(text || CASE doc_id % 3
+                 WHEN 0 THEN ' because research study evidence'
+                 WHEN 1 THEN ' click subscribe free offer bonus'
+                 ELSE '' END) AS t
+        FROM documents
+      ),
+      bg AS (
+        SELECT doc_id, substr(t, x.i, 2) AS bigram
+        FROM t0, LATERAL (SELECT unnest(range(1, len(t))) AS i) x
+      ),
+      w(bucket, w_hi, w_lo) AS (VALUES {classifier.qc_weights_values_sql()}),
+      bb AS (SELECT doc_id, ({bucket} % {langid.FT_BUCKETS}) AS bucket FROM bg),
+      s AS (
+        SELECT bb.doc_id,
+               coalesce(sum(w_hi), 0) AS s_hi,
+               coalesce(sum(w_lo), 0) AS s_lo
+        FROM bb LEFT JOIN w USING (bucket) GROUP BY bb.doc_id
+      )
+      SELECT d.doc_id::BIGINT AS doc_id,
+             coalesce(s_hi, 0)::BIGINT AS s_hi,
+             coalesce(s_lo, 0)::BIGINT AS s_lo,
+             (coalesce(s_hi, 0) - coalesce(s_lo, 0))::BIGINT AS margin,
+             CASE WHEN coalesce(s_hi, 0) - coalesce(s_lo, 0) > 0
+                  THEN 'high' ELSE 'low' END AS quality_label
       FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
     """
 
@@ -1737,6 +1797,7 @@ def oracle_sql() -> dict[str, str]:
         "domain_stats": _domain_stats_sql(),
         "domain_cap": _domain_cap_sql(),
         "fasttext_langid": _fasttext_langid_sql(),
+        "quality_classifier": _quality_classifier_sql(),
         "vocab_stats": textstats.vocab_stats_sql(top_k=VOCAB_TOP_K),
         "ngram_repetition": quality.ngram_repetition_sql(),
         "cosine_topk": _cosine_topk_sql(),

@@ -132,6 +132,45 @@ def load_ft_model(path: str, n_buckets: int = FT_BUCKETS):
 _FT_MODEL_CACHE: dict = {}
 
 
+def score_hashed_bigrams(texts, dense):
+    """The shared fastText scoring kernel: texts -> int64 score matrix
+    [n_texts x n_classes] against a dense [n_buckets x n_classes]
+    weight table.  One vectorized utf-32 decode per text (no per-char
+    Python), each DISTINCT bigram in the batch md5-bucketed once, then
+    a fancy-index + sum per doc.  Used by both the langid head and the
+    quality-classifier head (functions/classifier.py)."""
+    import hashlib
+
+    import numpy as np
+
+    n_buckets, n_classes = dense.shape
+    code_arrays = [
+        np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32) for t in texts
+    ]
+    bigram_codes = [
+        a[:-1].astype(np.int64) * 0x200000 + a[1:] if len(a) >= 2
+        else np.empty(0, dtype=np.int64)
+        for a in code_arrays
+    ]
+    if bigram_codes and any(len(c) for c in bigram_codes):
+        uniq = np.unique(np.concatenate(bigram_codes))
+    else:
+        uniq = np.empty(0, dtype=np.int64)
+    buckets = np.empty(len(uniq), dtype=np.int64)
+    for j, code in enumerate(uniq):
+        c0, c1 = divmod(int(code), 0x200000)
+        bg = chr(c0) + chr(c1)
+        buckets[j] = (
+            int(hashlib.md5(bg.encode("utf-8")).hexdigest()[:8], 16) % n_buckets
+        )
+    uniq_w = dense[buckets] if len(uniq) else np.empty((0, n_classes), np.int64)
+    scores = np.zeros((len(texts), n_classes), dtype=np.int64)
+    for i, codes in enumerate(bigram_codes):
+        if len(codes):
+            scores[i] = uniq_w[np.searchsorted(uniq, codes)].sum(axis=0)
+    return scores
+
+
 def hashed_langid(docs, id_col: str = "doc_id", text_col: str = "text", model_path: str | None = None):
     """fastText-architecture language ID: (doc_id, ft_lang, s_de,
     s_en, s_fr).  Integer scores -> bit-exact DuckDB oracle (explode
@@ -177,39 +216,10 @@ def hashed_langid(docs, id_col: str = "doc_id", text_col: str = "text", model_pa
     src = docs.select(F.col(id_col).alias("doc_id"), F.lower(F.col(text_col)).alias("t"))
 
     def gen(batches):
-        import hashlib
-
         dense = get_dense()
         for pdf in batches:
             texts = pdf["t"].fillna("").tolist()
-            # codepoint arrays per doc (utf-32 view: vectorized decode)
-            code_arrays = [
-                np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32) for t in texts
-            ]
-            bigram_codes = [
-                a[:-1].astype(np.int64) * 0x200000 + a[1:] if len(a) >= 2
-                else np.empty(0, dtype=np.int64)
-                for a in code_arrays
-            ]
-            # md5-bucket each DISTINCT bigram in the batch once
-            if bigram_codes:
-                uniq = np.unique(np.concatenate(bigram_codes)) if any(
-                    len(c) for c in bigram_codes
-                ) else np.empty(0, dtype=np.int64)
-            else:
-                uniq = np.empty(0, dtype=np.int64)
-            buckets = np.empty(len(uniq), dtype=np.int64)
-            for j, code in enumerate(uniq):
-                c0, c1 = divmod(int(code), 0x200000)
-                bg = chr(c0) + chr(c1)
-                buckets[j] = (
-                    int(hashlib.md5(bg.encode("utf-8")).hexdigest()[:8], 16) % FT_BUCKETS
-                )
-            uniq_w = dense[buckets] if len(uniq) else np.empty((0, n_langs), np.int64)
-            scores = np.zeros((len(texts), n_langs), dtype=np.int64)
-            for i, codes in enumerate(bigram_codes):
-                if len(codes):
-                    scores[i] = uniq_w[np.searchsorted(uniq, codes)].sum(axis=0)
+            scores = score_hashed_bigrams(texts, dense)
             best = scores.argmax(axis=1)
             lang = np.where(
                 scores.max(axis=1, initial=0) > 0,

@@ -117,3 +117,59 @@ def test_perplexity_perturbed_model_routes_through_file(spark, docs, tmp_path):
     expect = float(np.log(97.0))  # log(V): -(log k - log(k*V))
     vals = {round(r["ppl"], 10) for r in out.collect()}
     assert vals == {round(expect, 10)}
+
+
+def test_quality_classifier_labels_and_ties(spark):
+    from json_remedy_spark.functions.classifier import quality_classifier
+
+    rows = [
+        (1, "We explain the method because the research evidence supports the theory."),
+        (2, "CLICK here to SUBSCRIBE for a free offer and win a casino bonus deal!"),
+        (3, "zq xv wk pj"),  # no marker signal -> tie -> low
+        (4, None),           # NULL text -> zero scores -> low
+        (5, ""),
+    ]
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType([StructField("doc_id", LongType()), StructField("text", StringType())])
+    d = spark.createDataFrame(rows, schema)
+    out = {r["doc_id"]: r for r in quality_classifier(d).collect()}
+    assert out[1]["quality_label"] == "high" and out[1]["margin"] > 0
+    assert out[2]["quality_label"] == "low" and out[2]["margin"] < 0
+    for i in (3, 4, 5):
+        assert out[i]["quality_label"] == "low"
+    assert out[4]["s_hi"] == 0 and out[4]["s_lo"] == 0
+
+
+def test_quality_classifier_model_file_matches_builtin(spark, docs, tmp_path):
+    from json_remedy_spark.functions.classifier import (
+        QC_CLASSES,
+        qc_weight_rows,
+        quality_classifier,
+    )
+    from json_remedy_spark.functions.langid import export_ft_model
+
+    model = str(tmp_path / "qc_builtin.parquet")
+    n = export_ft_model(model, rows=qc_weight_rows(), langs=QC_CLASSES)
+    assert n > 0
+    default = sorted(tuple(r) for r in quality_classifier(docs).collect())
+    from_file = sorted(tuple(r) for r in quality_classifier(docs, model_path=model).collect())
+    assert from_file == default
+
+
+def test_quality_classifier_perturbed_model_routes_through_file(spark, docs, tmp_path):
+    from json_remedy_spark.functions.classifier import (
+        QC_CLASSES,
+        qc_weight_rows,
+        quality_classifier,
+    )
+    from json_remedy_spark.functions.langid import export_ft_model
+
+    rows = [(b, [w[0] * 7, w[1]]) for b, w in qc_weight_rows()]
+    model = str(tmp_path / "qc_boosted.parquet")
+    export_ft_model(model, rows=rows, langs=QC_CLASSES)
+    base = {r["doc_id"]: r for r in quality_classifier(docs).collect()}
+    boosted = {r["doc_id"]: r for r in quality_classifier(docs, model_path=model).collect()}
+    for did, r in boosted.items():
+        assert r["s_hi"] == base[did]["s_hi"] * 7
+        assert r["s_lo"] == base[did]["s_lo"]
