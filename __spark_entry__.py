@@ -757,6 +757,54 @@ def q_url_dedup(spark, sf_dir):
     )
 
 
+def q_outlink_stats(spark, sf_dir):
+    """Outlink extraction from the raw html binary column + per-host
+    inlink stats (webgraph module).  Pages with two absolute anchors
+    (one mixed-case, canonicalized by the host extractor) and one
+    relative anchor (no host — must be filtered) are synthesized from
+    orders in BOTH engines."""
+    from json_remedy_spark.functions import webgraph
+
+    o = _t(spark, sf_dir, "orders")
+    k1 = (F.col("o_orderkey") % 7).cast("string")
+    k2 = (F.col("o_custkey") % 5).cast("string")
+    html_text = F.concat(
+        F.lit('<html><body><a href="https://site'), k1,
+        F.lit('.com/p/'), F.col("o_orderkey").cast("string"),
+        F.lit('">x</a> <a href="HTTPS://Site'), k2,
+        F.lit('.ORG/q">y</a><a href="/relative/path">z</a></body></html>'),
+    )
+    pages = o.select(
+        F.concat(F.lit("page://"), F.col("o_orderkey").cast("string")).alias("url"),
+        F.encode(html_text, "utf-8").alias("html"),
+    )
+    return webgraph.outlink_host_stats(pages).select(
+        "dst_host",
+        F.col("n_links").cast("long").alias("n_links"),
+        F.col("n_src_pages").cast("long").alias("n_src_pages"),
+    )
+
+
+def q_domain_rank(spark, sf_dir):
+    """Fixed-iteration PageRank (5 rounds, damping 0.85) over a host
+    graph synthesized from orders; the DuckDB oracle unrolls the same
+    five rounds as CTEs, so every join/degree/damping term is
+    value-checked."""
+    from json_remedy_spark.functions import webgraph
+
+    o = _t(spark, sf_dir, "orders")
+    e = (
+        o.select(
+            F.concat(F.lit("h"), (F.col("o_orderkey") % 40).cast("string")).alias("src"),
+            F.concat(F.lit("h"), (F.col("o_custkey") % 40).cast("string")).alias("dst"),
+        )
+        .where(F.col("o_orderkey") % 40 != F.col("o_custkey") % 40)
+        .distinct()
+    )
+    r = webgraph.pagerank(e, iters=5, damping=0.85)
+    return r.select("node", F.round("rank", 4).cast("double").alias("rank"))
+
+
 def q_ppl_histogram(spark, sf_dir):
     """North-rule metrics surface: the perplexity histogram (0.125-wide
     buckets, exactly representable in binary) — exact because the per-doc scores are exact (same
@@ -1173,6 +1221,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppl_histogram": q_ppl_histogram,
         "canonical_url": q_canonical_url,
         "url_dedup": q_url_dedup,
+        "outlink_stats": q_outlink_stats,
+        "domain_rank": q_domain_rank,
         "lsh_ann_topk": q_lsh_ann_topk,
         "ann_recall": q_ann_recall,
         "semantic_dedup": q_semantic_dedup,
@@ -1424,6 +1474,62 @@ def _fasttext_langid_sql() -> str:
              coalesce(s_fr, 0)::BIGINT AS s_fr
       FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
     """
+
+
+def _outlink_stats_sql() -> str:
+    from json_remedy_spark.functions import webgraph
+
+    return f"""
+      WITH p AS (
+        SELECT 'page://' || o_orderkey AS url,
+               '<html><body><a href="https://site' || (o_orderkey % 7)
+               || '.com/p/' || o_orderkey
+               || '">x</a> <a href="HTTPS://Site' || (o_custkey % 5)
+               || '.ORG/q">y</a><a href="/relative/path">z</a></body></html>' AS html
+        FROM orders
+      ),
+      links AS (
+        SELECT url AS src_url,
+               unnest(regexp_extract_all(html, '{webgraph.HREF_PATTERN}', 1)) AS href
+        FROM p
+      ),
+      hosted AS (
+        SELECT src_url,
+               lower(regexp_extract(href, '{webgraph.HOST_PATTERN}', 1)) AS dst_host
+        FROM links
+      )
+      SELECT dst_host, count(*)::BIGINT AS n_links,
+             count(DISTINCT src_url)::BIGINT AS n_src_pages
+      FROM hosted WHERE dst_host != '' GROUP BY dst_host
+    """
+
+
+def _domain_rank_sql(iters: int = 5, damping: float = 0.85) -> str:
+    """PageRank unrolled: one CTE per round, same formulation as
+    webgraph.pagerank (uniform start 1.0, no dangling redistribution)."""
+    base = f"""
+      WITH edges AS (
+        SELECT DISTINCT 'h' || (o_orderkey % 40) AS src,
+                        'h' || (o_custkey % 40) AS dst
+        FROM orders WHERE o_orderkey % 40 != o_custkey % 40
+      ),
+      nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+      deg AS (SELECT src, count(*)::DOUBLE AS outd FROM edges GROUP BY src),
+      r0 AS (SELECT node, 1.0::DOUBLE AS rank FROM nodes)"""
+    prev = "r0"
+    for i in range(1, iters + 1):
+        base += f""",
+      r{i} AS (
+        SELECT n.node,
+               ({1.0 - damping} + {damping} * coalesce(sum(p.rank / deg.outd), 0))::DOUBLE AS rank
+        FROM nodes n
+        LEFT JOIN edges e ON e.dst = n.node
+        LEFT JOIN r{i - 1} p ON p.node = e.src
+        LEFT JOIN deg ON deg.src = e.src
+        GROUP BY n.node
+      )"""
+        prev = f"r{i}"
+    return base + f" SELECT node, round(rank, 4)::DOUBLE AS rank FROM {prev}"
 
 
 def _quality_classifier_sql() -> str:
@@ -1798,6 +1904,8 @@ def oracle_sql() -> dict[str, str]:
         "domain_cap": _domain_cap_sql(),
         "fasttext_langid": _fasttext_langid_sql(),
         "quality_classifier": _quality_classifier_sql(),
+        "outlink_stats": _outlink_stats_sql(),
+        "domain_rank": _domain_rank_sql(),
         "vocab_stats": textstats.vocab_stats_sql(top_k=VOCAB_TOP_K),
         "ngram_repetition": quality.ngram_repetition_sql(),
         "cosine_topk": _cosine_topk_sql(),

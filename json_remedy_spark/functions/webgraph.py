@@ -1,0 +1,118 @@
+"""Web-graph operators over Common-Crawl-style pages: outlink
+extraction from the raw ``html`` binary column (input_hint shape),
+per-host link stats, and a fixed-iteration PageRank for crawl/domain
+prioritization (Page et al. 1999 — the classic damped iteration).
+
+All extraction is pure JVM column expressions (decode + regexp), so it
+codegens into the scan stage with zero Python; the graph ops shuffle
+only (src, dst) pairs and per-node ranks, never page bodies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# capture group 1 = the href target; double-quoted attributes only
+# (the canonical serialization; single-quote support is one more
+# alternation both engines share if a corpus needs it)
+HREF_PATTERN = r'href="([^"]*)"'
+# scheme://HOST with host ended by / : ? #
+HOST_PATTERN = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/:?#]+)"
+
+
+def url_host(url: Column) -> Column:
+    """Lowercased host of a URL ('' when there is no scheme://host)."""
+    return F.lower(F.regexp_extract(url, HOST_PATTERN, 1))
+
+
+def extract_outlinks(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(src_url, href) — one row per anchor href in the decoded HTML.
+
+    Map-only: decode the binary, ``regexp_extract_all`` the href
+    attributes, explode.  At 100 TB this runs inside the parquet scan
+    stage and the page body never reaches a shuffle — only the
+    extracted link strings do."""
+    hrefs = F.regexp_extract_all(
+        F.decode(F.col(html_col), "utf-8"), F.lit(HREF_PATTERN), 1
+    )
+    return pages.select(F.col(url_col).alias("src_url"), F.explode(hrefs).alias("href"))
+
+
+def outlink_host_stats(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Per target host: ``(dst_host, n_links, n_src_pages)`` — the
+    inlink summary used for domain ranking and crawl frontier scoring.
+
+    One shuffle keyed on (dst_host, src_url) for the distinct-source
+    count; partial map-side aggregation bounds it, and hot hosts
+    (the facebook.com problem) are exactly what AQE skew-split handles
+    — the key space is host × source, never a single-host single key."""
+    links = extract_outlinks(pages, url_col, html_col)
+    return (
+        links.where(url_host(F.col("href")) != "")
+        .groupBy(url_host(F.col("href")).alias("dst_host"))
+        .agg(
+            F.count("*").alias("n_links"),
+            F.countDistinct("src_url").alias("n_src_pages"),
+        )
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 5,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Fixed-iteration PageRank over an edge list -> (node, rank).
+
+    The classic damped formulation: ``rank(v) = (1-d) + d * sum over
+    in-edges (rank(u) / out_deg(u))`` from a uniform start of 1.0 —
+    deterministic for a fixed ``iters``, which is what makes the
+    unrolled-CTE DuckDB oracle possible.  Dangling-node mass is NOT
+    redistributed (their rank still receives contributions; they just
+    leak — the standard simplification; redistribution is one
+    broadcast scalar add per round if a corpus needs it).
+
+    100 TB shape: per round, one shuffle keyed on the node id, sized
+    to |edges| — page bodies never enter the loop.  The edge and
+    degree tables are persisted once and reused every round, and each
+    round ends in ``localCheckpoint`` so the plan does not double per
+    iteration (the iterative-loop driver-OOM gotcha)."""
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    deg = e.groupBy("src").agg(F.count("*").cast("double").alias("outd")).persist()
+    ranks = nodes.select("node", F.lit(1.0).alias("rank")).localCheckpoint()
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks, e["src"] == ranks["node"])
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("outd")).alias("c"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint()
+        )
+    for h in (e, nodes, deg):
+        h.unpersist()
+    return ranks

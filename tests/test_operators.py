@@ -1840,3 +1840,36 @@ def test_latest_crawl_per_url(spark):
     b = out["https://ex.com/b"]
     assert (b["doc_id"], b["n_crawls"]) == (10, 2)
     assert out["https://ex.com/c"]["n_crawls"] == 1
+
+
+def test_extract_outlinks_and_host(spark):
+    from json_remedy_spark.functions.webgraph import extract_outlinks, outlink_host_stats
+
+    html = (
+        '<a href="https://A.com/x">1</a><a href="/rel">2</a>'
+        '<a href="http://b.org:8080/y?q=1">3</a>'
+    ).encode()
+    d = spark.createDataFrame([("u1", bytearray(html))], ["url", "html"])
+    links = sorted(r["href"] for r in extract_outlinks(d).collect())
+    assert links == ["/rel", "http://b.org:8080/y?q=1", "https://A.com/x"]
+    stats = {r["dst_host"]: r for r in outlink_host_stats(d).collect()}
+    # relative link dropped; hosts lowercased; port excluded from host
+    assert set(stats) == {"a.com", "b.org"}
+    assert stats["a.com"]["n_links"] == 1 and stats["a.com"]["n_src_pages"] == 1
+
+
+def test_pagerank_cycle_and_chain(spark):
+    """Hand-checked fixtures: a 3-cycle preserves the uniform rank at
+    every round; a 2-chain converges to (0.15, 0.2775); a dangling
+    sink still accumulates rank."""
+    from json_remedy_spark.functions.webgraph import pagerank
+
+    cyc = spark.createDataFrame([("a", "b"), ("b", "c"), ("c", "a")], ["src", "dst"])
+    ranks = {r["node"]: r["rank"] for r in pagerank(cyc, iters=4).collect()}
+    for v in ranks.values():
+        assert abs(v - 1.0) < 1e-9
+
+    chain = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    got = {r["node"]: r["rank"] for r in pagerank(chain, iters=5).collect()}
+    assert abs(got["a"] - 0.15) < 1e-9
+    assert abs(got["b"] - 0.2775) < 1e-9  # 0.15 + 0.85*0.15

@@ -132,3 +132,46 @@ def test_semantic_dedup_single_exchange(spark):
     plan = executed_plan(semantic_dedup(e, threshold=0.9, cells=8, iters=1))
     assert plan.count("Exchange") <= 1, plan
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_quality_classifier_zero_shuffle(spark):
+    from json_remedy_spark.functions.classifier import quality_classifier
+    from json_remedy_spark.plans.explain import executed_plan
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = executed_plan(quality_classifier(d))
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan
+
+
+def test_url_dedup_single_exchange(spark):
+    """Both window functions (count + row_number) must share the one
+    canon_url shuffle."""
+    from json_remedy_spark.functions.corpus import latest_crawl_per_url
+    from json_remedy_spark.plans.explain import executed_plan
+
+    pages = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(
+            F.concat(F.lit("http://e.com/"), (F.col("doc_id") % 50).cast("string")).alias("url"),
+            F.col("doc_id"),
+            F.col("doc_id").alias("warc_ts"),
+        )
+    )
+    plan = executed_plan(latest_crawl_per_url(pages))
+    assert plan.count("Exchange") <= 1, plan
+
+
+def test_outlink_stats_jvm_only(spark):
+    """Extraction is pure column expressions — no Python hop; the only
+    exchanges are the aggregation's."""
+    from json_remedy_spark.functions.webgraph import outlink_host_stats
+    from json_remedy_spark.plans.explain import executed_plan
+
+    pages = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        F.concat(F.lit("p://"), F.col("doc_id").cast("string")).alias("url"),
+        F.encode(F.lit('<a href="https://x.com/a">l</a>'), "utf-8").alias("html"),
+    )
+    plan = executed_plan(outlink_host_stats(pages))
+    assert "ArrowEvalPython" not in plan and "MapInPandas" not in plan
+    assert plan.count("Exchange") <= 2, plan

@@ -226,6 +226,60 @@ def main():
         )
     )
 
+    from json_remedy_spark.functions.corpus import latest_crawl_per_url
+
+    pages = docs.select(
+        F.concat(F.lit("http://ex.com/"), (F.col("doc_id") % 100).cast("string")).alias("url"),
+        F.col("doc_id"),
+        F.col("doc_id").alias("warc_ts"),
+    )
+    ud = latest_crawl_per_url(pages)
+    udplan = formatted(ud)
+    sections.append(
+        (
+            "latest_crawl_per_url (crawl-recency dedup)",
+            f"Exchange tree nodes: {tree_nodes(udplan, 'Exchange')} (budget 1 — "
+            "one shuffle on canon_url; both window functions share it)\n\n"
+            + udplan[:1500],
+        )
+    )
+
+    from json_remedy_spark.functions.webgraph import outlink_host_stats
+
+    wp = docs.select(
+        F.concat(F.lit("page://"), F.col("doc_id").cast("string")).alias("url"),
+        F.encode(
+            F.concat(F.lit('<a href="https://s'), (F.col("doc_id") % 9).cast("string"), F.lit('.com/x">l</a>')),
+            "utf-8",
+        ).alias("html"),
+    )
+    ol = outlink_host_stats(wp)
+    olplan = formatted(ol)
+    sections.append(
+        (
+            "outlink_host_stats (html decode + regexp in scan stage)",
+            f"Exchange tree nodes: {tree_nodes(olplan, 'Exchange')} (budget 2 — "
+            "partial agg then (dst_host, src_url) distinct-count exchange; "
+            "page bodies never shuffle)\n"
+            f"ArrowEvalPython hops: {arrow_hops(ol)} (budget 0 — pure JVM extraction)\n\n"
+            + olplan[:1800],
+        )
+    )
+
+    from json_remedy_spark.functions.classifier import quality_classifier
+
+    qc = quality_classifier(docs.select("doc_id", "text"))
+    qcplan = formatted(qc)
+    sections.append(
+        (
+            "quality_classifier (fastText head)",
+            f"MapInPandas nodes: {tree_nodes(qcplan, 'MapInPandas')} (budget 1 — one "
+            "Arrow scoring hop; margin/label are JVM exprs on the integer scores)\n"
+            f"Exchange tree nodes: {tree_nodes(qcplan, 'Exchange')} (budget 0 — map-only)\n\n"
+            + qcplan[:1200],
+        )
+    )
+
     out = ["# Physical plan evidence (generated by tools/snapshot_plans.py)\n"]
     for title, body in sections:
         out.append(f"\n## {title}\n\n```\n{body}\n```\n")
