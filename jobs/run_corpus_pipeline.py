@@ -61,6 +61,13 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--checkpoint-root", default=None)
     ap.add_argument("--normalize", action="store_true")
     ap.add_argument(
+        "--quality-model",
+        default=None,
+        help="enable the model-based quality gate: 'builtin' for the "
+        "deterministic weight table, or a path to an exported "
+        "fastText-format weight parquet (langid.export_ft_model)",
+    )
+    ap.add_argument(
         "--shard-tokens",
         type=int,
         default=0,
@@ -101,14 +108,30 @@ def run(spark, args) -> str:
     # 1. quality filter (keep only passing docs; scrubbed text onward)
     kept = quality_filter(pages, with_actions=False).where("keep")
 
-    # 2. URL-level dedup: one representative per canonical URL
+    # 2. URL-level dedup: when the input carries warc_ts (input_hint
+    # shape) the LATEST crawl wins — a single window shuffle on
+    # canon_url (latest_crawl_per_url rule); inputs without timestamps
+    # fall back to the lexicographic-min representative (two shuffles:
+    # groupBy + join-back)
     kept = kept.withColumn("canon_url", canonical_url(F.col("url")))
-    w_rep = kept.groupBy("canon_url").agg(F.min("url").alias("rep_url"))
-    kept = (
-        kept.join(w_rep, "canon_url")
-        .where(F.col("url") == F.col("rep_url"))
-        .drop("rep_url")
-    )
+    if "warc_ts" in kept.columns:
+        from pyspark.sql import Window
+
+        w_url = Window.partitionBy("canon_url").orderBy(
+            F.col("warc_ts").desc(), F.col("url").asc()
+        )
+        kept = (
+            kept.withColumn("_rn", F.row_number().over(w_url))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    else:
+        w_rep = kept.groupBy("canon_url").agg(F.min("url").alias("rep_url"))
+        kept = (
+            kept.join(w_rep, "canon_url")
+            .where(F.col("url") == F.col("rep_url"))
+            .drop("rep_url")
+        )
 
     # 2b. optional per-domain cap (two-phase salted top-K, url order)
     if args.max_per_domain:
@@ -120,6 +143,22 @@ def run(spark, args) -> str:
             F.xxhash64("url").alias("doc_id"), F.col("scrubbed").alias("text"), "url", "lang_id"
         ),
     )
+
+    # 1c. optional model-based quality gate (DCLM-style fastText head,
+    # functions/classifier): keep docs the model labels 'high'; the
+    # hop is map-only (extra cols ride through — no join-back shuffle)
+    if args.quality_model:
+        from json_remedy_spark.functions.classifier import quality_classifier
+
+        _mp = None if args.quality_model == "builtin" else args.quality_model
+        docs = stage(
+            "s1c_model_gate",
+            lambda d=docs: quality_classifier(
+                d, extra_cols=("text", "url", "lang_id"), model_path=_mp
+            )
+            .where(F.col("quality_label") == "high")
+            .select("doc_id", "text", "url", "lang_id"),
+        )
 
     # 2b2. optional unicode normalization (mojibake + NFC) BEFORE the
     # dedup family so broken and clean encodings of the same line/span

@@ -86,14 +86,19 @@ def quality_classifier(
     id_col: str = "doc_id",
     text_col: str = "text",
     model_path: str | None = None,
+    extra_cols: tuple = (),
 ) -> DataFrame:
     """Score each doc with the 2-class fastText quality head:
-    ``(doc_id, s_hi, s_lo, margin, quality_label)``.
+    ``(doc_id, *extra_cols, s_hi, s_lo, margin, quality_label)``.
 
     ``margin = s_hi - s_lo`` (the integer analogue of the DCLM score
     used for threshold sweeps); ``quality_label`` is 'high' iff the
     margin is positive (ties and no-signal docs fall to 'low' — a
     filter should never keep a page the model has no evidence for).
+
+    The id keeps its input type (string url keys work), and
+    ``extra_cols`` ride through the Arrow hop unchanged so a pipeline
+    can gate on the label without a join-back shuffle.
 
     ``model_path``: trained-model drop-in, ``langid.export_ft_model``
     parquet format shipped via SparkFiles; class names come from the
@@ -125,7 +130,16 @@ def quality_classifier(
             return _QC_MODEL_CACHE[fname]
 
     cls_arr = list(classes)
-    src = docs.select(F.col(id_col).alias("doc_id"), F.lower(F.col(text_col)).alias("t"))
+    extras = [c for c in extra_cols]
+    src = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.lower(F.col(text_col)).alias("t"),
+        *extras,
+    )
+    id_type = src.schema["doc_id"].dataType.simpleString()
+    extra_fields = "".join(
+        f", {c} {src.schema[c].dataType.simpleString()}" for c in extras
+    )
 
     def gen(batches):
         dense = get_dense()
@@ -133,16 +147,22 @@ def quality_classifier(
             texts = pdf["t"].fillna("").tolist()
             scores = score_hashed_bigrams(texts, dense)
             out = {"doc_id": pdf["doc_id"]}
+            for c in extras:
+                out[c] = pdf[c]
             for ci, c in enumerate(cls_arr):
                 out[f"s_{c}"] = scores[:, ci]
             yield pd.DataFrame(out)
 
-    schema = "doc_id long, " + ", ".join(f"s_{c} long" for c in cls_arr)
+    schema = (
+        f"doc_id {id_type}{extra_fields}, "
+        + ", ".join(f"s_{c} long" for c in cls_arr)
+    )
     scored = src.mapInPandas(gen, schema=schema)
     if len(cls_arr) == 2:
         a, b = (F.col(f"s_{c}") for c in cls_arr)
         return scored.select(
             "doc_id",
+            *extras,
             *[f"s_{c}" for c in cls_arr],
             (a - b).alias("margin"),
             F.when(a - b > 0, F.lit("high")).otherwise(F.lit("low")).alias("quality_label"),

@@ -95,3 +95,24 @@ def test_dedup_job_embedding_path_frees_all_persists(spark, tmp_path):
     ))
     assert msg.startswith("signatures=embedding-lsh")
     assert _sql_cache_empty(spark), "embedding dedup path leaked persists"
+
+
+def test_corpus_pipeline_model_gate(spark, pages_parquet, tmp_path):
+    """--quality-model builtin: the model gate runs map-only, output is
+    a subset of the ungated run, and nothing stays persisted."""
+    import duckdb
+
+    from jobs.run_corpus_pipeline import build_parser, run
+
+    spark.catalog.clearCache()
+    base_out = str(tmp_path / "base")
+    run(spark, build_parser().parse_args(["--input", pages_parquet, "--output", base_out]))
+    gated_out = str(tmp_path / "gated")
+    msg = run(spark, build_parser().parse_args(
+        ["--input", pages_parquet, "--output", gated_out, "--quality-model", "builtin"]
+    ))
+    assert " in -> " in msg
+    assert _sql_cache_empty(spark), "model gate leaked persisted DataFrames"
+    base = {r[0] for r in duckdb.sql(f"SELECT url FROM read_parquet('{base_out}/*.parquet')").fetchall()}
+    gated = {r[0] for r in duckdb.sql(f"SELECT url FROM read_parquet('{gated_out}/*.parquet')").fetchall()}
+    assert gated <= base

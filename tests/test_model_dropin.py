@@ -173,3 +173,21 @@ def test_quality_classifier_perturbed_model_routes_through_file(spark, docs, tmp
     for did, r in boosted.items():
         assert r["s_hi"] == base[did]["s_hi"] * 7
         assert r["s_lo"] == base[did]["s_lo"]
+
+
+def test_quality_classifier_string_id_and_passthrough(spark):
+    """url-keyed docs and extra passthrough columns survive the Arrow
+    hop (no hardcoded long id — the ngram_repetition lesson)."""
+    from json_remedy_spark.functions.classifier import quality_classifier
+
+    d = spark.createDataFrame(
+        [("u://1", "research evidence because", "en"), ("u://2", "click free offer", "de")],
+        ["url", "text", "lang"],
+    )
+    out = {r["doc_id"]: r for r in quality_classifier(
+        d, id_col="url", extra_cols=("text", "lang")
+    ).collect()}
+    assert set(out) == {"u://1", "u://2"}
+    assert out["u://1"]["quality_label"] == "high"
+    assert out["u://2"]["quality_label"] == "low"
+    assert out["u://2"]["lang"] == "de" and "click" in out["u://2"]["text"]
