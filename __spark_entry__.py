@@ -785,6 +785,39 @@ def q_outlink_stats(spark, sf_dir):
     )
 
 
+def q_page_meta(spark, sf_dir):
+    """HTML-metadata gates (robots noindex, rel=canonical, title,
+    declared lang) extracted from the raw html binary with the shared
+    (?i) regex dialect; four page variants incl. a bare page and
+    upper-case tags are synthesized from orders in BOTH engines."""
+    from json_remedy_spark.functions import webgraph
+
+    o = _t(spark, sf_dir, "orders")
+    n = F.col("o_orderkey").cast("string")
+    v = F.pmod(F.col("o_orderkey"), F.lit(4))
+    html_text = (
+        F.when(v == 0, F.concat(
+            F.lit('<html lang="en"><head><title>Order '), n,
+            F.lit('</title><link rel="canonical" href="https://shop.example.com/o/'), n,
+            F.lit('"/><meta name="robots" content="noindex,nofollow"></head><body>x</body></html>'),
+        ))
+        .when(v == 1, F.concat(
+            F.lit('<html lang="de"><head><title>Bestellung '), n,
+            F.lit('</title></head><body>x</body></html>'),
+        ))
+        .when(v == 2, F.lit("<html><body>plain</body></html>"))
+        .otherwise(F.concat(
+            F.lit('<HTML Lang="fr"><HEAD><TITLE>Commande '), n,
+            F.lit("</TITLE></HEAD></HTML>"),
+        ))
+    )
+    pages = o.select(
+        F.concat(F.lit("page://"), n).alias("url"),
+        F.encode(html_text, "utf-8").alias("html"),
+    )
+    return webgraph.page_meta(pages)
+
+
 def q_domain_rank(spark, sf_dir):
     """Fixed-iteration PageRank (5 rounds, damping 0.85) over a host
     graph synthesized from orders; the DuckDB oracle unrolls the same
@@ -1222,6 +1255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "canonical_url": q_canonical_url,
         "url_dedup": q_url_dedup,
         "outlink_stats": q_outlink_stats,
+        "page_meta": q_page_meta,
         "domain_rank": q_domain_rank,
         "lsh_ann_topk": q_lsh_ann_topk,
         "ann_recall": q_ann_recall,
@@ -1501,6 +1535,34 @@ def _outlink_stats_sql() -> str:
       SELECT dst_host, count(*)::BIGINT AS n_links,
              count(DISTINCT src_url)::BIGINT AS n_src_pages
       FROM hosted WHERE dst_host != '' GROUP BY dst_host
+    """
+
+
+def _page_meta_sql() -> str:
+    from json_remedy_spark.functions import webgraph
+
+    return f"""
+      WITH p AS (
+        SELECT 'page://' || o_orderkey AS url,
+               CASE o_orderkey % 4
+                 WHEN 0 THEN '<html lang="en"><head><title>Order ' || o_orderkey
+                   || '</title><link rel="canonical" href="https://shop.example.com/o/'
+                   || o_orderkey
+                   || '"/><meta name="robots" content="noindex,nofollow"></head><body>x</body></html>'
+                 WHEN 1 THEN '<html lang="de"><head><title>Bestellung ' || o_orderkey
+                   || '</title></head><body>x</body></html>'
+                 WHEN 2 THEN '<html><body>plain</body></html>'
+                 ELSE '<HTML Lang="fr"><HEAD><TITLE>Commande ' || o_orderkey
+                   || '</TITLE></HEAD></HTML>'
+               END AS html
+        FROM orders
+      )
+      SELECT url,
+             regexp_matches(html, '{webgraph.NOINDEX_PATTERN}') AS noindex,
+             regexp_extract(html, '{webgraph.CANONICAL_PATTERN}', 1) AS canonical,
+             regexp_extract(html, '{webgraph.TITLE_PATTERN}', 1) AS title,
+             regexp_extract(html, '{webgraph.HTML_LANG_PATTERN}', 1) AS html_lang
+      FROM p
     """
 
 
@@ -1905,6 +1967,7 @@ def oracle_sql() -> dict[str, str]:
         "fasttext_langid": _fasttext_langid_sql(),
         "quality_classifier": _quality_classifier_sql(),
         "outlink_stats": _outlink_stats_sql(),
+        "page_meta": _page_meta_sql(),
         "domain_rank": _domain_rank_sql(),
         "vocab_stats": textstats.vocab_stats_sql(top_k=VOCAB_TOP_K),
         "ngram_repetition": quality.ngram_repetition_sql(),

@@ -34,9 +34,14 @@ def extract_outlinks(
     Map-only: decode the binary, ``regexp_extract_all`` the href
     attributes, explode.  At 100 TB this runs inside the parquet scan
     stage and the page body never reaches a shuffle — only the
-    extracted link strings do."""
+    extracted link strings do.
+
+    Decode is the lossy ``cast(binary AS string)`` (invalid UTF-8 ->
+    U+FFFD), NOT ``decode()``: under ANSI mode decode raises
+    MALFORMED_CHARACTER_CODING, and one mojibake page must never kill
+    a crawl-scale job."""
     hrefs = F.regexp_extract_all(
-        F.decode(F.col(html_col), "utf-8"), F.lit(HREF_PATTERN), 1
+        F.col(html_col).cast("string"), F.lit(HREF_PATTERN), 1
     )
     return pages.select(F.col(url_col).alias("src_url"), F.explode(hrefs).alias("href"))
 
@@ -59,6 +64,36 @@ def outlink_host_stats(
             F.count("*").alias("n_links"),
             F.countDistinct("src_url").alias("n_src_pages"),
         )
+    )
+
+
+# page-metadata patterns (canonical attribute order; inline (?i) so
+# the identical pattern runs in Java regex and DuckDB/RE2)
+NOINDEX_PATTERN = r'(?i)<meta[^>]*name="robots"[^>]*content="[^"]*noindex'
+CANONICAL_PATTERN = r'(?i)<link[^>]*rel="canonical"[^>]*href="([^"]*)"'
+TITLE_PATTERN = r"(?i)<title>([^<]*)</title>"
+HTML_LANG_PATTERN = r'(?i)<html[^>]*\blang="([^"]*)"'
+
+
+def page_meta(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """Per page: ``(url, noindex, canonical, title, html_lang)`` from
+    the raw html binary — the html-metadata gates a crawl pipeline
+    applies before spending anything on a page (robots noindex
+    exclusion, rel=canonical for URL dedup, declared language to
+    cross-check langid, title for indexing).
+
+    Map-only lossy-decode + regexp column expressions: codegens into
+    the scan, zero shuffle, no Python.  Missing fields are '' (the
+    regexp_extract no-match value), which keeps the op NULL-free."""
+    h = F.col(html_col).cast("string")
+    return pages.select(
+        F.col(url_col).alias("url"),
+        h.rlike(NOINDEX_PATTERN).alias("noindex"),
+        F.regexp_extract(h, CANONICAL_PATTERN, 1).alias("canonical"),
+        F.regexp_extract(h, TITLE_PATTERN, 1).alias("title"),
+        F.regexp_extract(h, HTML_LANG_PATTERN, 1).alias("html_lang"),
     )
 
 

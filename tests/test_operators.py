@@ -1873,3 +1873,36 @@ def test_pagerank_cycle_and_chain(spark):
     got = {r["node"]: r["rank"] for r in pagerank(chain, iters=5).collect()}
     assert abs(got["a"] - 0.15) < 1e-9
     assert abs(got["b"] - 0.2775) < 1e-9  # 0.15 + 0.85*0.15
+
+
+def test_extract_outlinks_survives_invalid_utf8(spark):
+    """Real crawls contain invalid UTF-8; the lossy cast must replace
+    bytes (U+FFFD), never raise ANSI MALFORMED_CHARACTER_CODING."""
+    from json_remedy_spark.functions.webgraph import extract_outlinks
+
+    bad = b'<a href="https://x.com/page">l</a>\xff\xfe<a href="https://y.org/q">m</a>'
+    d = spark.createDataFrame([("u1", bytearray(bad))], ["url", "html"])
+    links = sorted(r["href"] for r in extract_outlinks(d).collect())
+    assert links == ["https://x.com/page", "https://y.org/q"]
+
+
+def test_page_meta_fields(spark):
+    from json_remedy_spark.functions.webgraph import page_meta
+
+    full = (b'<html lang="en"><head><title>T1</title>'
+            b'<link rel="canonical" href="https://e.com/c"/>'
+            b'<meta name="robots" content="noindex"></head></html>')
+    bare = b"<html><body>x</body></html>"
+    upper = b'<HTML Lang="fr"><TITLE>T3</TITLE></HTML>'
+    bad = b'<title>ok</title>\xff'
+    d = spark.createDataFrame(
+        [("u1", bytearray(full)), ("u2", bytearray(bare)),
+         ("u3", bytearray(upper)), ("u4", bytearray(bad))],
+        ["url", "html"],
+    )
+    out = {r["url"]: r for r in page_meta(d).collect()}
+    assert out["u1"]["noindex"] and out["u1"]["canonical"] == "https://e.com/c"
+    assert out["u1"]["title"] == "T1" and out["u1"]["html_lang"] == "en"
+    assert not out["u2"]["noindex"] and out["u2"]["canonical"] == "" and out["u2"]["title"] == ""
+    assert out["u3"]["title"] == "T3" and out["u3"]["html_lang"] == "fr"
+    assert out["u4"]["title"] == "ok"  # invalid byte is lossy-replaced, not fatal
