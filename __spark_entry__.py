@@ -785,6 +785,26 @@ def q_outlink_stats(spark, sf_dir):
     )
 
 
+def q_html_text(spark, sf_dir):
+    """html -> visible text extraction (script/style/comment removal,
+    tag strip, entity decode, whitespace collapse) — the WARC-to-
+    input-table step; pages wrap the documents text in BOTH engines."""
+    from json_remedy_spark.functions import webgraph
+
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head><script>var x=1;</script><style>.css</style>"
+              "</head><body><!-- c --><h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"), F.col("text"),
+        F.lit(" &amp; more &lt;tags&gt;</p></body></html>"),
+    )
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        webgraph.html_to_text(html).alias("text"),
+    )
+
+
 def q_page_meta(spark, sf_dir):
     """HTML-metadata gates (robots noindex, rel=canonical, title,
     declared lang) extracted from the raw html binary with the shared
@@ -1256,6 +1276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "outlink_stats": q_outlink_stats,
         "page_meta": q_page_meta,
+        "html_text": q_html_text,
         "domain_rank": q_domain_rank,
         "lsh_ann_topk": q_lsh_ann_topk,
         "ann_recall": q_ann_recall,
@@ -1536,6 +1557,12 @@ def _outlink_stats_sql() -> str:
              count(DISTINCT src_url)::BIGINT AS n_src_pages
       FROM hosted WHERE dst_host != '' GROUP BY dst_host
     """
+
+
+def _webgraph_html_to_text_sql() -> str:
+    from json_remedy_spark.functions import webgraph
+
+    return webgraph.html_to_text_sql("html")
 
 
 def _page_meta_sql() -> str:
@@ -1968,6 +1995,18 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier": _quality_classifier_sql(),
         "outlink_stats": _outlink_stats_sql(),
         "page_meta": _page_meta_sql(),
+        "html_text": """
+          SELECT doc_id::BIGINT AS doc_id,
+                 HTMLTEXT AS text
+          FROM (
+            SELECT doc_id,
+                   '<html><head><script>var x=1;</script><style>.css</style></head><body><!-- c --><h1>Doc '
+                   || doc_id || '</h1><p>' || text
+                   || ' &amp; more &lt;tags&gt;</p></body></html>' AS html
+            FROM documents
+          )
+        """.replace("HTMLTEXT", _webgraph_html_to_text_sql()),
+
         "domain_rank": _domain_rank_sql(),
         "vocab_stats": textstats.vocab_stats_sql(top_k=VOCAB_TOP_K),
         "ngram_repetition": quality.ngram_repetition_sql(),

@@ -97,6 +97,52 @@ def page_meta(
     )
 
 
+# html -> text extraction chain (order matters; each stage's pattern
+# is shared verbatim with the DuckDB oracle)
+# no backreferences — DuckDB's RE2 has none; spell the alternation out
+_SCRIPT_STYLE = r"(?is)(<script[^>]*>.*?</script>|<style[^>]*>.*?</style>)"
+_HTML_COMMENT = r"(?s)<!--.*?-->"
+_ANY_TAG = r"<[^>]*>"
+_ENTITIES = [
+    ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"),
+]
+
+
+def html_to_text(html: Column) -> Column:
+    """Visible text of an HTML page: drop script/style/comments, strip
+    tags, decode the six ubiquitous entities, collapse whitespace.
+
+    Pure JVM regexp chain (codegen, zero shuffle, no Python) — the
+    deliberately simple, deterministic extraction (trafilatura-class
+    boilerplate models are a drop-in replacement behind the same
+    column).  ``&amp;`` decodes LAST so ``&amp;lt;`` correctly yields
+    the literal ``&lt;`` and not ``<``."""
+    t = F.regexp_replace(html, _SCRIPT_STYLE, " ")
+    t = F.regexp_replace(t, _HTML_COMMENT, " ")
+    t = F.regexp_replace(t, _ANY_TAG, " ")
+    for ent, rep in _ENTITIES:
+        if ent == "&amp;":
+            continue
+        t = F.replace(t, F.lit(ent), F.lit(rep))
+    t = F.replace(t, F.lit("&amp;"), F.lit("&"))
+    return F.trim(F.regexp_replace(t, r"\s+", " "))
+
+
+def html_to_text_sql(col: str = "html") -> str:
+    """DuckDB expression computing exactly ``html_to_text``."""
+    t = f"regexp_replace({col}, '{_SCRIPT_STYLE}', ' ', 'g')"
+    t = f"regexp_replace({t}, '{_HTML_COMMENT}', ' ', 'g')"
+    t = f"regexp_replace({t}, '{_ANY_TAG}', ' ', 'g')"
+    for ent, rep in _ENTITIES:
+        if ent == "&amp;":
+            continue
+        r = rep.replace("'", "''")
+        t = f"replace({t}, '{ent}', '{r}')"
+    t = f"replace({t}, '&amp;', '&')"
+    return f"trim(regexp_replace({t}, '\\s+', ' ', 'g'))"
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = 5,
