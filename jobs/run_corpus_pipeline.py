@@ -50,6 +50,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
+    ap.add_argument(
+        "--input-format",
+        choices=["table", "warc"],
+        default="table",
+        help="'table' = parquet/Iceberg pages table; 'warc' = a dir of "
+        ".warc(.gz) archives — columnarized in-job (url, warc_ts, html "
+        "+ html_to_text extraction), robots-noindex pages dropped "
+        "map-side before any further spend",
+    )
     ap.add_argument("--output", required=True)
     ap.add_argument("--eval-input", default=None)
     ap.add_argument("--token-budget", type=int, default=0)
@@ -96,7 +105,22 @@ def run(spark, args) -> str:
     from json_remedy_spark.operators.pipeline import quality_filter
     from json_remedy_spark.sources.catalog import read_table, write_table
 
-    pages = read_table(spark, args.input)
+    if args.input_format == "warc":
+        from json_remedy_spark.functions.webgraph import (
+            NOINDEX_PATTERN,
+            html_to_text,
+        )
+        from json_remedy_spark.sources.warc import read_warc_pages
+
+        raw = read_warc_pages(spark, args.input)
+        h = F.col("html").cast("string")
+        pages = raw.where(~h.rlike(NOINDEX_PATTERN)).select(
+            "url", "warc_ts", "html",
+            html_to_text(h).alias("text"),
+            F.lit("").alias("lang"),
+        )
+    else:
+        pages = read_table(spark, args.input)
     n_in = pages.count()
     stager = StageCheckpointer(spark, args.checkpoint_root) if args.checkpoint_root else None
 

@@ -67,3 +67,31 @@ def test_warc_to_input_table_text_extraction(spark, tmp_path):
         "url", html_to_text(F.col("html").cast("string")).alias("text")
     ).collect()[0]
     assert out["text"] == "hello crawl world"
+
+
+def test_corpus_job_warc_input(spark, tmp_path):
+    """--input-format warc: archives columnarize in-job, robots-noindex
+    pages are dropped map-side, and the pipeline runs to an output."""
+    import duckdb
+
+    from jobs.run_corpus_pipeline import build_parser, run
+
+    body = ("the quick brown fox jumps over the lazy dog and then it runs away "
+            "with a happy smile because this is what foxes do in the morning "
+            "when the sun is shining and the birds are singing in the trees ") * 3
+    good = f"<html><body><p>{body}</p></body></html>".encode()
+    noidx = (b'<html><head><meta name="robots" content="noindex"></head>'
+             b"<body>" + body.encode() + b"</body></html>")
+    d = tmp_path / "warcs"
+    d.mkdir()
+    (d / "a.warc").write_bytes(build_warc_bytes([
+        {"url": "https://keep.com/p", "ts": dt.datetime(2026, 1, 1), "html": good},
+        {"url": "https://drop.com/p", "ts": dt.datetime(2026, 1, 1), "html": noidx},
+    ]))
+    out = str(tmp_path / "out")
+    msg = run(spark, build_parser().parse_args(
+        ["--input", str(d), "--input-format", "warc", "--output", out]
+    ))
+    assert " in -> " in msg
+    urls = [r[0] for r in duckdb.sql(f"SELECT url FROM read_parquet('{out}/*.parquet')").fetchall()]
+    assert "https://drop.com/p" not in urls
