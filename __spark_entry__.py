@@ -805,6 +805,26 @@ def q_html_text(spark, sf_dir):
     )
 
 
+def q_anchor_texts(spark, sf_dir):
+    """(src_url, href, anchor) pairs — link-context extraction; two
+    anchors per page synthesized from orders in BOTH engines, one with
+    extra attributes between href and the text."""
+    from json_remedy_spark.functions import webgraph
+
+    o = _t(spark, sf_dir, "orders")
+    n = F.col("o_orderkey").cast("string")
+    html_text = F.concat(
+        F.lit('<p><a href="https://a'), (F.col("o_orderkey") % 9).cast("string"),
+        F.lit('.com/x" class="big" rel="nofollow"> Order '), n,
+        F.lit(' </a><a href="/local/'), n, F.lit('">home</a></p>'),
+    )
+    pages = o.select(
+        F.concat(F.lit("page://"), n).alias("url"),
+        F.encode(html_text, "utf-8").alias("html"),
+    )
+    return webgraph.extract_anchors(pages)
+
+
 def q_page_meta(spark, sf_dir):
     """HTML-metadata gates (robots noindex, rel=canonical, title,
     declared lang) extracted from the raw html binary with the shared
@@ -1276,6 +1296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "outlink_stats": q_outlink_stats,
         "page_meta": q_page_meta,
+        "anchor_texts": q_anchor_texts,
         "html_text": q_html_text,
         "domain_rank": q_domain_rank,
         "lsh_ann_topk": q_lsh_ann_topk,
@@ -1563,6 +1584,29 @@ def _webgraph_html_to_text_sql() -> str:
     from json_remedy_spark.functions import webgraph
 
     return webgraph.html_to_text_sql("html")
+
+
+def _anchor_texts_sql() -> str:
+    from json_remedy_spark.functions import webgraph
+
+    pat = webgraph.ANCHOR_PATTERN
+    return f"""
+      WITH p AS (
+        SELECT 'page://' || o_orderkey AS url,
+               '<p><a href="https://a' || (o_orderkey % 9)
+               || '.com/x" class="big" rel="nofollow"> Order ' || o_orderkey
+               || ' </a><a href="/local/' || o_orderkey
+               || '">home</a></p>' AS html
+        FROM orders
+      ),
+      z AS (
+        SELECT url AS src_url,
+               unnest(list_zip(regexp_extract_all(html, '{pat}', 1),
+                               regexp_extract_all(html, '{pat}', 2))) AS la
+        FROM p
+      )
+      SELECT src_url, la[1] AS href, trim(la[2]) AS anchor FROM z
+    """
 
 
 def _page_meta_sql() -> str:
@@ -1995,6 +2039,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier": _quality_classifier_sql(),
         "outlink_stats": _outlink_stats_sql(),
         "page_meta": _page_meta_sql(),
+        "anchor_texts": _anchor_texts_sql(),
+
         "html_text": """
           SELECT doc_id::BIGINT AS doc_id,
                  HTMLTEXT AS text

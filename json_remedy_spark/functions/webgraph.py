@@ -67,6 +67,34 @@ def outlink_host_stats(
     )
 
 
+# href + its anchor text; two capture groups extracted in two passes
+# over the SAME pattern and zipped positionally (regexp_extract_all
+# returns one group per call in both engines)
+ANCHOR_PATTERN = r'href="([^"]*)"[^>]*>([^<]*)<'
+
+
+def extract_anchors(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(src_url, href, anchor) — every link with its (trimmed) anchor
+    text, the unit of link-context training data and anchor-text
+    indexing.  Map-only JVM: two regexp_extract_all passes zipped with
+    ``arrays_zip`` (positional alignment is guaranteed — same pattern,
+    same subject), then one explode.  Page bodies never shuffle."""
+    h = F.col(html_col).cast("string")
+    z = F.arrays_zip(
+        F.regexp_extract_all(h, F.lit(ANCHOR_PATTERN), 1).alias("href"),
+        F.regexp_extract_all(h, F.lit(ANCHOR_PATTERN), 2).alias("anchor"),
+    )
+    return pages.select(
+        F.col(url_col).alias("src_url"), F.explode(z).alias("la")
+    ).select(
+        "src_url",
+        F.col("la.href").alias("href"),
+        F.trim(F.col("la.anchor")).alias("anchor"),
+    )
+
+
 # page-metadata patterns (canonical attribute order; inline (?i) so
 # the identical pattern runs in Java regex and DuckDB/RE2)
 NOINDEX_PATTERN = r'(?i)<meta[^>]*name="robots"[^>]*content="[^"]*noindex'

@@ -1906,3 +1906,15 @@ def test_page_meta_fields(spark):
     assert not out["u2"]["noindex"] and out["u2"]["canonical"] == "" and out["u2"]["title"] == ""
     assert out["u3"]["title"] == "T3" and out["u3"]["html_lang"] == "fr"
     assert out["u4"]["title"] == "ok"  # invalid byte is lossy-replaced, not fatal
+
+
+def test_extract_anchors_alignment(spark):
+    """href/anchor stay positionally aligned through the two-pass zip,
+    attributes between href and text included."""
+    from json_remedy_spark.functions.webgraph import extract_anchors
+
+    html = (b'<a href="https://a.com/1" rel="nofollow"> one </a>'
+            b'<a href="/rel">two</a><a href="https://c.com/3">three</a>')
+    d = spark.createDataFrame([("u", bytearray(html))], ["url", "html"])
+    got = [(r["href"], r["anchor"]) for r in extract_anchors(d).collect()]
+    assert got == [("https://a.com/1", "one"), ("/rel", "two"), ("https://c.com/3", "three")]

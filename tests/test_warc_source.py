@@ -95,3 +95,25 @@ def test_corpus_job_warc_input(spark, tmp_path):
     assert " in -> " in msg
     urls = [r[0] for r in duckdb.sql(f"SELECT url FROM read_parquet('{out}/*.parquet')").fetchall()]
     assert "https://drop.com/p" not in urls
+
+
+def test_warc_roundtrip_hypothesis():
+    """Property fuzz: arbitrary payload bytes (including CRLF runs and
+    WARC-looking content) survive the serialize->parse round trip."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    payload = st.binary(min_size=0, max_size=400)
+    urls = st.from_regex(r"https://[a-z]{1,8}\.com/[a-z0-9]{0,6}", fullmatch=True)
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.tuples(urls, payload), min_size=1, max_size=5))
+    def check(items):
+        recs = [
+            {"url": u, "ts": dt.datetime(2026, 1, 1, 0, 0, i % 60), "html": b}
+            for i, (u, b) in enumerate(items)
+        ]
+        got = list(parse_warc_bytes(build_warc_bytes(recs)))
+        assert [(g["url"], g["html"]) for g in got] == [(r["url"], r["html"]) for r in recs]
+
+    check()
