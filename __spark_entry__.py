@@ -313,6 +313,19 @@ def q_line_dedup(spark, sf_dir):
     )
 
 
+def q_host_boilerplate(spark, sf_dir):
+    """Per-host template removal: lines on >=50% of a host's pages are
+    site chrome and every occurrence is dropped (line_dedup keeps the
+    first; chrome carries no information anywhere)."""
+    pages = _synthetic_pages(spark, sf_dir)
+    return corpus.host_boilerplate_removal(pages).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("text"),
+        F.col("n_lines").cast("long").alias("n_lines"),
+        F.col("n_dropped").cast("long").alias("n_dropped"),
+    )
+
+
 def q_dup_span_removal(spark, sf_dir):
     """Lee-et-al exact duplicate-substring removal: globally repeated
     4-token windows survive only at their first (doc_id, pos)
@@ -983,16 +996,31 @@ def q_lsh_ann_topk(spark, sf_dir):
     return out
 
 
+_LAYER_HITS_EXPORT = os.path.join(tempfile.gettempdir(), "jrs_layer_hits")
+
+
 def q_layer_hits(spark, sf_dir):
-    """Layer-hit counts (repair_with_debug observability) — rows-only."""
-    from json_remedy_spark.operators.metrics import layer_hit_counts
+    """Layer-hit counts (repair_with_debug observability).  Export-
+    oracle: the kernel-derived per-doc (layer, hits) rows are exported
+    and DuckDB independently recomputes the rollup — membership comes
+    from the (non-SQL) kernel, the distributed aggregation is
+    value-checked.  Mirrors ``operators/metrics.py:layer_hit_counts``
+    on a persisted exploded frame so the export write and the rollup
+    share one UDF materialization."""
     from json_remedy_spark.operators.repair_udf import make_repair_udf
 
     d = _t(spark, sf_dir, "documents")
-    r = d.select(make_repair_udf()(F.col("text")).alias("r")).select(
-        F.col("r.layer_hits").alias("layer_hits")
+    exploded = (
+        d.select(make_repair_udf()(F.col("text")).alias("r"))
+        .select(F.explode_outer("r.layer_hits").alias("layer", "hits"))
+        .where(F.col("layer").isNotNull())
+        .persist()
     )
-    return layer_hit_counts(r)
+    exploded.write.mode("overwrite").parquet(_LAYER_HITS_EXPORT)
+    return exploded.groupBy("layer").agg(
+        F.sum("hits").cast("long").alias("total_hits"),
+        F.count("*").cast("long").alias("docs"),
+    )
 
 
 def q_winnow_fingerprints(spark, sf_dir):
@@ -1154,12 +1182,18 @@ def q_semantic_dedup_verified(spark, sf_dir):
     )
 
 
+_REPAIR_DEBUG_EXPORT = os.path.join(tempfile.gettempdir(), "jrs_repair_debug")
+
+
 def q_repair_debug(spark, sf_dir):
     """Per-layer observability rollup over the reference-shaped
     ``repair_with_debug`` records (lib/json_remedy.ex:464-636): how
     many docs each layer processed / skipped, and the layer's total
-    repair count across the corpus.  Rows-only (kernel-derived), the
-    driver-visible face of the five-layer debug path."""
+    repair count across the corpus.  Export-oracle: the kernel emits
+    one (layer, status, repairs) row per doc-layer step; those rows
+    are exported and DuckDB independently recomputes the
+    status-pivoted rollup (kernel membership rows-only by design, the
+    distributed aggregation value-checked)."""
     import pandas as pd
 
     d = _t(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism)
@@ -1168,46 +1202,50 @@ def q_repair_debug(spark, sf_dir):
         from json_remedy_spark.kernel.pipeline import repair_with_debug
 
         for pdf in batches:
-            acc: dict = {}
+            rows = []
             for t in pdf["text"]:
                 _, dbg = repair_with_debug(t or "")
                 for step in dbg["steps"]:
-                    row = acc.setdefault(
-                        step["layer"], {"processed": 0, "skipped": 0, "error": 0, "repairs": 0}
+                    rows.append(
+                        (step["layer"], step["status"], int(step.get("repair_count", 0)))
                     )
-                    if step["status"] == "validated":
-                        row["processed"] += 1
-                    else:
-                        row[step["status"]] += 1
-                    row["repairs"] += step.get("repair_count", 0)
-            yield pd.DataFrame(
-                [
-                    {"layer": k, "n_processed": v["processed"], "n_skipped": v["skipped"],
-                     "n_error": v["error"], "total_repairs": v["repairs"]}
-                    for k, v in acc.items()
-                ]
-            )
+            out = pd.DataFrame(rows, columns=["layer", "status", "repairs"])
+            out["repairs"] = out["repairs"].astype("int64")
+            yield out
 
-    part = d.select("text").mapInPandas(
-        gen,
-        schema="layer string, n_processed long, n_skipped long, n_error long, total_repairs long",
+    steps = d.select("text").mapInPandas(
+        gen, schema="layer string, status string, repairs long"
+    ).persist()  # export write + rollup share one kernel materialization
+    steps.write.mode("overwrite").parquet(_REPAIR_DEBUG_EXPORT)
+    processed = F.col("status").isin("validated", "processed")
+    return steps.groupBy("layer").agg(
+        F.sum(F.when(processed, 1).otherwise(0)).cast("long").alias("n_processed"),
+        F.sum(F.when(F.col("status") == "skipped", 1).otherwise(0)).cast("long").alias("n_skipped"),
+        F.sum(F.when(F.col("status") == "error", 1).otherwise(0)).cast("long").alias("n_error"),
+        F.sum("repairs").cast("long").alias("total_repairs"),
     )
-    return part.groupBy("layer").agg(
-        F.sum("n_processed").cast("long").alias("n_processed"),
-        F.sum("n_skipped").cast("long").alias("n_skipped"),
-        F.sum("n_error").cast("long").alias("n_error"),
-        F.sum("total_repairs").cast("long").alias("total_repairs"),
-    )
+
+
+_REPAIR_ACTIONS_EXPORT = os.path.join(tempfile.gettempdir(), "jrs_repair_actions")
 
 
 def q_repair_metrics(spark, sf_dir):
-    """Repair-rule frequency table (reference analyze/1) — rows-only."""
-    from json_remedy_spark.operators.metrics import repair_action_frequencies
+    """Repair-rule frequency table (reference analyze/1).  Export-
+    oracle: per-occurrence action rows are exported and DuckDB
+    independently recomputes the frequency groupBy (mirrors
+    ``operators/metrics.py:repair_action_frequencies``; persisted so
+    export + rollup share one UDF materialization)."""
     from json_remedy_spark.operators.repair_udf import make_repair_udf
 
     d = _t(spark, sf_dir, "documents")
-    r = d.select(make_repair_udf()(F.col("text")).alias("r")).select(F.col("r.actions").alias("actions"))
-    return repair_action_frequencies(r)
+    exploded = (
+        d.select(make_repair_udf()(F.col("text")).alias("r"))
+        .select(F.explode_outer("r.actions").alias("action"))
+        .where(F.col("action").isNotNull())
+        .persist()
+    )
+    exploded.write.mode("overwrite").parquet(_REPAIR_ACTIONS_EXPORT)
+    return exploded.groupBy("action").agg(F.count("*").cast("long").alias("n"))
 
 
 # Export-oracle placeholder schemas.  The driver always invokes the
@@ -1220,6 +1258,9 @@ EXPORT_SCHEMAS: dict[str, str] = {
     _IVF_TOPK_EXPORT: "q_id BIGINT, vec_id BIGINT",
     _ANN_EXPORT: "method VARCHAR, q_id BIGINT, vec_id BIGINT",
     _SEMDEDUP_EXPORT: "vec_id BIGINT, cell INTEGER, keep BOOLEAN",
+    _LAYER_HITS_EXPORT: "layer VARCHAR, hits INTEGER",
+    _REPAIR_ACTIONS_EXPORT: "action VARCHAR",
+    _REPAIR_DEBUG_EXPORT: "layer VARCHAR, status VARCHAR, repairs BIGINT",
 }
 
 
@@ -1263,6 +1304,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "token_shards": q_token_shards,
         "line_dedup": q_line_dedup,
+        "host_boilerplate": q_host_boilerplate,
         "dup_span_removal": q_dup_span_removal,
         "normalize_text": q_normalize_text,
         "domain_stats": q_domain_stats,
@@ -1723,6 +1765,39 @@ def _line_dedup_sql() -> str:
     """
 
 
+def _host_boilerplate_sql() -> str:
+    host = corpus.domain_of_sql("url")
+    return f"""
+      WITH pages AS ({_PAGES_SQL}),
+      p AS (SELECT doc_id, {host} AS host, text FROM pages),
+      lines AS (
+        SELECT doc_id, host, x.i - 1 AS line_no, x.line
+        FROM (SELECT doc_id, host, string_split(text, chr(10)) AS ls FROM p),
+             LATERAL (SELECT unnest(ls) AS line, unnest(range(1, len(ls) + 1)) AS i) x
+      ),
+      lp AS (
+        SELECT host, line, count(DISTINCT doc_id) AS n_pages
+        FROM lines WHERE len(trim(line)) >= 1 GROUP BY host, line
+      ),
+      hp AS (SELECT host, count(*) AS host_pages FROM p GROUP BY host),
+      rules AS (
+        SELECT lp.host, lp.line FROM lp JOIN hp ON hp.host = lp.host
+        WHERE host_pages >= 3 AND n_pages >= host_pages * 0.5
+      ),
+      k AS (
+        SELECT l.doc_id, l.line_no, l.line,
+               (len(trim(l.line)) < 1) OR r.line IS NULL AS keep_line
+        FROM lines l LEFT JOIN rules r ON r.host = l.host AND r.line = l.line
+      )
+      SELECT doc_id::BIGINT AS doc_id,
+             coalesce(string_agg(CASE WHEN keep_line THEN line END,
+                                 chr(10) ORDER BY line_no), '') AS text,
+             count(*)::BIGINT AS n_lines,
+             sum(CASE WHEN NOT keep_line THEN 1 ELSE 0 END)::BIGINT AS n_dropped
+      FROM k GROUP BY doc_id
+    """
+
+
 def _dup_span_removal_sql(window: int = 4, min_count: int = 2) -> str:
     w = window
     return f"""
@@ -2031,6 +2106,7 @@ def oracle_sql() -> dict[str, str]:
         "token_shards": _token_shards_sql(),
         "stratified_sample": _stratified_sample_sql(),
         "line_dedup": _line_dedup_sql(),
+        "host_boilerplate": _host_boilerplate_sql(),
         "dup_span_removal": _dup_span_removal_sql(),
         "normalize_text": _normalize_text_sql(),
         "domain_stats": _domain_stats_sql(),
@@ -2116,6 +2192,26 @@ def oracle_sql() -> dict[str, str]:
                    AS recall_at_5
           FROM (VALUES ('lsh'), ('ivf')) m(method)
           LEFT JOIN hits ON hits.method = m.method
+        """,
+        "layer_hits": f"""
+          SELECT layer, SUM(hits)::BIGINT AS total_hits,
+                 COUNT(*)::BIGINT AS docs
+          FROM read_parquet('{_LAYER_HITS_EXPORT}/*.parquet')
+          GROUP BY layer
+        """,
+        "repair_metrics": f"""
+          SELECT action, COUNT(*)::BIGINT AS n
+          FROM read_parquet('{_REPAIR_ACTIONS_EXPORT}/*.parquet')
+          GROUP BY action
+        """,
+        "repair_debug": f"""
+          SELECT layer,
+                 SUM(CASE WHEN status IN ('validated', 'processed') THEN 1 ELSE 0 END)::BIGINT AS n_processed,
+                 SUM(CASE WHEN status = 'skipped' THEN 1 ELSE 0 END)::BIGINT AS n_skipped,
+                 SUM(CASE WHEN status = 'error' THEN 1 ELSE 0 END)::BIGINT AS n_error,
+                 SUM(repairs)::BIGINT AS total_repairs
+          FROM read_parquet('{_REPAIR_DEBUG_EXPORT}/*.parquet')
+          GROUP BY layer
         """,
         "perplexity": _perplexity_sql(),
         "ppl_histogram": f"""
