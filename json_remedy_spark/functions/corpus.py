@@ -358,6 +358,91 @@ def line_dedup_incremental(
     return out, new_hashes
 
 
+def host_boilerplate_removal(
+    docs: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_host_pages: int = 3,
+    max_line_frac: float = 0.5,
+    min_line_chars: int = 1,
+    sep: str = "\n",
+    broadcast_rules: bool = True,
+) -> DataFrame:
+    """Per-host template ("site chrome") removal — the RefinedWeb /
+    CCNet boilerplate move that ``line_dedup`` cannot express: a line
+    appearing on >= ``max_line_frac`` of a host's pages (hosts with at
+    least ``min_host_pages`` pages) is navigation/footer chrome, and
+    EVERY occurrence is dropped — unlike line_dedup's first-wins,
+    because chrome carries no information anywhere.  Lines below
+    ``min_line_chars`` (trimmed) are exempt so structural blanks
+    survive.
+
+    Scale shape (site chrome IS the skew case — a nav line on every
+    page of a 10^9-page host):
+
+    1. explode to (doc_id, host, line_no, line) — map-only;
+    2. per-(host, line) page frequency runs over a NARROW projection
+       ``(host, md5(line), doc_id)`` with ``count_distinct(doc_id)`` —
+       hash aggregate with map-side partial combine, the line text
+       never shuffles on the hot key;
+    3. host page totals are one tiny groupBy(host);
+    4. the chrome rule set (host, line_hash) — small: only lines above
+       the frac threshold — joins back BROADCAST by default
+       (``broadcast_rules=False`` falls back to a shuffle join + AQE
+       skew split for rule sets past the broadcast ceiling);
+    5. reassembly is one groupBy(doc_id) ordered collect, identical to
+       ``line_dedup``.
+
+    Returns ``(doc_id, text, n_lines, n_dropped)``."""
+    pages = docs.select(
+        F.col(id_col).alias("doc_id"),
+        domain_of(F.col(url_col)).alias("host"),
+        F.col(text_col).alias("text"),
+    )
+    lines = pages.select(
+        "doc_id",
+        "host",
+        F.posexplode(F.split(F.col("text"), _re_escape(sep))).alias("line_no", "line"),
+    )
+    eligible = F.length(F.trim(F.col("line"))) >= min_line_chars
+    line_pages = (
+        lines.where(eligible)
+        .select("host", F.md5("line").alias("line_hash"), "doc_id")
+        .groupBy("host", "line_hash")
+        .agg(F.count_distinct("doc_id").alias("n_pages"))
+    )
+    host_pages = pages.groupBy("host").agg(F.count("*").alias("host_pages"))
+    rules = (
+        line_pages.join(host_pages, "host")
+        .where(
+            (F.col("host_pages") >= min_host_pages)
+            & (F.col("n_pages") >= F.col("host_pages") * max_line_frac)
+        )
+        .select("host", "line_hash", F.lit(True).alias("is_chrome"))
+    )
+    if broadcast_rules:
+        rules = F.broadcast(rules)
+    kept = (
+        lines.withColumn("line_hash", F.md5("line"))
+        .join(rules, ["host", "line_hash"], "left")
+        .withColumn("keep_line", (~eligible) | F.col("is_chrome").isNull())
+    )
+    return kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("keep_line"), F.struct("line_no", "line")))
+                ),
+                lambda s: s.line,
+            ),
+            sep,
+        ).alias("text"),
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(~F.col("keep_line"), 1).otherwise(0)).alias("n_dropped"),
+    )
+
+
 _DOMAIN_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@]*@)?(?:www\.)?([^/:?#]+)"
 
 

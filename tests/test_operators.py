@@ -1135,6 +1135,53 @@ def test_line_dedup_min_chars_exemption(spark):
     assert out[2] == "ok"
 
 
+def test_host_boilerplate_removal(spark):
+    from json_remedy_spark.functions.corpus import host_boilerplate_removal
+
+    rows = [
+        # host a.com: 4 pages, "NAV" on all 4 (chrome), "footer" on 2/4
+        # (at the 0.5 threshold -> chrome), unique bodies kept
+        (1, "https://a.com/1", "NAV\nbody one\nfooter"),
+        (2, "https://a.com/2", "NAV\nbody two\nfooter"),
+        (3, "https://a.com/3", "NAV\nbody three"),
+        (4, "https://a.com/4", "NAV\n\nbody four"),
+        # host b.com: only 2 pages (< min_host_pages=3) -> nothing is
+        # chrome even though NAV is on both
+        (5, "https://b.com/1", "NAV\nbee one"),
+        (6, "https://b.com/2", "NAV\nbee two"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "url", "text"])
+    out = {r["doc_id"]: r for r in host_boilerplate_removal(d).collect()}
+    assert out[1]["text"] == "body one" and out[1]["n_dropped"] == 2
+    assert out[2]["text"] == "body two"
+    assert out[3]["text"] == "body three" and out[3]["n_dropped"] == 1
+    assert out[4]["text"] == "\nbody four"  # blank exempt, NAV dropped
+    assert out[5]["text"] == "NAV\nbee one" and out[5]["n_dropped"] == 0
+    assert out[6]["n_dropped"] == 0
+
+
+def test_host_boilerplate_every_occurrence_drops(spark):
+    """Unlike line_dedup there is no first-occurrence winner: chrome
+    vanishes from its first page too (doc 1 above), and a line shared
+    ACROSS hosts is judged per-host independently."""
+    from json_remedy_spark.functions.corpus import host_boilerplate_removal
+
+    rows = [
+        (1, "https://x.com/1", "shared\nx1"),
+        (2, "https://x.com/2", "shared\nx2"),
+        (3, "https://x.com/3", "shared\nx3"),
+        (4, "https://y.com/1", "shared\ny1"),
+        (5, "https://y.com/2", "y2"),
+        (6, "https://y.com/3", "y3"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "url", "text"])
+    out = {r["doc_id"]: r["text"] for r in host_boilerplate_removal(d).collect()}
+    # x.com: shared on 3/3 pages -> dropped everywhere incl. page 1
+    assert out[1] == "x1" and out[2] == "x2" and out[3] == "x3"
+    # y.com: shared on 1/3 pages -> below 0.5, kept
+    assert out[4] == "shared\ny1"
+
+
 def test_domain_of_variants(spark):
     from json_remedy_spark.functions.corpus import domain_of
 
