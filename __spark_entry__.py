@@ -818,6 +818,54 @@ def q_html_text(spark, sf_dir):
     )
 
 
+def q_robots_filter(spark, sf_dir):
+    """Robots.txt crawl-politeness gate: parse per-host Disallow rules
+    for the ``*`` agent (group runs, comments, empty-disallow,
+    non-binding named-agent groups all synthesized) and flag pages
+    whose path matches a prefix.  The oracle is CLOSED-FORM — the
+    robots bodies are built by arithmetic, so the expected rule set is
+    known by construction and DuckDB never re-parses (ground truth,
+    not a parallel parser)."""
+    from json_remedy_spark.functions import webgraph
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    path = (
+        F.when(k % 4 == 0, F.lit("/admin/panel"))
+        .when(k % 4 == 1, F.concat(F.lit("/products/"), k.cast("string")))
+        .when(k % 4 == 2, F.concat(F.lit("/tmp/cache/"), k.cast("string")))
+        .otherwise(F.lit("/"))
+    )
+    pages = o.select(
+        k.cast("long").alias("doc_id"),
+        F.concat(
+            F.lit("https://shop"), (k % 10).cast("string"), F.lit(".example.com"), path
+        ).alias("url"),
+    )
+    n_tbl = _t(spark, sf_dir, "nation")
+    n = F.col("n_nationkey")
+    body = F.concat(
+        F.lit("User-agent: megabot\nDisallow: /products\n"),
+        F.when(
+            n % 3 == 0,
+            F.lit(
+                "User-agent: helper\nUser-agent: *\n"
+                "DISALLOW: /admin # panel is private\nDisallow: /tmp/\nDisallow:\n"
+            ),
+        )
+        .when(n % 3 == 1, F.lit("User-agent: *\n# nothing blocked\nDisallow:\n"))
+        .otherwise(F.lit("")),
+    )
+    robots = n_tbl.where(n < 10).select(
+        F.concat(F.lit("shop"), n.cast("string"), F.lit(".example.com")).alias("host"),
+        body.alias("robots_txt"),
+    )
+    rules = webgraph.robots_disallow_rules(robots)
+    return webgraph.robots_filter(pages, rules).select(
+        "doc_id", "url", "robots_disallowed"
+    )
+
+
 def q_anchor_texts(spark, sf_dir):
     """(src_url, href, anchor) pairs — link-context extraction; two
     anchors per page synthesized from orders in BOTH engines, one with
@@ -1339,6 +1387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "outlink_stats": q_outlink_stats,
         "page_meta": q_page_meta,
         "anchor_texts": q_anchor_texts,
+        "robots_filter": q_robots_filter,
         "html_text": q_html_text,
         "domain_rank": q_domain_rank,
         "lsh_ann_topk": q_lsh_ann_topk,
@@ -2116,6 +2165,20 @@ def oracle_sql() -> dict[str, str]:
         "outlink_stats": _outlink_stats_sql(),
         "page_meta": _page_meta_sql(),
         "anchor_texts": _anchor_texts_sql(),
+        # closed-form ground truth: the robots bodies are synthesized by
+        # arithmetic, so the binding rule set is known by construction —
+        # hosts shopN with N%3=0 disallow /admin and /tmp/ for agent *
+        "robots_filter": """
+          SELECT o_orderkey::BIGINT AS doc_id,
+                 'https://shop' || (o_orderkey % 10)::VARCHAR || '.example.com' ||
+                 CASE o_orderkey % 4 WHEN 0 THEN '/admin/panel'
+                                     WHEN 1 THEN '/products/' || o_orderkey::VARCHAR
+                                     WHEN 2 THEN '/tmp/cache/' || o_orderkey::VARCHAR
+                                     ELSE '/' END AS url,
+                 ((o_orderkey % 10) % 3 = 0 AND o_orderkey % 4 IN (0, 2))
+                   AS robots_disallowed
+          FROM orders
+        """,
 
         "html_text": """
           SELECT doc_id::BIGINT AS doc_id,

@@ -95,6 +95,104 @@ def extract_anchors(
     )
 
 
+# everything after the authority (path + query + fragment); robots
+# Disallow prefixes match against this per RFC 9309 §2.2.2
+_URL_PATH_PATTERN = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/]*(/.*)?$"
+
+
+def url_path(url: Column) -> Column:
+    """Path component of a URL ('/' when the authority ends the URL)."""
+    p = F.regexp_extract(url, _URL_PATH_PATTERN, 1)
+    return F.when(p == "", F.lit("/")).otherwise(p)
+
+
+def robots_disallow_rules(
+    robots: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
+) -> DataFrame:
+    """(host, prefix) Disallow rules that bind the ``*`` user-agent —
+    the crawl-politeness gate every Common-Crawl-style pipeline applies
+    before spending a byte of downstream compute.
+
+    Group semantics (RFC 9309 §2.2.1): a rule group is a maximal run
+    of consecutive ``User-agent:`` lines followed by its directives;
+    a Disallow binds ``*`` iff its group's agent run names ``*``.
+    Comments (``#`` to end of line) are stripped, directive names are
+    case-insensitive, empty ``Disallow:`` (allow-all) emits no rule.
+    Deliberately out of scope, documented: ``Allow:`` longest-match
+    precedence and ``*``/``$`` wildcards inside paths.
+
+    Scale shape: robots.txt bodies are KB-sized and one-per-host, so
+    the per-host window sort is bounded and the output rule table is
+    tiny relative to the page corpus — it BROADCASTS into
+    ``robots_filter``.  Parsing is pure JVM (split/regexp/window)."""
+    from pyspark.sql import Window
+
+    line = F.trim(F.regexp_replace(F.col("raw"), r"#.*", ""))
+    lines = (
+        robots.select(
+            F.col(host_col).alias("host"),
+            F.posexplode(F.split(F.col(text_col), r"\n")).alias("line_no", "raw"),
+        )
+        .withColumn("key", F.lower(F.trim(F.regexp_extract(line, r"^([^:]+):", 1))))
+        .withColumn("val", F.trim(F.regexp_extract(line, r"^[^:]+:(.*)$", 1)))
+    )
+    is_ua = F.col("key") == "user-agent"
+    w = Window.partitionBy("host").orderBy("line_no")
+    grouped = lines.withColumn(
+        "grp",
+        F.sum(
+            (is_ua & ~F.coalesce(F.lag(is_ua).over(w), F.lit(False))).cast("int")
+        ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    star_groups = (
+        grouped.where(is_ua & (F.col("val") == "*"))
+        .select("host", "grp")
+        .distinct()
+    )
+    return (
+        grouped.where((F.col("key") == "disallow") & (F.col("val") != ""))
+        .join(star_groups, ["host", "grp"])
+        .select("host", F.col("val").alias("prefix"))
+        .distinct()
+    )
+
+
+def robots_filter(
+    pages: DataFrame,
+    rules: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    broadcast_rules: bool = True,
+) -> DataFrame:
+    """Pages + a ``robots_disallowed`` flag: true iff the page's host
+    has a ``*``-agent Disallow prefix matching the URL path (prefix
+    match on path+query, RFC 9309 §2.2.2).  Callers drop flagged rows
+    map-side before any downstream spend.
+
+    The rule table broadcasts by default (one host's rules are a few
+    strings; even 10^8 hosts fit a few GB — set
+    ``broadcast_rules=False`` past that and the join shuffles on host
+    with AQE skew-split).  Pages never duplicate: the prefix join's
+    hits collapse to a distinct id set before flagging."""
+    host = F.col("_robots_host")
+    keyed = pages.withColumn("_robots_host", url_host(F.col(url_col)))
+    if broadcast_rules:
+        rules = F.broadcast(rules)
+    hits = (
+        keyed.select(F.col(id_col).alias("_rid"), host.alias("host"), url_path(F.col(url_col)).alias("_path"))
+        .join(rules, "host")
+        .where(F.col("_path").startswith(F.col("prefix")))
+        .select("_rid")
+        .distinct()
+        .withColumn("_dis", F.lit(True))
+    )
+    return (
+        keyed.join(hits, keyed[id_col] == hits["_rid"], "left")
+        .withColumn("robots_disallowed", F.coalesce(F.col("_dis"), F.lit(False)))
+        .drop("_rid", "_dis", "_robots_host")
+    )
+
+
 # page-metadata patterns (canonical attribute order; inline (?i) so
 # the identical pattern runs in Java regex and DuckDB/RE2)
 NOINDEX_PATTERN = r'(?i)<meta[^>]*name="robots"[^>]*content="[^"]*noindex'

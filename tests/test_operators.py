@@ -1955,6 +1955,56 @@ def test_page_meta_fields(spark):
     assert out["u4"]["title"] == "ok"  # invalid byte is lossy-replaced, not fatal
 
 
+def test_robots_disallow_rules_groups(spark):
+    """RFC 9309 group semantics: stacked UA runs share directives, a
+    new UA run after directives starts a fresh group, named-agent
+    groups never bind *, comments and case are normalized, empty
+    Disallow emits nothing."""
+    from json_remedy_spark.functions.webgraph import robots_disallow_rules
+
+    txt = (
+        "User-agent: megabot\n"
+        "Disallow: /never\n"          # named group only -> not binding
+        "User-agent: helper\n"
+        "User-Agent: *\n"             # stacked run includes * -> binds
+        "DISALLOW: /a  # comment\n"
+        "Disallow: /b:c\n"            # ':' inside the path value
+        "Disallow:\n"                 # empty -> allow-all, no rule
+        "User-agent: other\n"
+        "Disallow: /x\n"              # fresh group, no * -> not binding
+    )
+    d = spark.createDataFrame([("h.com", txt)], ["host", "robots_txt"])
+    got = sorted((r["host"], r["prefix"]) for r in robots_disallow_rules(d).collect())
+    assert got == [("h.com", "/a"), ("h.com", "/b:c")]
+
+
+def test_robots_filter_prefix_match(spark):
+    from json_remedy_spark.functions.webgraph import (
+        robots_disallow_rules,
+        robots_filter,
+    )
+
+    robots = spark.createDataFrame(
+        [("a.com", "User-agent: *\nDisallow: /private\n")],
+        ["host", "robots_txt"],
+    )
+    pages = spark.createDataFrame(
+        [
+            (1, "https://a.com/private/x"),
+            (2, "https://a.com/privateer"),  # prefix match is raw-prefix: blocked
+            (3, "https://a.com/public"),
+            (4, "https://a.com"),            # bare authority -> path '/'
+            (5, "https://b.com/private/x"),  # other host: no rules
+        ],
+        ["doc_id", "url"],
+    )
+    out = {
+        r["doc_id"]: r["robots_disallowed"]
+        for r in robots_filter(pages, robots_disallow_rules(robots)).collect()
+    }
+    assert out == {1: True, 2: True, 3: False, 4: False, 5: False}
+
+
 def test_extract_anchors_alignment(spark):
     """href/anchor stay positionally aligned through the two-pass zip,
     attributes between href and text included."""
