@@ -12,6 +12,8 @@
       [--token-budget N] [--threshold 0.8] [--max-per-domain K]
       [--no-line-dedup] [--dup-span-window W] [--seen-input <store>]
       [--shard-tokens N]   output as contiguous ~N-token shards
+      [--robots-input <host,robots_txt table>]  politeness gate first
+      [--boilerplate-frac F]  per-host template removal pre line-dedup
 
 Stage shapes (each documented at its operator):
   1. quality_filter — map-only DAG, one Arrow hop (repair+perplexity),
@@ -67,6 +69,22 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--no-line-dedup", action="store_true")
     ap.add_argument("--dup-span-window", type=int, default=0)
     ap.add_argument("--seen-input", default=None)
+    ap.add_argument(
+        "--robots-input",
+        default=None,
+        help="(host, robots_txt) table: parse *-agent Disallow rules "
+        "and drop disallowed pages map-side (broadcast rule join) "
+        "before any downstream spend",
+    )
+    ap.add_argument(
+        "--boilerplate-frac",
+        type=float,
+        default=0.0,
+        help="enable per-host template-line removal: lines on >= FRAC "
+        "of a host's pages are site chrome and every occurrence drops "
+        "(runs before global line dedup so chrome never wins a "
+        "first-occurrence slot)",
+    )
     ap.add_argument("--checkpoint-root", default=None)
     ap.add_argument("--normalize", action="store_true")
     ap.add_argument(
@@ -121,6 +139,20 @@ def run(spark, args) -> str:
         )
     else:
         pages = read_table(spark, args.input)
+
+    # 0. optional robots.txt politeness gate — the first thing a crawl
+    # pipeline does: disallowed pages are dropped in the scan stage
+    # (broadcast rule join), before a single downstream byte is spent
+    if args.robots_input:
+        from json_remedy_spark.functions.webgraph import (
+            robots_disallow_rules,
+            robots_filter,
+        )
+
+        rules = robots_disallow_rules(read_table(spark, args.robots_input))
+        pages = robots_filter(pages, rules, id_col="url").where(
+            ~F.col("robots_disallowed")
+        ).drop("robots_disallowed")
     n_in = pages.count()
     stager = StageCheckpointer(spark, args.checkpoint_root) if args.checkpoint_root else None
 
@@ -199,6 +231,19 @@ def run(spark, args) -> str:
         return d.drop("text").join(
             rewritten.where(F.length(F.trim("text")) > 0).select("doc_id", "text"),
             "doc_id",
+        )
+
+    # 2c0. optional per-host template removal — BEFORE global line
+    # dedup, so site chrome is judged against its host's page count
+    # and never survives by winning a first-occurrence slot
+    if args.boilerplate_frac:
+        from json_remedy_spark.functions.corpus import host_boilerplate_removal
+
+        docs = stage(
+            "s2b_host_boilerplate",
+            lambda d=docs: replace_text(
+                d, host_boilerplate_removal(d, max_line_frac=args.boilerplate_frac)
+            ),
         )
 
     if not args.no_line_dedup:

@@ -97,6 +97,39 @@ def test_dedup_job_embedding_path_frees_all_persists(spark, tmp_path):
     assert _sql_cache_empty(spark), "embedding dedup path leaked persists"
 
 
+def test_corpus_pipeline_robots_and_boilerplate(spark, pages_parquet, tmp_path):
+    """--robots-input drops a disallowed host's pages before any spend
+    and --boilerplate-frac plumbs the host-template stage (a no-op on
+    this one-page-per-host corpus — the operator's effect is covered by
+    its oracle and unit tests); the cache stays clean."""
+    import duckdb
+
+    from jobs.run_corpus_pipeline import build_parser, run
+
+    spark.catalog.clearCache()
+    base_out = str(tmp_path / "rb_base")
+    run(spark, build_parser().parse_args(["--input", pages_parquet, "--output", base_out]))
+    base = {r[0] for r in duckdb.sql(f"SELECT url FROM read_parquet('{base_out}/*.parquet')").fetchall()}
+    victim = sorted(base)[0]
+    host = victim.split("/")[2]
+
+    robots_path = str(tmp_path / "robots")
+    spark.createDataFrame(
+        [(host, "User-agent: *\nDisallow: /\n")], ["host", "robots_txt"]
+    ).write.parquet(robots_path)
+
+    out = str(tmp_path / "rb_gated")
+    msg = run(spark, build_parser().parse_args(
+        ["--input", pages_parquet, "--output", out,
+         "--robots-input", robots_path, "--boilerplate-frac", "0.5"]
+    ))
+    assert " in -> " in msg
+    got = {r[0] for r in duckdb.sql(f"SELECT url FROM read_parquet('{out}/*.parquet')").fetchall()}
+    assert victim in base and victim not in got
+    assert not {u for u in got if u.split("/")[2] == host}
+    assert _sql_cache_empty(spark), "robots/boilerplate stages leaked persists"
+
+
 def test_corpus_pipeline_model_gate(spark, pages_parquet, tmp_path):
     """--quality-model builtin: the model gate runs map-only, output is
     a subset of the ungated run, and nothing stays persisted."""
