@@ -714,6 +714,28 @@ def q_perplexity(spark, sf_dir):
     )
 
 
+def q_ppl_buckets(spark, sf_dir):
+    """CCNet head/middle/tail perplexity stratification: per language,
+    tertile cutoffs from a (lang x grid-bucket) histogram — never a
+    per-language global sort — broadcast back for a map-side label."""
+    from json_remedy_spark.functions.perplexity import (
+        make_perplexity_udf,
+        ppl_head_middle_tail,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("lang"),
+        F.round(make_perplexity_udf()(F.col("text")), 4).alias("ppl"),
+    )
+    # the operator persists the scored frame; the driver's collect and
+    # the histogram branch share that one Arrow materialization
+    return ppl_head_middle_tail(scored).select(
+        "doc_id", "lang", F.col("ppl").cast("double").alias("ppl"), "bucket"
+    )
+
+
 def q_canonical_url(spark, sf_dir):
     """URL canonicalization (dedup key for web tables): messy URLs are
     synthesized deterministically from doc_id in BOTH engines, then
@@ -1382,6 +1404,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repair_documents": q_repair_documents,
         "perplexity": q_perplexity,
         "ppl_histogram": q_ppl_histogram,
+        "ppl_buckets": q_ppl_buckets,
         "canonical_url": q_canonical_url,
         "url_dedup": q_url_dedup,
         "outlink_stats": q_outlink_stats,
@@ -2282,6 +2305,31 @@ def oracle_sql() -> dict[str, str]:
           SELECT (floor(ppl / 0.125) * 0.125)::DOUBLE AS ppl_bucket,
                  count(*)::BIGINT AS n
           FROM p GROUP BY 1
+        """,
+        "ppl_buckets": f"""
+          WITH p AS ({_perplexity_sql()}),
+          t AS (
+            SELECT p.doc_id, d.lang, p.ppl, floor(p.ppl / 0.125) AS pb
+            FROM p JOIN documents d ON d.doc_id = p.doc_id
+          ),
+          hist AS (SELECT lang, pb, count(*) AS n FROM t GROUP BY lang, pb),
+          cum AS (
+            SELECT lang, pb,
+                   sum(n) OVER (PARTITION BY lang ORDER BY pb) AS cum,
+                   sum(n) OVER (PARTITION BY lang) AS tot
+            FROM hist
+          ),
+          cuts AS (
+            SELECT lang,
+                   min(CASE WHEN cum * 3 >= tot THEN pb END) AS head_cut,
+                   min(CASE WHEN cum * 3 >= tot * 2 THEN pb END) AS mid_cut
+            FROM cum GROUP BY lang
+          )
+          SELECT t.doc_id::BIGINT AS doc_id, t.lang, t.ppl::DOUBLE AS ppl,
+                 CASE WHEN t.pb <= c.head_cut THEN 'head'
+                      WHEN t.pb <= c.mid_cut THEN 'middle'
+                      ELSE 'tail' END AS bucket
+          FROM t JOIN cuts c ON c.lang = t.lang
         """,
         "canonical_url": _canonical_url_sql(),
         "url_dedup": f"""

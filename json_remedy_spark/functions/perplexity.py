@@ -160,3 +160,52 @@ def make_perplexity_udf(model_paths: tuple[str, str] | None = None):
 
 
 MAX_PERPLEXITY = 10.0  # keep threshold (natural prose scores ~1-4)
+
+
+def ppl_head_middle_tail(
+    scored,
+    lang_col: str = "lang",
+    ppl_col: str = "ppl",
+    grid: float = 0.125,
+    handles: list | None = None,
+):
+    """CCNet-style head/middle/tail split (Wenzek et al. 2020 §4.3):
+    per language, the most-fluent third of documents by perplexity is
+    ``head``, then ``middle``, then ``tail`` — the standard quality
+    stratification for sampling web corpora.
+
+    Scale shape: NOT a per-language global sort (``ntile`` over a
+    10^9-doc language is one straggler task).  Perplexities land on a
+    fixed ``grid`` (matching ``ppl_histogram``); tertile cutoffs come
+    from a cumulative window over the TINY (lang x bucket) histogram
+    and broadcast back for a map-side label.  Cutoff comparisons are
+    integer-exact (``3*cum >= tot``), so the DuckDB oracle matches
+    bit-for-bit; ties on a grid bucket all take the lower label,
+    which keeps the split deterministic under any row order.
+
+    Returns ``scored`` plus a ``bucket`` column."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    t = scored.withColumn("_pb", F.floor(F.col(ppl_col) / grid)).persist()
+    if handles is not None:
+        handles.append(t)
+    hist = t.groupBy(lang_col, "_pb").agg(F.count("*").alias("n"))
+    w = Window.partitionBy(lang_col).orderBy("_pb")
+    cum = hist.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "tot", F.sum("n").over(Window.partitionBy(lang_col))
+    )
+    cuts = cum.groupBy(lang_col).agg(
+        F.min(F.when(F.col("cum") * 3 >= F.col("tot"), F.col("_pb"))).alias("_head_cut"),
+        F.min(F.when(F.col("cum") * 3 >= F.col("tot") * 2, F.col("_pb"))).alias("_mid_cut"),
+    )
+    return (
+        t.join(F.broadcast(cuts), lang_col)
+        .withColumn(
+            "bucket",
+            F.when(F.col("_pb") <= F.col("_head_cut"), F.lit("head"))
+            .when(F.col("_pb") <= F.col("_mid_cut"), F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+        .drop("_pb", "_head_cut", "_mid_cut")
+    )

@@ -1955,6 +1955,31 @@ def test_page_meta_fields(spark):
     assert out["u4"]["title"] == "ok"  # invalid byte is lossy-replaced, not fatal
 
 
+def test_ppl_head_middle_tail_split(spark):
+    """Per-language tertiles: lowest-ppl third -> head, ties on a grid
+    bucket take the lower label; languages split independently."""
+    from json_remedy_spark.functions.perplexity import ppl_head_middle_tail
+
+    rows = [(i, "en", float(i)) for i in range(9)]  # ppl 0..8
+    rows += [(100 + i, "de", 5.0 + i) for i in range(3)]  # 5,6,7
+    d = spark.createDataFrame(rows, ["doc_id", "lang", "ppl"])
+    out = {r["doc_id"]: r["bucket"] for r in ppl_head_middle_tail(d).collect()}
+    assert [out[i] for i in range(9)] == ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+    # de's own cutoffs, unaffected by en's distribution
+    assert (out[100], out[101], out[102]) == ("head", "middle", "tail")
+
+
+def test_ppl_head_middle_tail_grid_ties(spark):
+    from json_remedy_spark.functions.perplexity import ppl_head_middle_tail
+
+    # all 6 docs in ONE grid bucket -> cum*3 >= tot at the first (only)
+    # bucket -> everything is head (deterministic under any row order)
+    rows = [(i, "en", 2.0 + 0.01 * i) for i in range(6)]
+    d = spark.createDataFrame(rows, ["doc_id", "lang", "ppl"])
+    out = {r["bucket"] for r in ppl_head_middle_tail(d, grid=1.0).collect()}
+    assert out == {"head"}
+
+
 def test_robots_disallow_rules_groups(spark):
     """RFC 9309 group semantics: stacked UA runs share directives, a
     new UA run after directives starts a fresh group, named-agent
