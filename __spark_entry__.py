@@ -736,6 +736,26 @@ def q_ppl_buckets(spark, sf_dir):
     )
 
 
+def q_script_mix(spark, sf_dir):
+    """Unicode script-mix signal: Cyrillic/CJK/Greek/Hangul samples
+    appended to the ASCII corpus by doc_id arithmetic in BOTH engines;
+    counts + dominant script from the shared codepoint-range table."""
+    from json_remedy_spark.functions.langid import script_mix
+
+    d = _t(spark, sf_dir, "documents")
+    extra = (
+        F.when(F.col("doc_id") % 4 == 0, F.lit(" привет мир"))
+        .when(F.col("doc_id") % 4 == 1, F.lit(" 漢字とかな"))
+        .when(F.col("doc_id") % 4 == 2, F.lit(" Ελληνικά και 한국어"))
+        .otherwise(F.lit(""))
+    )
+    t = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(F.substring("text", 1, 80), extra).alias("text"),
+    )
+    return script_mix(t)
+
+
 def q_canonical_url(spark, sf_dir):
     """URL canonicalization (dedup key for web tables): messy URLs are
     synthesized deterministically from doc_id in BOTH engines, then
@@ -1405,6 +1425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity": q_perplexity,
         "ppl_histogram": q_ppl_histogram,
         "ppl_buckets": q_ppl_buckets,
+        "script_mix": q_script_mix,
         "canonical_url": q_canonical_url,
         "url_dedup": q_url_dedup,
         "outlink_stats": q_outlink_stats,
@@ -1720,6 +1741,22 @@ def _anchor_texts_sql() -> str:
         FROM p
       )
       SELECT src_url, la[1] AS href, trim(la[2]) AS anchor FROM z
+    """
+
+
+def _script_mix_oracle_sql() -> str:
+    from json_remedy_spark.functions.langid import script_mix_sql
+
+    return f"""
+      SELECT doc_id::BIGINT AS doc_id, {script_mix_sql("text")}
+      FROM (
+        SELECT doc_id,
+               substr(text, 1, 80) ||
+               CASE doc_id % 4 WHEN 0 THEN ' привет мир'
+                               WHEN 1 THEN ' 漢字とかな'
+                               WHEN 2 THEN ' Ελληνικά και 한국어'
+                               ELSE '' END AS text
+        FROM documents)
     """
 
 
@@ -2331,6 +2368,7 @@ def oracle_sql() -> dict[str, str]:
                       ELSE 'tail' END AS bucket
           FROM t JOIN cuts c ON c.lang = t.lang
         """,
+        "script_mix": _script_mix_oracle_sql(),
         "canonical_url": _canonical_url_sql(),
         "url_dedup": f"""
           WITH p AS (

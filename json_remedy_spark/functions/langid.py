@@ -256,3 +256,75 @@ def detect_language_sql(col: str = "text") -> str:
             f"THEN '{lang}' ELSE {expr} END"
         )
     return expr
+
+
+# Unicode script-mix detection: one codepoint-range table rendered
+# into each engine's regex dialect (Java \uXXXX, RE2 \x{XXXX}) so the
+# SEMANTICS are shared by construction.  BMP-only ranges; Java regex
+# and RE2 both count per codepoint, so the two engines agree even on
+# astral text around them.
+SCRIPT_RANGES: dict[str, list[tuple[str, str]]] = {
+    "latin": [("0041", "005A"), ("0061", "007A"), ("00C0", "024F")],
+    "cyrillic": [("0400", "04FF")],
+    "greek": [("0370", "03FF")],
+    "arabic": [("0600", "06FF")],
+    "han": [("4E00", "9FFF")],
+    "kana": [("3040", "30FF")],
+    "hangul": [("1100", "11FF"), ("AC00", "D7AF")],
+}
+
+
+def _script_class_java(ranges: list[tuple[str, str]]) -> str:
+    return "[" + "".join(f"\\u{a}-\\u{b}" for a, b in ranges) + "]"
+
+
+def _script_class_re2(ranges: list[tuple[str, str]]) -> str:
+    return "[" + "".join(f"\\x{{{a}}}-\\x{{{b}}}" for a, b in ranges) + "]"
+
+
+def script_mix(
+    docs, id_col: str = "doc_id", text_col: str = "text"
+):
+    """Per-document Unicode script mix — the wrong-script /
+    mixed-script signal language filters gate on (a 'lang=en' page
+    that is 80% Cyrillic is mislabeled or spam): per-script codepoint
+    counts, total codepoints, and the dominant script (ties break by
+    the fixed SCRIPT_RANGES order; 'none' when no script char).
+
+    Map-only pure-JVM ``regexp_count`` column expressions — codegens
+    into the scan, zero shuffles, no Python."""
+    from pyspark.sql import functions as F
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    counts = {
+        name: F.regexp_count(t, F.lit(_script_class_java(r))).cast("long")
+        for name, r in SCRIPT_RANGES.items()
+    }
+    n_cp = F.regexp_count(t, F.lit("(?s).")).cast("long")
+    mx = F.greatest(*counts.values())
+    main = F.when(mx == 0, F.lit("none"))
+    for name in SCRIPT_RANGES:
+        main = main.when(counts[name] == mx, F.lit(name))
+    cols = [F.col(id_col).alias("doc_id"), n_cp.alias("n_cp")]
+    cols += [c.alias(n) for n, c in counts.items()]
+    cols.append(main.alias("main_script"))
+    return docs.select(*cols)
+
+
+def script_mix_sql(text_col: str = "text") -> str:
+    """DuckDB select-list fragment mirroring ``script_mix`` (same
+    range table, RE2 dialect, same tie-break CASE order)."""
+    t = f"coalesce({text_col}, '')"
+    counts = {
+        name: f"len(regexp_extract_all({t}, '{_script_class_re2(r)}'))::BIGINT"
+        for name, r in SCRIPT_RANGES.items()
+    }
+    mx = "greatest({})".format(", ".join(counts.values()))
+    main = "CASE WHEN {} = 0 THEN 'none'".format(mx)
+    for name in SCRIPT_RANGES:
+        main += f" WHEN {counts[name]} = {mx} THEN '{name}'"
+    main += " END"
+    parts = [f"len(regexp_extract_all({t}, '(?s).'))::BIGINT AS n_cp"]
+    parts += [f"{c} AS {n}" for n, c in counts.items()]
+    parts.append(f"{main} AS main_script")
+    return ", ".join(parts)

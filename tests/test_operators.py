@@ -1955,6 +1955,28 @@ def test_page_meta_fields(spark):
     assert out["u4"]["title"] == "ok"  # invalid byte is lossy-replaced, not fatal
 
 
+def test_script_mix_counts_and_dominant(spark):
+    from json_remedy_spark.functions.langid import script_mix
+
+    rows = [
+        (1, "hello мир"),          # 5 latin, 3 cyrillic -> latin
+        (2, "привет w"),           # 6 cyrillic > 1 latin -> cyrillic
+        (3, "12345 !!"),           # no script chars -> none
+        (4, None),                 # NULL-total: counts 0, none
+        (5, "ab日本語cd"),          # tie 4 latin vs 3 han -> latin
+        (6, "한국어 text"),         # 3 hangul vs 4 latin -> latin wins
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in script_mix(d).collect()}
+    assert out[1]["latin"] == 5 and out[1]["cyrillic"] == 3
+    assert out[1]["main_script"] == "latin"
+    assert out[2]["main_script"] == "cyrillic"
+    assert out[3]["main_script"] == "none" and out[3]["n_cp"] == 8
+    assert out[4]["main_script"] == "none" and out[4]["n_cp"] == 0
+    assert out[5]["han"] == 3 and out[5]["main_script"] == "latin"
+    assert out[6]["hangul"] == 3 and out[6]["main_script"] == "latin"
+
+
 def test_ppl_head_middle_tail_split(spark):
     """Per-language tertiles: lowest-ppl third -> head, ties on a grid
     bucket take the lower label; languages split independently."""
