@@ -163,8 +163,11 @@ def score_hashed_bigrams(texts, dense):
         buckets[j] = (
             int(hashlib.md5(bg.encode("utf-8")).hexdigest()[:8], 16) % n_buckets
         )
-    uniq_w = dense[buckets] if len(uniq) else np.empty((0, n_classes), np.int64)
-    scores = np.zeros((len(texts), n_classes), dtype=np.int64)
+    # dtype follows the weight table: int64 heads (langid/classifier)
+    # stay bit-exact, float64 heads (DSIR log-ratios) flow through the
+    # same kernel unchanged
+    uniq_w = dense[buckets] if len(uniq) else np.empty((0, n_classes), dense.dtype)
+    scores = np.zeros((len(texts), n_classes), dtype=dense.dtype)
     for i, codes in enumerate(bigram_codes):
         if len(codes):
             scores[i] = uniq_w[np.searchsorted(uniq, codes)].sum(axis=0)

@@ -1,0 +1,96 @@
+"""DSIR importance resampling (functions/dsir.py; Xie et al. 2023)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from json_remedy_spark.functions import dsir
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = []
+    for i in range(60):
+        if i % 3 == 0:
+            rows.append((i, "research study analysis evidence method result " * 3))
+        elif i % 3 == 1:
+            rows.append((i, "click subscribe free offer bonus casino jackpot " * 3))
+        else:
+            rows.append((i, "the quick brown fox jumps over the lazy dog " * 2))
+    rows += [(60, None), (61, ""), (62, "x")]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_weights_rank_target_like_docs(corpus):
+    target = corpus.where((F.col("doc_id") % 3) == 0)
+    w = dsir.dsir_weights(corpus, target).toPandas().set_index("doc_id")["weight"]
+    # target-like docs score highest, anti-target (spam) lowest
+    assert w[0] > w[2] > w[1]
+    assert w[0] > 0 and w[1] < 0
+
+
+def test_weights_null_and_tiny_docs_total(corpus):
+    target = corpus.where((F.col("doc_id") % 3) == 0)
+    w = dsir.dsir_weights(corpus, target).toPandas().set_index("doc_id")["weight"]
+    # no bigrams -> zero weight, never NULL/NaN
+    assert w[60] == 0.0 and w[61] == 0.0 and w[62] == 0.0
+    assert not w.isna().any()
+
+
+def test_weights_accept_precomputed_log_ratio(corpus):
+    import numpy as np
+
+    target = corpus.where((F.col("doc_id") % 3) == 0)
+    lr = dsir.dsir_log_ratio(
+        dsir.bigram_bucket_counts(target),
+        dsir.bigram_bucket_counts(corpus),
+    )
+    w1 = dsir.dsir_weights(corpus, target).toPandas().set_index("doc_id")["weight"]
+    w2 = (
+        dsir.dsir_weights(corpus, log_ratio=lr).toPandas().set_index("doc_id")["weight"]
+    )
+    assert np.allclose(w1.sort_index(), w2.sort_index())
+
+
+def test_resample_is_deterministic_and_biased_to_target(corpus):
+    target = corpus.where((F.col("doc_id") % 3) == 0)
+    w = dsir.dsir_weights(corpus, target)
+    s1 = dsir.dsir_resample(w, 20).toPandas()
+    s2 = dsir.dsir_resample(w, 20).toPandas()
+    assert len(s1) == 20
+    assert sorted(s1.doc_id) == sorted(s2.doc_id)
+    # weights dominate the Gumbel noise here: the strongly target-like
+    # class should fill most of the selection
+    assert (s1.doc_id % 3 == 0).sum() >= 15
+    # different seed -> (possibly) different noise but still deterministic
+    s3 = dsir.dsir_resample(w, 20, seed=7).toPandas()
+    s4 = dsir.dsir_resample(w, 20, seed=7).toPandas()
+    assert sorted(s3.doc_id) == sorted(s4.doc_id)
+
+
+def test_resample_plan_is_top_k_not_global_sort(corpus):
+    target = corpus.where((F.col("doc_id") % 3) == 0)
+    sel = dsir.dsir_resample(dsir.dsir_weights(corpus, target), 5)
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort " not in plan, plan
+
+
+def test_scoring_pass_is_map_only(corpus):
+    import numpy as np
+
+    lr = np.zeros(256)
+    w = dsir.dsir_weights(corpus, log_ratio=lr)
+    plan = w._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_histogram_matches_driver_side_count(corpus):
+    import numpy as np
+
+    got = {
+        r["bucket"]: r["cnt"] for r in dsir.bigram_bucket_counts(corpus).collect()
+    }
+    texts = [r["text"] for r in corpus.select(F.lower("text").alias("text")).collect()]
+    want = dsir._batch_bucket_counts([t or "" for t in texts], 256)
+    for b in range(256):
+        assert got.get(b, 0) == int(want[b]), b
