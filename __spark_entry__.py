@@ -456,6 +456,55 @@ def q_quality_classifier(spark, sf_dir):
     )
 
 
+# every-5th-doc with reference-like markers appended: a deterministic
+# synthetic "target domain" whose bigram distribution measurably
+# differs from the raw corpus (same trick as the classifier oracle)
+DSIR_TARGET_MARKER = " research study analysis because method"
+DSIR_SELECT_N = 100
+
+
+def _dsir_weighted(spark, sf_dir):
+    from json_remedy_spark.functions import dsir
+
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    target = d.where(F.pmod(F.col("doc_id"), F.lit(5)) == 0).withColumn(
+        "text", F.concat(F.col("text"), F.lit(DSIR_TARGET_MARKER))
+    )
+    return dsir.dsir_weights(d, target)
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance log-weights (functions/dsir.py; Xie et al. 2023,
+    arXiv:2302.03169): hashed-bigram bucket histograms for a synthetic
+    target (every 5th doc with marker words appended) vs the raw
+    corpus, smoothed log-ratio, per-doc occurrence-sum weight through
+    the shared fastText scoring kernel.  Exact oracle: DuckDB
+    recomputes both histograms, the libm log-ratio, and the per-doc
+    sum; both sides round(4) (the perplexity-oracle precedent)."""
+    return _dsir_weighted(spark, sf_dir).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("weight", 4).cast("double").alias("weight"),
+    )
+
+
+def q_dsir_select(spark, sf_dir):
+    """Gumbel top-k resampling over the DSIR weights — sampling
+    without replacement proportional to exp(weight), with
+    deterministic portable-md5 noise, planned as
+    TakeOrderedAndProject (no global sort).  Exact oracle: DuckDB
+    recomputes weights, noise, keys, and the same top-N cut."""
+    from json_remedy_spark.functions import dsir
+
+    sel = dsir.dsir_resample(_dsir_weighted(spark, sf_dir), DSIR_SELECT_N)
+    return sel.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round("weight", 4).cast("double").alias("weight"),
+        F.round("gkey", 4).cast("double").alias("gkey"),
+    )
+
+
 def q_cosine_topk(spark, sf_dir):
     e = (
         _t(spark, sf_dir, "embeddings")
@@ -711,6 +760,55 @@ def q_perplexity(spark, sf_dir):
     return d.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.round(make_perplexity_udf()(F.col("text")), 4).alias("ppl"),
+    )
+
+
+_TRAINED_LM_DIR = os.path.join(tempfile.gettempdir(), "jrs_trained_lm")
+_TRAINED_TRI = os.path.join(_TRAINED_LM_DIR, "corpus_tri.parquet")
+_TRAINED_BI = os.path.join(_TRAINED_LM_DIR, "corpus_bi.parquet")
+
+
+def q_trigram_lm(spark, sf_dir):
+    """In-engine char-trigram LM TRAINING (CCNet: train the n-gram LM
+    on a reference corpus inside the engine —
+    functions/perplexity.py:train_trigram_counts).  Returns the
+    (tri, cnt) count table; exact oracle: DuckDB re-derives every
+    utf-8 byte trigram of lower(text) via the hex-nibble CTE and
+    re-aggregates independently."""
+    from json_remedy_spark.functions.perplexity import train_trigram_counts
+
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return train_trigram_counts(d).select(
+        F.col("tri").cast("long").alias("tri"),
+        F.col("cnt").cast("long").alias("cnt"),
+    )
+
+
+def q_ppl_trained(spark, sf_dir):
+    """End-to-end train -> export -> ship -> score loop: the trigram
+    LM is trained on the corpus in-engine, written in the
+    export_model_tables parquet format, shipped to executors via
+    SparkFiles, and the SAME corpus is scored with it (the production
+    path a real KenLM artifact takes).  Closed-form oracle: DuckDB
+    recomputes the counts AND the per-doc mean score from the
+    documents table alone — no export is read."""
+    from json_remedy_spark.functions.perplexity import (
+        make_perplexity_udf,
+        train_trigram_counts,
+        write_trained_lm,
+    )
+
+    os.makedirs(_TRAINED_LM_DIR, exist_ok=True)
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    write_trained_lm(train_trigram_counts(d), _TRAINED_TRI, _TRAINED_BI)
+    ppl = make_perplexity_udf(model_paths=(_TRAINED_TRI, _TRAINED_BI))
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round(ppl(F.col("text")), 4).alias("ppl"),
     )
 
 
@@ -1401,6 +1499,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "fasttext_langid": q_fasttext_langid,
         "quality_classifier": q_quality_classifier,
+        "dsir_weights": q_dsir_weights,
+        "dsir_select": q_dsir_select,
         "vocab_stats": q_vocab_stats,
         "ngram_repetition": q_ngram_repetition,
         "cosine_topk": q_cosine_topk,
@@ -1425,6 +1525,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity": q_perplexity,
         "ppl_histogram": q_ppl_histogram,
         "ppl_buckets": q_ppl_buckets,
+        "trigram_lm": q_trigram_lm,
+        "ppl_trained": q_ppl_trained,
         "script_mix": q_script_mix,
         "canonical_url": q_canonical_url,
         "url_dedup": q_url_dedup,
@@ -1851,6 +1953,67 @@ def _quality_classifier_sql() -> str:
     """
 
 
+def _dsir_weights_cte() -> str:
+    """Shared CTE chain: both DSIR oracles recompute the bucket
+    histograms (raw + marker-augmented target), the add-k smoothed
+    log-ratio over all buckets, and the per-doc occurrence sum —
+    independently of the Spark kernel."""
+    from json_remedy_spark.functions import dsir
+
+    B = langid.FT_BUCKETS
+    k = dsir.DSIR_K
+    bucket = _hex_to_int("md5(bigram)", 1, 8)
+    return f"""
+      raw0 AS (SELECT doc_id, lower(text) AS t FROM documents),
+      tgt0 AS (SELECT doc_id, lower(text || '{DSIR_TARGET_MARKER}') AS t
+               FROM documents WHERE doc_id % 5 = 0),
+      bg_r AS (SELECT doc_id, substr(t, x.i, 2) AS bigram
+               FROM raw0, LATERAL (SELECT unnest(range(1, len(t))) AS i) x),
+      bg_t AS (SELECT doc_id, substr(t, x.i, 2) AS bigram
+               FROM tgt0, LATERAL (SELECT unnest(range(1, len(t))) AS i) x),
+      bb_r AS (SELECT doc_id, ({bucket} % {B}) AS bucket FROM bg_r),
+      bb_t AS (SELECT doc_id, ({bucket} % {B}) AS bucket FROM bg_t),
+      cq AS (SELECT bucket, count(*)::DOUBLE AS cnt FROM bb_r GROUP BY bucket),
+      cp AS (SELECT bucket, count(*)::DOUBLE AS cnt FROM bb_t GROUP BY bucket),
+      tots AS (SELECT (SELECT count(*) FROM bb_r)::DOUBLE AS tq,
+                      (SELECT count(*) FROM bb_t)::DOUBLE AS tp),
+      lr AS (SELECT b.bucket,
+               (ln(coalesce(cp.cnt, 0) + {k}) - ln(tp + {k} * {B}))
+             - (ln(coalesce(cq.cnt, 0) + {k}) - ln(tq + {k} * {B})) AS lr
+             FROM (SELECT unnest(range(0, {B})) AS bucket) b
+             CROSS JOIN tots
+             LEFT JOIN cp ON cp.bucket = b.bucket
+             LEFT JOIN cq ON cq.bucket = b.bucket),
+      w AS (SELECT bb_r.doc_id, sum(lr.lr) AS weight
+            FROM bb_r JOIN lr ON lr.bucket = bb_r.bucket
+            GROUP BY bb_r.doc_id),
+      dw AS (SELECT d.doc_id, coalesce(w.weight, 0) AS weight
+             FROM documents d LEFT JOIN w ON w.doc_id = d.doc_id)
+    """
+
+
+def _dsir_weights_sql() -> str:
+    return f"""
+      WITH {_dsir_weights_cte()}
+      SELECT doc_id::BIGINT AS doc_id, round(weight, 4)::DOUBLE AS weight
+      FROM dw
+    """
+
+
+def _dsir_select_sql() -> str:
+    noise = _hex_to_int("md5('0:' || doc_id::VARCHAR)", 1, 8)
+    return f"""
+      WITH {_dsir_weights_cte()},
+      g AS (SELECT doc_id, weight,
+              weight - ln(-ln(({noise} + 0.5) / 4294967296.0)) AS gkey
+            FROM dw)
+      SELECT doc_id::BIGINT AS doc_id,
+             round(weight, 4)::DOUBLE AS weight,
+             round(gkey, 4)::DOUBLE AS gkey
+      FROM g ORDER BY gkey DESC, doc_id LIMIT {DSIR_SELECT_N}
+    """
+
+
 def _line_dedup_sql() -> str:
     return f"""
       WITH pages AS ({_PAGES_SQL}),
@@ -2067,6 +2230,78 @@ _PPL_TRI_TABLE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data"
 _PPL_BI_TABLE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data", "ppl_bigrams.parquet")
 
 
+def _byte_trigram_cte(p: str, text_expr: str) -> str:
+    """CTE chain deriving ``(doc_id, tri, full_tri)`` from the utf-8
+    bytes of ``text_expr`` via hex nibbles (the _perplexity_sql
+    byte-extraction pattern, parameterized for reuse by the
+    LM-training oracles).  ``p`` prefixes the CTE names."""
+    from json_remedy_spark.functions.perplexity import _VOCAB
+
+    return f"""
+      {p}_b AS (
+        SELECT doc_id, lower(hex(encode({text_expr}))) AS hx FROM documents
+      ),
+      {p}_ids AS (
+        SELECT doc_id, i,
+               CASE WHEN byte >= 32 AND byte < 127 THEN byte - 31 ELSE 0 END AS id
+        FROM (
+          SELECT doc_id, i,
+                 ((strpos('0123456789abcdef', substr(hx, 2 * i - 1, 1)) - 1) * 16
+                  + (strpos('0123456789abcdef', substr(hx, 2 * i, 1)) - 1)) AS byte
+          FROM (SELECT doc_id, hx, unnest(range(1, length(hx) // 2 + 1)) AS i FROM {p}_b)
+        )
+      ),
+      {p}_tris AS (
+        SELECT doc_id,
+               (id * {_VOCAB} + lead(id, 1) OVER w) * {_VOCAB} + lead(id, 2) OVER w AS tri,
+               (lead(id, 2) OVER w IS NOT NULL) AS full_tri
+        FROM {p}_ids WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+      )
+    """
+
+
+def _trigram_lm_sql() -> str:
+    """Training-count oracle: DuckDB independently re-derives every
+    byte trigram of lower(full text) and re-aggregates."""
+    return f"""
+      WITH {_byte_trigram_cte("tr", "lower(coalesce(text, ''))")}
+      SELECT tri::BIGINT AS tri, count(*)::BIGINT AS cnt
+      FROM tr_tris WHERE full_tri GROUP BY tri
+    """
+
+
+def _ppl_trained_sql() -> str:
+    """Closed-form end-to-end oracle for the train->score loop:
+    recompute the corpus trigram/bigram-prefix counts AND the per-doc
+    mean score from the documents table alone (unseen grams fall back
+    to the add-k smoothing constants, as in the export format)."""
+    from json_remedy_spark.functions.perplexity import _K, _VOCAB, MAX_SCORED_CHARS
+
+    return f"""
+      WITH {_byte_trigram_cte("tr", "lower(coalesce(text, ''))")},
+      {_byte_trigram_cte("sc", f"lower(substr(coalesce(text, ''), 1, {MAX_SCORED_CHARS}))")},
+      cnt3 AS (SELECT tri, count(*)::DOUBLE AS c FROM tr_tris WHERE full_tri GROUP BY tri),
+      cnt2 AS (SELECT tri // {_VOCAB} AS bi, count(*)::DOUBLE AS c
+               FROM tr_tris WHERE full_tri GROUP BY tri // {_VOCAB}),
+      scored AS (
+        -- unseen-gram fallbacks log(k) / log(k*V) are exactly
+        -- ln(0 + k) / ln(0 + k*V), so one coalesced form covers both
+        SELECT s.doc_id,
+               ln(coalesce(c3.c, 0) + {_K})
+               - ln(coalesce(c2.c, 0) + {_K} * {_VOCAB}) AS logp
+        FROM sc_tris s
+        LEFT JOIN cnt3 c3 ON c3.tri = s.tri
+        LEFT JOIN cnt2 c2 ON c2.bi = s.tri // {_VOCAB}
+        WHERE s.full_tri
+      )
+      SELECT d.doc_id::BIGINT AS doc_id,
+             (CASE WHEN length(coalesce(d.text, '')) < 3 THEN 20.0
+                   ELSE round(-avg(s.logp), 4) END)::DOUBLE AS ppl
+      FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+      GROUP BY d.doc_id, d.text
+    """
+
+
 def _perplexity_sql() -> str:
     """Exact DuckDB oracle for the char-trigram perplexity model: the
     sparse trained counts live in parquet (functions/perplexity.py
@@ -2222,6 +2457,8 @@ def oracle_sql() -> dict[str, str]:
         "domain_cap": _domain_cap_sql(),
         "fasttext_langid": _fasttext_langid_sql(),
         "quality_classifier": _quality_classifier_sql(),
+        "dsir_weights": _dsir_weights_sql(),
+        "dsir_select": _dsir_select_sql(),
         "outlink_stats": _outlink_stats_sql(),
         "page_meta": _page_meta_sql(),
         "anchor_texts": _anchor_texts_sql(),
@@ -2337,6 +2574,8 @@ def oracle_sql() -> dict[str, str]:
           GROUP BY layer
         """,
         "perplexity": _perplexity_sql(),
+        "trigram_lm": _trigram_lm_sql(),
+        "ppl_trained": _ppl_trained_sql(),
         "ppl_histogram": f"""
           WITH p AS ({_perplexity_sql()})
           SELECT (floor(ppl / 0.125) * 0.125)::DOUBLE AS ppl_bucket,
