@@ -159,6 +159,77 @@ def make_perplexity_udf(model_paths: tuple[str, str] | None = None):
     return perplexity_model
 
 
+# --------------------------------------------------------------------------
+# in-engine LM training (the CCNet move: train the n-gram LM on a
+# reference corpus IN the engine, export, score the crawl with it)
+# --------------------------------------------------------------------------
+
+
+def train_trigram_counts(docs, text_col: str = "text"):
+    """Distributed char-trigram count training over ``lower(text)``
+    (full text, not the scoring prefix): returns a ``(tri, cnt)``
+    DataFrame over the ``_char_ids`` alphabet.
+
+    Scale shape: each Arrow batch bincounts its trigrams into one
+    V^3 vector (7.3 MB) and emits only the nonzero rows, so the
+    groupBy shuffles at most min(batch-distinct, V^3) rows per task
+    and aggregates <= V^3 = 912,673 keys — independent of corpus
+    size.  This is the 100 TB-honest form of "train KenLM counts on
+    the target corpus" (Wenzek et al. 2020 §4.2)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    size = _VOCAB * _VOCAB * _VOCAB
+    src = docs.select(docs[text_col].alias("t"))
+
+    def gen(batches):
+        for pdf in batches:
+            tris = []
+            for s in pdf["t"].fillna("").tolist():
+                ids = _char_ids(s)
+                if len(ids) < 3:
+                    continue
+                tris.append((ids[:-2] * _VOCAB + ids[1:-1]) * _VOCAB + ids[2:])
+            if not tris:
+                continue
+            counts = np.bincount(np.concatenate(tris), minlength=size)
+            nz = np.nonzero(counts)[0]
+            yield pd.DataFrame(
+                {"tri": nz.astype(np.int64), "cnt": counts[nz].astype(np.int64)}
+            )
+
+    part = src.mapInPandas(gen, schema="tri long, cnt long")
+    return part.groupBy("tri").agg(F.sum("cnt").alias("cnt"))
+
+
+def write_trained_lm(tri_counts, tri_path: str, bi_path: str) -> tuple[int, int]:
+    """Materialize a trained model in the ``export_model_tables``
+    parquet format — directly loadable by
+    ``make_perplexity_udf(model_paths=...)`` / ``load_model_tables``.
+    The driver-side collect is bounded by the trigram VOCABULARY
+    (<= V^3 rows), never the corpus.  Bigram-prefix totals are derived
+    from the trigram table (zeros contribute nothing to the sum, so
+    this equals summing the dense table as ``_train`` does)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = tri_counts.collect()
+    tri_idx = np.array([r["tri"] for r in rows], dtype=np.int64)
+    cnt = np.array([r["cnt"] for r in rows], dtype=np.float64)
+    order = np.argsort(tri_idx)
+    tri_idx, cnt = tri_idx[order], cnt[order]
+    pq.write_table(
+        pa.table({"tri": tri_idx, "log_num": np.log(cnt + _K)}), tri_path
+    )
+    bi_idx, inv = np.unique(tri_idx // _VOCAB, return_inverse=True)
+    bc = np.zeros(len(bi_idx), dtype=np.float64)
+    np.add.at(bc, inv, cnt)
+    pq.write_table(
+        pa.table({"bi": bi_idx, "log_den": np.log(bc + _K * _VOCAB)}), bi_path
+    )
+    return len(tri_idx), len(bi_idx)
+
+
 MAX_PERPLEXITY = 10.0  # keep threshold (natural prose scores ~1-4)
 
 

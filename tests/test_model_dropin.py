@@ -191,3 +191,64 @@ def test_quality_classifier_string_id_and_passthrough(spark):
     assert out["u://1"]["quality_label"] == "high"
     assert out["u://2"]["quality_label"] == "low"
     assert out["u://2"]["lang"] == "de" and "click" in out["u://2"]["text"]
+
+
+def test_trained_lm_reproduces_builtin_model(spark, tmp_path):
+    """Training on the exact corpus the built-in model was fit on
+    (functions/perplexity._train_counts: each language's prose x3)
+    reproduces the built-in dense log-prob table bit-for-bit through
+    the export format."""
+    from json_remedy_spark.functions.perplexity import (
+        _LOGP,
+        load_model_tables,
+        train_trigram_counts,
+        write_trained_lm,
+    )
+    from json_remedy_spark.sources.webpages import _PROSE
+
+    docs = spark.createDataFrame(
+        [(i, _PROSE[lang] * 3) for i, lang in enumerate(("en", "de", "fr"))],
+        "doc_id long, text string",
+    )
+    tri, bi = str(tmp_path / "t.parquet"), str(tmp_path / "b.parquet")
+    n3, n2 = write_trained_lm(train_trigram_counts(docs), tri, bi)
+    assert n3 > 0 and n2 > 0
+    dense = load_model_tables(tri, bi)
+    assert np.array_equal(dense, _LOGP)
+
+
+def test_trained_lm_scores_through_sparkfiles(spark, docs, tmp_path):
+    """End-to-end: train on the corpus, export, ship via SparkFiles,
+    score — matches driver-side numpy scoring with the same tables."""
+    from json_remedy_spark.functions.perplexity import (
+        load_model_tables,
+        make_perplexity_udf,
+        score_texts,
+        train_trigram_counts,
+        write_trained_lm,
+    )
+    from pyspark.sql import functions as F
+
+    tri, bi = str(tmp_path / "corpus3.parquet"), str(tmp_path / "corpus2.parquet")
+    write_trained_lm(train_trigram_counts(docs), tri, bi)
+    udf = make_perplexity_udf(model_paths=(tri, bi))
+    got = {
+        r["doc_id"]: r["ppl"]
+        for r in docs.select("doc_id", udf(F.col("text")).alias("ppl")).collect()
+    }
+    dense = load_model_tables(tri, bi)
+    rows = docs.collect()
+    want = score_texts([r["text"] or "" for r in rows], logp=dense)
+    for (r, w) in zip(rows, want):
+        assert got[r["doc_id"]] == pytest.approx(float(w), abs=1e-12)
+
+
+def test_trained_lm_counts_ignore_short_and_null(spark, tmp_path):
+    from json_remedy_spark.functions.perplexity import train_trigram_counts
+
+    docs = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "ab"), (3, "abc")],
+        "doc_id long, text string",
+    )
+    rows = train_trigram_counts(docs).collect()
+    assert len(rows) == 1 and rows[0]["cnt"] == 1
