@@ -14,6 +14,8 @@
       [--shard-tokens N]   output as contiguous ~N-token shards
       [--robots-input <host,robots_txt table>]  politeness gate first
       [--boilerplate-frac F]  per-host template removal pre line-dedup
+      [--dsir-target <docs> --dsir-n N]  DSIR importance resampling
+      [--train-lm-out <dir>]  export a corpus-trained trigram LM
 
 Stage shapes (each documented at its operator):
   1. quality_filter — map-only DAG, one Arrow hop (repair+perplexity),
@@ -93,6 +95,25 @@ def build_parser() -> argparse.ArgumentParser:
         help="enable the model-based quality gate: 'builtin' for the "
         "deterministic weight table, or a path to an exported "
         "fastText-format weight parquet (langid.export_ft_model)",
+    )
+    ap.add_argument(
+        "--dsir-target",
+        default=None,
+        help="enable DSIR importance resampling (Xie et al. 2023): a "
+        "table of target-domain documents (text column); the surviving "
+        "corpus is importance-weighted against it and the Gumbel top-N "
+        "is kept (requires --dsir-n)",
+    )
+    ap.add_argument("--dsir-n", type=int, default=0)
+    ap.add_argument("--dsir-seed", type=int, default=0)
+    ap.add_argument(
+        "--train-lm-out",
+        default=None,
+        help="after the final corpus is fixed, train the char-trigram "
+        "LM on it in-engine and export the sparse model tables "
+        "(corpus_tri.parquet / corpus_bi.parquet) — directly loadable "
+        "by make_perplexity_udf(model_paths=...) for the next crawl's "
+        "scoring pass (the CCNet loop)",
     )
     ap.add_argument(
         "--shard-tokens",
@@ -286,6 +307,23 @@ def run(spark, args) -> str:
             return d.join(flags.where("contaminated"), "doc_id", "left_anti")
         docs = stage("s6_decontaminated", _decon)
 
+    # 4b. optional DSIR selection toward a target-domain sample: two
+    # histogram aggregates (<= B rows each), one map-only scoring
+    # pass, TakeOrderedAndProject cut — the survivor set semi-joins
+    # back so downstream stages see full rows
+    if args.dsir_target and args.dsir_n:
+        def _dsir(d=docs):
+            from json_remedy_spark.functions.dsir import dsir_resample, dsir_weights
+
+            d = d.persist()  # histogram + scoring passes share one scan
+            job_handles.append(d)
+            target = read_table(spark, args.dsir_target).select("text")
+            sel = dsir_resample(
+                dsir_weights(d, target), args.dsir_n, seed=args.dsir_seed
+            )
+            return d.join(sel.select("doc_id"), "doc_id", "left_semi")
+        docs = stage("s6b_dsir", _dsir)
+
     # 5. optional per-language token budget
     if args.token_budget:
         def _pack(d=docs):
@@ -301,6 +339,21 @@ def run(spark, args) -> str:
         write_token_shards(out_cols, args.output, args.shard_tokens)
     else:
         write_table(out_cols.drop("doc_id"), args.output, mode="overwrite")
+    # side artifact: train the next crawl's perplexity model on the
+    # corpus we just built (CCNet: score crawl N+1 with an LM trained
+    # on the cleaned output of crawl N)
+    if args.train_lm_out:
+        from json_remedy_spark.functions.perplexity import (
+            train_trigram_counts,
+            write_trained_lm,
+        )
+
+        os.makedirs(args.train_lm_out, exist_ok=True)
+        write_trained_lm(
+            train_trigram_counts(out_cols),
+            os.path.join(args.train_lm_out, "corpus_tri.parquet"),
+            os.path.join(args.train_lm_out, "corpus_bi.parquet"),
+        )
     n_out = docs.count()
     for h in job_handles:
         h.unpersist()

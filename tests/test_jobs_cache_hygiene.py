@@ -149,3 +149,42 @@ def test_corpus_pipeline_model_gate(spark, pages_parquet, tmp_path):
     base = {r[0] for r in duckdb.sql(f"SELECT url FROM read_parquet('{base_out}/*.parquet')").fetchall()}
     gated = {r[0] for r in duckdb.sql(f"SELECT url FROM read_parquet('{gated_out}/*.parquet')").fetchall()}
     assert gated <= base
+
+
+def test_corpus_pipeline_dsir_and_lm_export(spark, pages_parquet, tmp_path):
+    """--dsir-target/--dsir-n keeps exactly N docs (a subset of the
+    unselected run), --train-lm-out exports loadable model tables, and
+    neither stage leaks persisted DataFrames."""
+    import duckdb
+
+    from jobs.run_corpus_pipeline import build_parser, run
+
+    spark.catalog.clearCache()
+    base_out = str(tmp_path / "base")
+    run(spark, build_parser().parse_args(
+        ["--input", pages_parquet, "--output", base_out]))
+    base = {r[0] for r in duckdb.sql(
+        f"SELECT url FROM read_parquet('{base_out}/*.parquet')").fetchall()}
+
+    lm_dir = str(tmp_path / "lm")
+    sel_out = str(tmp_path / "sel")
+    msg = run(spark, build_parser().parse_args(
+        ["--input", pages_parquet, "--output", sel_out,
+         "--dsir-target", pages_parquet, "--dsir-n", "25",
+         "--train-lm-out", lm_dir]
+    ))
+    assert " -> 25 out" in msg
+    assert _sql_cache_empty(spark), "DSIR/LM stages leaked persisted DataFrames"
+    sel = {r[0] for r in duckdb.sql(
+        f"SELECT url FROM read_parquet('{sel_out}/*.parquet')").fetchall()}
+    assert len(sel) == 25 and sel <= base
+
+    # the exported model is directly loadable and finite everywhere
+    import numpy as np
+
+    from json_remedy_spark.functions.perplexity import load_model_tables
+
+    dense = load_model_tables(
+        f"{lm_dir}/corpus_tri.parquet", f"{lm_dir}/corpus_bi.parquet"
+    )
+    assert np.isfinite(dense).all() and (dense < 0).all()
