@@ -328,6 +328,42 @@ def main():
         )
     )
 
+    from json_remedy_spark.functions import dsir
+
+    tgt = docs.where((F.col("doc_id") % 5) == 0).select("doc_id", "text")
+    dw = dsir.dsir_weights(docs.select("doc_id", "text"), tgt)
+    sel = dsir.dsir_resample(dw, 50)
+    selplan = formatted(sel)
+    sections.append(
+        (
+            "dsir_resample (importance resampling, Gumbel top-k)",
+            f"TakeOrderedAndProject present: {'TakeOrderedAndProject' in selplan} "
+            "(per-partition heaps + driver merge of n-row partials — no global "
+            "sort at any corpus size; the scoring pass itself is one map-only "
+            "MapInPandas with the log-ratio vector closure-captured)\n"
+            f"MapInPandas nodes: {tree_nodes(selplan, 'MapInPandas')} (budget 1)\n"
+            f"global Sort nodes: {tree_nodes(selplan, 'Sort')} (budget 0)\n\n"
+            + selplan[:1500],
+        )
+    )
+
+    from json_remedy_spark.functions.perplexity import train_trigram_counts
+
+    tc = train_trigram_counts(docs.select("doc_id", "text"))
+    tcplan = formatted(tc)
+    sections.append(
+        (
+            "train_trigram_counts (in-engine LM training)",
+            f"Exchange tree nodes: {tree_nodes(tcplan, 'Exchange')} (budget 1 — "
+            "each Arrow batch emits only its nonzero trigram rows and the "
+            "hash agg partially combines map-side, so the one exchange "
+            "carries <= V^3 = 912,673 keys per partition regardless of "
+            "corpus size)\n"
+            f"partial agg before exchange: {'partial' in tcplan.lower()}\n\n"
+            + tcplan[:1500],
+        )
+    )
+
     out = ["# Physical plan evidence (generated by tools/snapshot_plans.py)\n"]
     for title, body in sections:
         out.append(f"\n## {title}\n\n```\n{body}\n```\n")
