@@ -201,6 +201,27 @@ def q_decontaminate(spark, sf_dir):
     )
 
 
+def q_fuzzy_decontaminate(spark, sf_dir):
+    """FUZZY decontamination (functions/dedup.py:fuzzy_decontaminate):
+    bipartite minhash-LSH between the corpus and the src0 eval split,
+    exact-jaccard verify of bucket candidates; the 0.5 gate rides as a
+    column so the oracle checks both the scores and the decision.
+    Bucket false-positives (jaccard ~ 0) appearing here and being
+    gated out is the point of the verify stage."""
+    from json_remedy_spark.functions.dedup import fuzzy_decontaminate
+
+    d = _t(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism)
+    ev = d.where(F.col("source") == "src0")
+    corp = d.where(F.col("source") != "src0")
+    pairs = fuzzy_decontaminate(corp, ev, threshold=0.0)
+    return pairs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("eval_id").cast("long").alias("eval_id"),
+        F.col("jaccard").cast("double").alias("jaccard"),
+        (F.col("jaccard") >= 0.5).alias("contaminated"),
+    )
+
+
 def q_contamination_overlap(spark, sf_dir):
     """Per-doc contamination fraction vs the src0 eval split — the
     reported number behind decontaminate's binary gate."""
@@ -1487,6 +1508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_components": q_dedup_components,
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "decontaminate": q_decontaminate,
+        "fuzzy_decontaminate": q_fuzzy_decontaminate,
         "contamination_overlap": q_contamination_overlap,
         "pack_token_budget": q_pack_token_budget,
         "stratified_sample": q_stratified_sample,
@@ -1668,6 +1690,35 @@ def _dedup_components_sql() -> str:
       SELECT u::BIGINT AS doc_id, min(r)::BIGINT AS rep_id,
              (u = min(r)) AS is_canonical
       FROM reach GROUP BY u
+    """
+
+
+def _fuzzy_decontaminate_sql() -> str:
+    """Bipartite LSH + exact-jaccard verify, recomputed end-to-end:
+    the shared sig/banded CTEs, a corpus-x-eval bucket join (sides
+    split by `source`), and the same rounded jaccard + 0.5 gate."""
+    base = _lsh_ctes().split("cand AS")[0].rstrip().rstrip(",")
+    return f"""
+      WITH {base},
+      cand AS (SELECT DISTINCT c.doc_id AS doc_id, e.doc_id AS eval_id
+               FROM banded c JOIN banded e
+                 ON c.band = e.band AND c.bucket = e.bucket
+               JOIN documents dc ON dc.doc_id = c.doc_id
+               JOIN documents de ON de.doc_id = e.doc_id
+               WHERE dc.source != 'src0' AND de.source = 'src0'),
+      sh AS ({_SHINGLES}),
+      sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT cand.doc_id, cand.eval_id, count(*) AS n_common
+                FROM cand JOIN sh a ON a.doc_id = cand.doc_id
+                          JOIN sh b ON b.doc_id = cand.eval_id
+                                   AND b.shingle = a.shingle
+                GROUP BY cand.doc_id, cand.eval_id)
+      SELECT i.doc_id::BIGINT AS doc_id, i.eval_id::BIGINT AS eval_id,
+             round(n_common / (sa.n + sb.n - n_common), 6)::DOUBLE AS jaccard,
+             (round(n_common / (sa.n + sb.n - n_common), 6) >= 0.5) AS contaminated
+      FROM inter i JOIN sz sa ON sa.doc_id = i.doc_id
+                   JOIN sz sb ON sb.doc_id = i.eval_id
+      WHERE round(n_common / (sa.n + sb.n - n_common), 6) >= 0.0
     """
 
 
@@ -2426,6 +2477,7 @@ def oracle_sql() -> dict[str, str]:
           FROM sizes GROUP BY 1
         """,
         "decontaminate": _decontaminate_sql(),
+        "fuzzy_decontaminate": _fuzzy_decontaminate_sql(),
         "contamination_overlap": f"""
           WITH sh AS ({_SHINGLES}),
           ev AS (SELECT doc_id FROM documents WHERE source = 'src0'),

@@ -65,6 +65,15 @@ def build_parser() -> argparse.ArgumentParser:
     )
     ap.add_argument("--output", required=True)
     ap.add_argument("--eval-input", default=None)
+    ap.add_argument(
+        "--fuzzy-decon",
+        type=float,
+        default=0.0,
+        help="with --eval-input: use FUZZY decontamination (bipartite "
+        "minhash-LSH + exact-jaccard verify) at this jaccard threshold "
+        "instead of the exact shared-shingle gate — drops docs that "
+        "NEAR-duplicate an eval document (GPT-3/Pile style)",
+    )
     ap.add_argument("--token-budget", type=int, default=0)
     ap.add_argument("--threshold", type=float, default=0.8)
     ap.add_argument("--max-per-domain", type=int, default=0)
@@ -303,6 +312,15 @@ def run(spark, args) -> str:
     if args.eval_input:
         def _decon(d=docs):
             ev = read_table(spark, args.eval_input).select("doc_id", "text")
+            if args.fuzzy_decon:
+                from json_remedy_spark.functions.dedup import fuzzy_decontaminate
+
+                pairs = fuzzy_decontaminate(
+                    d, ev, threshold=args.fuzzy_decon, handles=job_handles
+                )
+                return d.join(
+                    pairs.select("doc_id").distinct(), "doc_id", "left_anti"
+                )
             flags = decontaminate(d, ev)
             return d.join(flags.where("contaminated"), "doc_id", "left_anti")
         docs = stage("s6_decontaminated", _decon)

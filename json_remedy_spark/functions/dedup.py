@@ -691,6 +691,83 @@ def lsh_verified_pairs(
     return jaccard_verify_candidates(sh_all, cand, threshold)
 
 
+def fuzzy_decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "doc_id",
+    eval_text_col: str = "text",
+    broadcast_eval: bool = True,
+    handles: list | None = None,
+) -> DataFrame:
+    """FUZZY benchmark decontamination — the GPT-3 / Pile move: drop
+    training docs that NEAR-duplicate an eval document, not only docs
+    sharing one exact shingle (``corpus.decontaminate``).  Bipartite
+    minhash-LSH between corpus and eval set, then exact n-gram Jaccard
+    verified ONLY for bucket-collision candidates.  Returns
+    ``(doc_id, eval_id, jaccard)`` for every pair clearing
+    ``threshold`` (a gate drops ``doc_id``s appearing in any pair).
+
+    Scale shape: the eval side is tiny next to the corpus, so its
+    banded signature table and its shingle table BROADCAST
+    (``broadcast_eval=False`` falls back to shuffle joins for an eval
+    set beyond executor memory).  The corpus shingle kernel runs ONCE
+    (persisted; feeds both the minhash aggregation and the verify
+    join, the ``lsh_verified_pairs`` pattern), corpus docs never
+    self-join, and the verify joins are semi-join-pruned to candidate
+    docs — candidate volume is bounded by bucket collisions against
+    the eval set, not by corpus size."""
+    from pyspark import StorageLevel
+
+    corp_sh = shingles(docs, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    eval_sh = shingles(eval_docs, eval_id_col, eval_text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    if handles is not None:
+        handles.extend([corp_sh, eval_sh])
+    eval_banded = banded_signatures(minhash_from_shingles(eval_sh))
+    if broadcast_eval:
+        eval_banded = F.broadcast(eval_banded)
+    cand = (
+        banded_signatures(minhash_from_shingles(corp_sh))
+        .alias("c")
+        .join(eval_banded.alias("e"), ["band", "bucket"])
+        .select(
+            F.col("c.doc_id").alias("doc_id"), F.col("e.doc_id").alias("eval_id")
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    if handles is not None:
+        handles.append(cand)
+    sh = corp_sh.join(cand.select("doc_id").distinct(), "doc_id", "left_semi")
+    sizes_c = sh.groupBy("doc_id").agg(F.count("*").alias("n_c"))
+    sizes_e = eval_sh.groupBy("doc_id").agg(F.count("*").alias("n_e")).select(
+        F.col("doc_id").alias("eval_id"), "n_e"
+    )
+    ev_sh = eval_sh.select(F.col("doc_id").alias("eval_id"), "shingle")
+    if broadcast_eval:
+        ev_sh, sizes_e = F.broadcast(ev_sh), F.broadcast(sizes_e)
+    inter = (
+        cand.join(sh, "doc_id")
+        .join(ev_sh, ["eval_id", "shingle"])
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(sizes_c, "doc_id")
+        .join(sizes_e, "eval_id")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("n_c") + F.col("n_e") - F.col("n_common")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_id", "eval_id", "jaccard")
+    )
+
+
 def jaccard_verify_candidates(
     sh_all: DataFrame, cand: DataFrame, threshold: float = 0.8
 ) -> DataFrame:

@@ -94,3 +94,50 @@ def test_histogram_matches_driver_side_count(corpus):
     want = dsir._batch_bucket_counts([t or "" for t in texts], 256)
     for b in range(256):
         assert got.get(b, 0) == int(want[b]), b
+
+
+# ---- fuzzy decontamination (bipartite LSH; functions/dedup.py) ----------
+
+
+def test_fuzzy_decontaminate_finds_near_dup_of_eval(spark):
+    from json_remedy_spark.functions.dedup import fuzzy_decontaminate
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep dark forest to hide from everyone there"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, base + " extra tail words here"),           # near-dup of eval 100
+            (2, "completely different text about cooking pasta with " 
+                "tomatoes basil garlic and olive oil on a sunday evening"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, base)], "doc_id long, text string"
+    )
+    pairs = fuzzy_decontaminate(corpus, eval_docs, threshold=0.5).collect()
+    assert [(r["doc_id"], r["eval_id"]) for r in pairs] == [(1, 100)]
+    assert pairs[0]["jaccard"] >= 0.5
+    # exact-dup of the eval doc scores 1.0
+    dup = spark.createDataFrame([(7, base)], "doc_id long, text string")
+    p2 = fuzzy_decontaminate(dup, eval_docs, threshold=0.9).collect()
+    assert len(p2) == 1 and p2[0]["jaccard"] == 1.0
+
+
+def test_fuzzy_decontaminate_eval_side_broadcasts(spark):
+    from json_remedy_spark.functions.dedup import fuzzy_decontaminate
+
+    corpus = spark.createDataFrame(
+        [(i, f"some words number {i} in a row repeated {i} again") for i in range(20)],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(0, "some words number 0")], "doc_id long, text string")
+    handles = []
+    pairs = fuzzy_decontaminate(corpus, ev, threshold=0.0, handles=handles)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    for h in handles:
+        h.unpersist()

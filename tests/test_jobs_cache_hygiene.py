@@ -188,3 +188,34 @@ def test_corpus_pipeline_dsir_and_lm_export(spark, pages_parquet, tmp_path):
         f"{lm_dir}/corpus_tri.parquet", f"{lm_dir}/corpus_bi.parquet"
     )
     assert np.isfinite(dense).all() and (dense < 0).all()
+
+
+def test_corpus_pipeline_fuzzy_decon(spark, pages_parquet, tmp_path):
+    """--fuzzy-decon with --eval-input drives the bipartite LSH gate:
+    a run decontaminated against ITSELF drops everything that survives
+    the earlier stages (every doc exact-matches its eval twin), and
+    the job leaks no persists."""
+    from jobs.run_corpus_pipeline import build_parser, run
+
+    spark.catalog.clearCache()
+    base_out = str(tmp_path / "base")
+    run(spark, build_parser().parse_args(
+        ["--input", pages_parquet, "--output", base_out]))
+    base_n = spark.read.parquet(base_out).count()
+    assert base_n > 0
+
+    # eval set = the cleaned output itself -> fuzzy gate drops all
+    import duckdb
+
+    out = str(tmp_path / "fz")
+    ev = str(tmp_path / "ev")
+    duckdb.sql(
+        f"COPY (SELECT row_number() OVER () AS doc_id, text "
+        f"FROM read_parquet('{base_out}/*.parquet')) TO '{ev}' (FORMAT PARQUET)"
+    )
+    msg = run(spark, build_parser().parse_args(
+        ["--input", pages_parquet, "--output", out,
+         "--eval-input", ev, "--fuzzy-decon", "0.9"]
+    ))
+    assert " -> 0 out" in msg
+    assert _sql_cache_empty(spark), "fuzzy decon leaked persisted DataFrames"
