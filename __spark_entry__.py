@@ -236,6 +236,26 @@ def q_contamination_overlap(spark, sf_dir):
     )
 
 
+# driver mixture: drop src0, halve src1, quarter src2, 2.5x src3,
+# everything else 1.0 — exercises drop / downsample / upsample /
+# default in one query
+MIXTURE_RATES = {"src0": 0.0, "src1": 0.5, "src2": 0.25, "src3": 2.5}
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Deterministic source-mixture resampling (corpus.mixture_sample;
+    The Pile per-set epochs / DoReMi domain weights): floor(rate) full
+    copies + md5-fractional extra, map-only.  Exact oracle: DuckDB
+    recomputes the md5 bucket, the copy count, and the unnested copy
+    index per doc."""
+    d = _t(spark, sf_dir, "documents")
+    return corpus.mixture_sample(d.select("doc_id", "source"), MIXTURE_RATES).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        F.col("copy").cast("long").alias("copy"),
+    )
+
+
 def q_pack_token_budget(spark, sf_dir):
     """Per-language token packing: deterministic doc_id-ordered prefix
     whose cumulative token count reaches the budget (floor semantics)."""
@@ -1509,6 +1529,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_sizes": q_dedup_cluster_sizes,
         "decontaminate": q_decontaminate,
         "fuzzy_decontaminate": q_fuzzy_decontaminate,
+        "mixture_sample": q_mixture_sample,
         "contamination_overlap": q_contamination_overlap,
         "pack_token_budget": q_pack_token_budget,
         "stratified_sample": q_stratified_sample,
@@ -2004,6 +2025,31 @@ def _quality_classifier_sql() -> str:
     """
 
 
+def _mixture_sample_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{s}' THEN {float(r)}" for s, r in MIXTURE_RATES.items()
+    )
+    bucket = _hex_to_int("md5(doc_id::VARCHAR || ':' || source)", 1, 8)
+    return f"""
+      WITH r AS (
+        SELECT doc_id, source,
+               CASE source {cases} ELSE 1.0 END AS rate,
+               ({bucket} % 10000) AS bucket
+        FROM documents
+      ),
+      n AS (
+        SELECT doc_id, source,
+               (floor(rate)::INT +
+                CASE WHEN bucket < round((rate - floor(rate)) * 10000)
+                     THEN 1 ELSE 0 END) AS n_copies
+        FROM r
+      )
+      SELECT doc_id::BIGINT AS doc_id, source,
+             unnest(range(0, n_copies))::BIGINT AS copy
+      FROM n WHERE n_copies > 0
+    """
+
+
 def _dsir_weights_cte() -> str:
     """Shared CTE chain: both DSIR oracles recompute the bucket
     histograms (raw + marker-augmented target), the add-k smoothed
@@ -2478,6 +2524,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "decontaminate": _decontaminate_sql(),
         "fuzzy_decontaminate": _fuzzy_decontaminate_sql(),
+        "mixture_sample": _mixture_sample_sql(),
         "contamination_overlap": f"""
           WITH sh AS ({_SHINGLES}),
           ev AS (SELECT doc_id FROM documents WHERE source = 'src0'),

@@ -623,6 +623,44 @@ def stratified_sample(
     )
 
 
+def mixture_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic source-mixture resampling — the domain-reweighting
+    move (The Pile's per-set epochs; DoReMi's optimized domain weights,
+    Xie et al. 2023): each document is kept ``rates[source]`` times in
+    expectation.  Rates may exceed 1 (upsampling): ``floor(rate)`` full
+    copies plus one extra copy with probability ``frac(rate)``.
+    Sources missing from ``rates`` default to 1.0 (pass 0.0 to drop).
+
+    Determinism: the fractional decision uses the portable md5 bucket
+    of ``(id, source)`` — reproducible across runs, engines, and
+    cluster sizes, and INDEPENDENT per source so re-tuning one
+    domain's rate never reshuffles another's sample.  Map-only: copies
+    come from an inline ``explode(sequence(...))``, no shuffle, no
+    rand().  Returns the input rows plus a ``copy`` index (0-based) —
+    downstream ids stay unique via ``(doc_id, copy)``."""
+    rate_col = F.lit(1.0)
+    for src, r in rates.items():
+        rate_col = F.when(F.col(source_col) == src, F.lit(float(r))).otherwise(rate_col)
+    bucket = hash_mod_bucket(
+        F.concat_ws(":", F.col(id_col).cast("string"), F.col(source_col)),
+        buckets=10000,
+    )
+    n_full = F.floor(rate_col).cast("int")
+    extra = (bucket < F.round((rate_col - n_full) * 10000).cast("long")).cast("int")
+    n_copies = (n_full + extra).alias("_n")
+    return (
+        docs.withColumn("_n", n_copies)
+        .where(F.col("_n") > 0)
+        .withColumn("copy", F.explode(F.sequence(F.lit(0), F.col("_n") - 1)))
+        .drop("_n")
+    )
+
+
 def dup_span_removal(
     docs: DataFrame,
     id_col: str = "doc_id",

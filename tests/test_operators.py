@@ -2062,3 +2062,39 @@ def test_extract_anchors_alignment(spark):
     d = spark.createDataFrame([("u", bytearray(html))], ["url", "html"])
     got = [(r["href"], r["anchor"]) for r in extract_anchors(d).collect()]
     assert got == [("https://a.com/1", "one"), ("/rel", "two"), ("https://c.com/3", "three")]
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    from json_remedy_spark.functions.corpus import mixture_sample
+
+    docs = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(2000)],
+        "doc_id long, source string",
+    )
+    out = mixture_sample(docs, {"a": 0.5, "b": 2.25}).toPandas()
+    a = out[out.source == "a"]
+    b = out[out.source == "b"]
+    # downsample: one copy each, about half survive (md5-fraction)
+    assert set(a["copy"]) == {0}
+    assert 400 <= len(a) <= 600
+    # upsample: every b doc gets >= 2 copies, ~25% get a third
+    per_b = b.groupby("doc_id")["copy"].count()
+    assert len(per_b) == 1000 and per_b.min() == 2
+    assert 2150 <= len(b) <= 2350
+    # copy indices are dense 0..n-1 per doc
+    assert (b.groupby("doc_id")["copy"].max() + 1 == per_b).all()
+    # deterministic
+    again = mixture_sample(docs, {"a": 0.5, "b": 2.25}).toPandas()
+    assert sorted(map(tuple, out.values.tolist())) == sorted(map(tuple, again.values.tolist()))
+
+
+def test_mixture_sample_defaults_and_drop(spark):
+    from json_remedy_spark.functions.corpus import mixture_sample
+
+    docs = spark.createDataFrame(
+        [(1, "keep"), (2, "gone")], "doc_id long, source string"
+    )
+    out = mixture_sample(docs, {"gone": 0.0}).collect()
+    assert [(r["doc_id"], r["copy"]) for r in out] == [(1, 0)]
+    plan = mixture_sample(docs, {"gone": 0.0})._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
