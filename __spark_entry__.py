@@ -236,6 +236,69 @@ def q_contamination_overlap(spark, sf_dir):
     )
 
 
+_BPE_MERGES_EXPORT = os.path.join(tempfile.gettempdir(), "jrs_bpe_merges")
+BPE_N_MERGES = 20
+
+
+def _bpe_learned(spark, sf_dir):
+    """Learn the merges and (re)write the export both BPE queries'
+    oracles read — idempotent (deterministic merges), so either query
+    can run first."""
+    from json_remedy_spark.functions.bpe import bpe_learn
+
+    d = _t(spark, sf_dir, "documents")
+    merges = bpe_learn(d, BPE_N_MERGES)
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank long, a string, b string",
+    )
+    df.write.mode("overwrite").parquet(_BPE_MERGES_EXPORT)
+    return merges, df
+
+
+def q_bpe_pair_counts(spark, sf_dir):
+    """Round-0 BPE statistic (functions/bpe.py:pair_counts): weighted
+    adjacent char-pair counts over the distributed word-frequency
+    table.  Exact closed-form oracle."""
+    from json_remedy_spark.functions.bpe import pair_counts, word_freqs
+
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return pair_counts(word_freqs(d)).select(
+        "a", "b", F.col("cnt").cast("long").alias("cnt")
+    )
+
+
+def q_bpe_merges(spark, sf_dir):
+    """In-engine BPE tokenizer learning (Sennrich et al. 2016): the
+    learned (rank, a, b) merge table.  The oracle replays the exported
+    sequence with a recursive CTE — every intermediate segmentation
+    and every round's pair counts recomputed from raw documents — and
+    emits each round's INDEPENDENT argmax: a wrong merge at any round
+    hash-mismatches."""
+    _, df = _bpe_learned(spark, sf_dir)
+    return df
+
+
+def q_bpe_tokens(spark, sf_dir):
+    """Corpus encoding under the learned merges
+    (functions/bpe.py:bpe_token_counts): per-doc token counts from the
+    zero-shuffle encoder kernel; the oracle re-derives the final
+    segmentation of every vocabulary word via the recursive CTE and
+    re-aggregates per doc."""
+    from json_remedy_spark.functions.bpe import bpe_token_counts
+
+    merges, _ = _bpe_learned(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return bpe_token_counts(d, merges).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+    )
+
+
 # driver mixture: drop src0, halve src1, quarter src2, 2.5x src3,
 # everything else 1.0 — exercises drop / downsample / upsample /
 # default in one query
@@ -1489,6 +1552,7 @@ EXPORT_SCHEMAS: dict[str, str] = {
     _SEMDEDUP_EXPORT: "vec_id BIGINT, cell INTEGER, keep BOOLEAN",
     _LAYER_HITS_EXPORT: "layer VARCHAR, hits INTEGER",
     _REPAIR_ACTIONS_EXPORT: "action VARCHAR",
+    _BPE_MERGES_EXPORT: "rank BIGINT, a VARCHAR, b VARCHAR",
     _REPAIR_DEBUG_EXPORT: "layer VARCHAR, status VARCHAR, repairs BIGINT",
 }
 
@@ -1530,6 +1594,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "fuzzy_decontaminate": q_fuzzy_decontaminate,
         "mixture_sample": q_mixture_sample,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "bpe_merges": q_bpe_merges,
+        "bpe_tokens": q_bpe_tokens,
         "contamination_overlap": q_contamination_overlap,
         "pack_token_budget": q_pack_token_budget,
         "stratified_sample": q_stratified_sample,
@@ -2022,6 +2089,80 @@ def _quality_classifier_sql() -> str:
              CASE WHEN coalesce(s_hi, 0) - coalesce(s_lo, 0) > 0
                   THEN 'high' ELSE 'low' END AS quality_label
       FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+    """
+
+
+_BPE_WF = """
+  words AS (SELECT doc_id,
+              unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+            FROM documents),
+  wf AS (SELECT word, count(*) AS freq FROM words GROUP BY word)
+"""
+
+# seg: round-r space-delimited segmentation of every vocabulary word,
+# driven by the exported merge table.  replace()'s left-to-right
+# non-overlapping scan over ' a b ' -> ' ab ' IS BPE's greedy
+# within-word merge (leading/trailing sentinels keep token boundaries
+# exact; consecutive occurrences re-match after the consumed space).
+_BPE_SEG = f"""
+  m AS (SELECT rank, a, b FROM read_parquet('{_BPE_MERGES_EXPORT}/*.parquet')),
+  seg AS (
+    SELECT 0 AS r, word, freq,
+           ' ' || array_to_string(
+             list_transform(range(1, len(word) + 1), i -> word[i]), ' ') || ' ' AS s
+    FROM wf
+    UNION ALL
+    SELECT seg.r + 1, seg.word, seg.freq,
+           replace(seg.s, ' ' || m.a || ' ' || m.b || ' ',
+                          ' ' || m.a || m.b || ' ')
+    FROM seg JOIN m ON m.rank = seg.r
+  )
+"""
+
+
+def _bpe_pair_counts_sql() -> str:
+    return f"""
+      WITH {_BPE_WF},
+      p AS (SELECT word[x.i] AS a, word[x.i + 1] AS b, freq
+            FROM wf, LATERAL (SELECT unnest(range(1, len(word))) AS i) x)
+      SELECT a, b, sum(freq)::BIGINT AS cnt FROM p GROUP BY a, b
+    """
+
+
+def _bpe_merges_sql() -> str:
+    return f"""
+      WITH RECURSIVE {_BPE_WF}, {_BPE_SEG},
+      counts AS (
+        SELECT seg.r, t.a, t.b, sum(seg.freq) AS cnt
+        FROM seg,
+             LATERAL (
+               SELECT toks[i] AS a, toks[i + 1] AS b
+               FROM (SELECT string_split(trim(seg.s), ' ') AS toks) z,
+                    LATERAL (SELECT unnest(range(1, len(toks))) AS i) y
+             ) t
+        WHERE seg.r < (SELECT count(*) FROM m)
+        GROUP BY seg.r, t.a, t.b
+      )
+      SELECT r::BIGINT AS rank, a, b FROM (
+        SELECT r, a, b,
+               row_number() OVER (PARTITION BY r ORDER BY cnt DESC, a, b) AS rn
+        FROM counts) WHERE rn = 1 ORDER BY rank
+    """
+
+
+def _bpe_tokens_sql() -> str:
+    return f"""
+      WITH RECURSIVE {_BPE_WF}, {_BPE_SEG},
+      fin AS (SELECT word, len(string_split(trim(s), ' ')) AS n
+              FROM seg WHERE r = (SELECT count(*) FROM m)),
+      per_doc AS (
+        SELECT words.doc_id, sum(fin.n) AS n_tokens
+        FROM words JOIN fin ON fin.word = words.word
+        GROUP BY words.doc_id
+      )
+      SELECT d.doc_id::BIGINT AS doc_id,
+             coalesce(p.n_tokens, 0)::BIGINT AS n_tokens
+      FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
     """
 
 
@@ -2525,6 +2666,9 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _decontaminate_sql(),
         "fuzzy_decontaminate": _fuzzy_decontaminate_sql(),
         "mixture_sample": _mixture_sample_sql(),
+        "bpe_pair_counts": _bpe_pair_counts_sql(),
+        "bpe_merges": _bpe_merges_sql(),
+        "bpe_tokens": _bpe_tokens_sql(),
         "contamination_overlap": f"""
           WITH sh AS ({_SHINGLES}),
           ev AS (SELECT doc_id FROM documents WHERE source = 'src0'),
