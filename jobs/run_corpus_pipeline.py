@@ -125,6 +125,22 @@ def build_parser() -> argparse.ArgumentParser:
         "scoring pass (the CCNet loop)",
     )
     ap.add_argument(
+        "--train-bpe-out",
+        default=None,
+        help="after the final corpus is fixed, learn N BPE merges on "
+        "it in-engine (--bpe-merges, default 200) and export the "
+        "(rank, a, b) merge table parquet",
+    )
+    ap.add_argument("--bpe-merges", type=int, default=200)
+    ap.add_argument(
+        "--mixture",
+        default=None,
+        help="source-mixture resampling before packing: "
+        "'src1=0.5,src2=2.0' — rates >1 upsample (extra copies), "
+        "unlisted sources keep rate 1.0; requires a source column "
+        "(falls back to lang_id when none)",
+    )
+    ap.add_argument(
         "--shard-tokens",
         type=int,
         default=0,
@@ -342,6 +358,24 @@ def run(spark, args) -> str:
             return d.join(sel.select("doc_id"), "doc_id", "left_semi")
         docs = stage("s6b_dsir", _dsir)
 
+    # 4c. optional source-mixture resampling (domain reweighting):
+    # map-only; upsampled copies get a distinct doc_id via the copy
+    # index so every downstream join key stays unique
+    if args.mixture:
+        from json_remedy_spark.functions.corpus import mixture_sample
+
+        rates = {
+            kv.split("=")[0]: float(kv.split("=")[1])
+            for kv in args.mixture.split(",")
+        }
+        src_col = "source" if "source" in docs.columns else "lang_id"
+        docs = stage(
+            "s6c_mixture",
+            lambda d=docs: mixture_sample(d, rates, source_col=src_col)
+            .withColumn("doc_id", F.xxhash64(F.col("doc_id"), F.col("copy")))
+            .drop("copy"),
+        )
+
     # 5. optional per-language token budget
     if args.token_budget:
         def _pack(d=docs):
@@ -372,6 +406,16 @@ def run(spark, args) -> str:
             os.path.join(args.train_lm_out, "corpus_tri.parquet"),
             os.path.join(args.train_lm_out, "corpus_bi.parquet"),
         )
+    # side artifact: learn a BPE merge table on the corpus we just
+    # built (tokenizer training where the data is)
+    if args.train_bpe_out:
+        from json_remedy_spark.functions.bpe import bpe_learn
+
+        merges = bpe_learn(out_cols, args.bpe_merges)
+        spark.createDataFrame(
+            [(i, a, b) for i, (a, b) in enumerate(merges)],
+            "rank long, a string, b string",
+        ).write.mode("overwrite").parquet(args.train_bpe_out)
     n_out = docs.count()
     for h in job_handles:
         h.unpersist()

@@ -219,3 +219,34 @@ def test_corpus_pipeline_fuzzy_decon(spark, pages_parquet, tmp_path):
     ))
     assert " -> 0 out" in msg
     assert _sql_cache_empty(spark), "fuzzy decon leaked persisted DataFrames"
+
+
+def test_corpus_pipeline_mixture_and_bpe_export(spark, pages_parquet, tmp_path):
+    """--mixture upsamples a language deterministically (unique ids
+    preserved), --train-bpe-out exports a loadable merge table; no
+    leaked persists."""
+    import duckdb
+
+    from jobs.run_corpus_pipeline import build_parser, run
+
+    spark.catalog.clearCache()
+    base_out = str(tmp_path / "base")
+    run(spark, build_parser().parse_args(
+        ["--input", pages_parquet, "--output", base_out]))
+    base_n = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{base_out}/*.parquet')").fetchone()[0]
+
+    out = str(tmp_path / "mix")
+    bpe_out = str(tmp_path / "bpe")
+    msg = run(spark, build_parser().parse_args(
+        ["--input", pages_parquet, "--output", out,
+         "--mixture", "en=2.0", "--train-bpe-out", bpe_out,
+         "--bpe-merges", "10"]
+    ))
+    assert _sql_cache_empty(spark), "mixture/bpe stages leaked persists"
+    n = duckdb.sql(f"SELECT count(*) FROM read_parquet('{out}/*.parquet')").fetchone()[0]
+    assert n > base_n  # english docs doubled
+    merges = duckdb.sql(
+        f"SELECT rank, a, b FROM read_parquet('{bpe_out}/*.parquet') ORDER BY rank"
+    ).fetchall()
+    assert len(merges) == 10 and [m[0] for m in merges] == list(range(10))
