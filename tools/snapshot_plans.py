@@ -364,6 +364,59 @@ def main():
         )
     )
 
+    from json_remedy_spark.functions.dedup import fuzzy_decontaminate
+
+    ev = docs.where(F.col("doc_id") % 7 == 0).select("doc_id", "text")
+    fz = fuzzy_decontaminate(docs.select("doc_id", "text"), ev, threshold=0.5)
+    fzplan = formatted(fz)
+    sections.append(
+        (
+            "fuzzy_decontaminate (bipartite LSH + jaccard verify)",
+            f"BroadcastHashJoin present: {'BroadcastHashJoin' in fzplan} — the "
+            "eval side's banded signatures and shingles broadcast; the corpus "
+            "never self-joins, and the verify joins are semi-join-pruned to "
+            "bucket-candidate docs\n\n" + fzplan[:2200],
+        )
+    )
+
+    from json_remedy_spark.functions.corpus import mixture_sample
+
+    mx = mixture_sample(
+        docs.select("doc_id", "source"), {"src0": 0.5, "src1": 2.5}
+    )
+    mxplan = formatted(mx)
+    sections.append(
+        (
+            "mixture_sample (domain reweighting, map-only)",
+            f"Exchange tree nodes: {tree_nodes(mxplan, 'Exchange')} (budget 0 — "
+            "md5-fractional keep + explode(sequence) copies, no rand(), "
+            "no shuffle)\n\n" + mxplan[:1200],
+        )
+    )
+
+    from json_remedy_spark.functions.bpe import bpe_token_counts, pair_counts, word_freqs
+
+    pc = pair_counts(word_freqs(docs))
+    pcplan = formatted(pc)
+    sections.append(
+        (
+            "bpe pair_counts (vocabulary-bounded training statistic)",
+            f"Exchange tree nodes: {tree_nodes(pcplan, 'Exchange')} (budget 2 — "
+            "word-freq agg with map-side combine, then the pair agg; both "
+            "shuffles are VOCABULARY-sized, never corpus-sized)\n\n"
+            + pcplan[:1500],
+        )
+    )
+    enc = bpe_token_counts(docs.select("doc_id", "text"), [("e", "s"), ("es", "t")])
+    encplan = formatted(enc)
+    sections.append(
+        (
+            "bpe_token_counts (corpus encoder, zero-shuffle)",
+            f"Exchange tree nodes: {tree_nodes(encplan, 'Exchange')} (budget 0 — "
+            "one MapInPandas with a per-batch word memo)\n\n" + encplan[:1000],
+        )
+    )
+
     out = ["# Physical plan evidence (generated by tools/snapshot_plans.py)\n"]
     for title, body in sections:
         out.append(f"\n## {title}\n\n```\n{body}\n```\n")
