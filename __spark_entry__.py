@@ -916,6 +916,35 @@ def q_ppl_trained(spark, sf_dir):
     )
 
 
+_KN_COUNTS = os.path.join(_TRAINED_LM_DIR, "kn_counts.parquet")
+
+
+def q_kn_perplexity(spark, sf_dir):
+    """Interpolated Kneser-Ney perplexity (the smoothing real KenLM
+    uses; functions/perplexity.py:kn_logp_from_counts): trigram counts
+    trained on the corpus in-engine, shipped as the raw sparse count
+    artifact via SparkFiles, each worker building the dense KN table
+    once.  Closed-form oracle: DuckDB recomputes every continuation /
+    type count and the three-level interpolation formula from the
+    documents table alone."""
+    from json_remedy_spark.functions.perplexity import (
+        make_kn_perplexity_udf,
+        train_trigram_counts,
+        write_trigram_counts,
+    )
+
+    os.makedirs(_TRAINED_LM_DIR, exist_ok=True)
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    write_trigram_counts(train_trigram_counts(d), _KN_COUNTS)
+    ppl = make_kn_perplexity_udf(_KN_COUNTS)
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.round(ppl(F.col("text")), 4).alias("ppl"),
+    )
+
+
 def q_ppl_buckets(spark, sf_dir):
     """CCNet head/middle/tail perplexity stratification: per language,
     tertile cutoffs from a (lang x grid-bucket) histogram — never a
@@ -1637,6 +1666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppl_buckets": q_ppl_buckets,
         "trigram_lm": q_trigram_lm,
         "ppl_trained": q_ppl_trained,
+        "kn_perplexity": q_kn_perplexity,
         "script_mix": q_script_mix,
         "canonical_url": q_canonical_url,
         "url_dedup": q_url_dedup,
@@ -2540,6 +2570,78 @@ def _ppl_trained_sql() -> str:
     """
 
 
+def _kn_perplexity_sql() -> str:
+    """Closed-form interpolated-KN oracle: trigram counts, every
+    continuation/type count, and the three-level formula recomputed
+    from `documents`; expression trees mirror the numpy build
+    (kn_logp_from_counts) term for term so round(4) matches."""
+    from json_remedy_spark.functions.perplexity import (
+        _VOCAB,
+        KN_DISCOUNT,
+        MAX_SCORED_CHARS,
+    )
+
+    V, D = _VOCAB, KN_DISCOUNT
+    return f"""
+      WITH {_byte_trigram_cte("tr", "lower(coalesce(text, ''))")},
+      {_byte_trigram_cte("sc", f"lower(substr(coalesce(text, ''), 1, {MAX_SCORED_CHARS}))")},
+      c3tab AS (SELECT tri, count(*)::DOUBLE AS c3 FROM tr_tris WHERE full_tri GROUP BY tri),
+      c2tab AS (SELECT tri // {V} AS bp, sum(c3) AS c2, count(*)::DOUBLE AS n1f
+                FROM c3tab GROUP BY tri // {V}),
+      cbtab AS (SELECT tri % {V * V} AS bs, count(*)::DOUBLE AS cont_bi
+                FROM c3tab GROUP BY tri % {V * V}),
+      midtab AS (SELECT (tri // {V}) % {V} AS w2, count(*)::DOUBLE AS n1_mid
+                 FROM c3tab GROUP BY (tri // {V}) % {V}),
+      bftab AS (SELECT bs // {V} AS w2, count(*)::DOUBLE AS n1_bi_fwd
+                FROM cbtab GROUP BY bs // {V}),
+      cutab AS (SELECT bs % {V} AS w3, count(*)::DOUBLE AS cont_uni
+                FROM cbtab GROUP BY bs % {V}),
+      scal AS (SELECT (SELECT count(*) FROM cbtab)::DOUBLE AS nbt,
+                      (SELECT count(*) FROM cutab)::DOUBLE AS u),
+      scored AS (
+        SELECT s.doc_id,
+               ln(
+                 CASE WHEN coalesce(c2t.c2, 0) > 0 THEN
+                   (greatest(coalesce(c3t.c3, 0) - {D}, 0)
+                    + {D} * c2t.n1f *
+                      (CASE WHEN coalesce(mt.n1_mid, 0) > 0 THEN
+                         (greatest(coalesce(cb.cont_bi, 0) - {D}, 0)
+                          + {D} * coalesce(bf.n1_bi_fwd, 0) *
+                            ((greatest(coalesce(cu.cont_uni, 0) - {D}, 0)
+                              + {D} * scal.u / {V}) / scal.nbt))
+                         / mt.n1_mid
+                       ELSE (greatest(coalesce(cu.cont_uni, 0) - {D}, 0)
+                             + {D} * scal.u / {V}) / scal.nbt END))
+                   / c2t.c2
+                 ELSE
+                   (CASE WHEN coalesce(mt.n1_mid, 0) > 0 THEN
+                      (greatest(coalesce(cb.cont_bi, 0) - {D}, 0)
+                       + {D} * coalesce(bf.n1_bi_fwd, 0) *
+                         ((greatest(coalesce(cu.cont_uni, 0) - {D}, 0)
+                           + {D} * scal.u / {V}) / scal.nbt))
+                      / mt.n1_mid
+                    ELSE (greatest(coalesce(cu.cont_uni, 0) - {D}, 0)
+                          + {D} * scal.u / {V}) / scal.nbt END)
+                 END
+               ) AS logp
+        FROM sc_tris s
+        CROSS JOIN scal
+        LEFT JOIN c3tab c3t ON c3t.tri = s.tri
+        LEFT JOIN c2tab c2t ON c2t.bp = s.tri // {V}
+        LEFT JOIN cbtab cb ON cb.bs = s.tri % {V * V}
+        LEFT JOIN midtab mt ON mt.w2 = (s.tri // {V}) % {V}
+        LEFT JOIN bftab bf ON bf.w2 = (s.tri // {V}) % {V}
+        LEFT JOIN cutab cu ON cu.w3 = s.tri % {V}
+        WHERE s.full_tri
+      )
+      SELECT d.doc_id::BIGINT AS doc_id,
+             (CASE WHEN length(coalesce(d.text, '')) < 3 THEN 20.0
+                   ELSE round(-avg(s.logp), 4) END)::DOUBLE AS ppl
+      FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+      GROUP BY d.doc_id, d.text
+    """
+
+
 def _perplexity_sql() -> str:
     """Exact DuckDB oracle for the char-trigram perplexity model: the
     sparse trained counts live in parquet (functions/perplexity.py
@@ -2819,6 +2921,7 @@ def oracle_sql() -> dict[str, str]:
         "perplexity": _perplexity_sql(),
         "trigram_lm": _trigram_lm_sql(),
         "ppl_trained": _ppl_trained_sql(),
+        "kn_perplexity": _kn_perplexity_sql(),
         "ppl_histogram": f"""
           WITH p AS ({_perplexity_sql()})
           SELECT (floor(ppl / 0.125) * 0.125)::DOUBLE AS ppl_bucket,

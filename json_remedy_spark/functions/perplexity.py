@@ -230,6 +230,136 @@ def write_trained_lm(tri_counts, tri_path: str, bi_path: str) -> tuple[int, int]
     return len(tri_idx), len(bi_idx)
 
 
+# --------------------------------------------------------------------------
+# interpolated Kneser-Ney smoothing (Kneser & Ney 1995; Chen & Goodman
+# 1999) — the smoothing real KenLM uses, built from the same sparse
+# trigram counts
+# --------------------------------------------------------------------------
+
+KN_DISCOUNT = 0.75
+
+
+def kn_logp_from_counts(
+    tri_idx, cnt, d: float = KN_DISCOUNT
+) -> np.ndarray:
+    """Dense interpolated-KN trigram log-prob table from a sparse
+    (tri, cnt) count table.  Every level sums to 1 over the alphabet:
+
+      p1(w3)       = (max(N1+(.w3) - D, 0) + D*U/V) / N1+(..)
+      p2(w3|w2)    = (max(N1+(.w2w3) - D, 0)
+                      + D*N1+(w2.)*p1(w3)) / N1+(.w2.)   [p1 if ctx unseen]
+      p3(w3|w1w2)  = (max(c(w1w2w3) - D, 0)
+                      + D*N1+(w1w2.)*p2(w3|w2)) / c(w1w2) [p2 if ctx unseen]
+
+    where continuation counts N1+ are type counts over the trigram
+    table (the boundary bigrams a doc contributes beyond its trigrams
+    are deliberately out of model — the spec is self-consistent from
+    the trigram table alone, which is what the engine aggregates).
+    All arrays are vocabulary-sized (V^3 floats); the build is
+    vectorized and runs once per worker process."""
+    V = _VOCAB
+    tri_idx = np.asarray(tri_idx, dtype=np.int64)
+    cnt = np.asarray(cnt, dtype=np.float64)
+    w3 = tri_idx % V
+    bi_prefix = tri_idx // V            # (w1,w2)
+    bi_suffix = tri_idx % (V * V)       # (w2,w3)
+    w2 = bi_prefix % V
+
+    c3 = np.zeros(V * V * V, dtype=np.float64)
+    c3[tri_idx] = cnt
+    c2 = np.zeros(V * V, dtype=np.float64)      # c(w1w2)
+    np.add.at(c2, bi_prefix, cnt)
+    n1_fwd = np.zeros(V * V, dtype=np.float64)  # N1+(w1w2 .)
+    np.add.at(n1_fwd, bi_prefix, 1.0)
+    n1_mid = np.zeros(V, dtype=np.float64)      # N1+(. w2 .)
+    np.add.at(n1_mid, w2, 1.0)
+    cont_bi = np.zeros(V * V, dtype=np.float64)  # N1+(. w2w3)
+    np.add.at(cont_bi, bi_suffix, 1.0)
+    seen_bs = np.nonzero(cont_bi)[0]
+    n1_bi_fwd = np.zeros(V, dtype=np.float64)   # N1+(w2 .) over bigram types
+    np.add.at(n1_bi_fwd, seen_bs // V, 1.0)
+    cont_uni = np.zeros(V, dtype=np.float64)    # N1+(. w3) over bigram types
+    np.add.at(cont_uni, seen_bs % V, 1.0)
+    n_bi_types = float(len(seen_bs))            # N1+(..)
+    n_uni = float(np.count_nonzero(cont_uni))   # U
+
+    if n_bi_types == 0:
+        return np.full(V * V * V, -np.log(V), dtype=np.float64)
+    p1 = (np.maximum(cont_uni - d, 0.0) + d * n_uni / V) / n_bi_types
+    # p2 as a dense [w2, w3] matrix
+    cb = cont_bi.reshape(V, V)
+    p2 = np.where(
+        n1_mid[:, None] > 0,
+        (np.maximum(cb - d, 0.0) + d * n1_bi_fwd[:, None] * p1[None, :])
+        / np.where(n1_mid[:, None] > 0, n1_mid[:, None], 1.0),
+        p1[None, :],
+    )
+    # p3 as dense [w1w2, w3]
+    c3m = c3.reshape(V * V, V)
+    w2_of_ctx = np.arange(V * V) % V
+    p2_of_ctx = p2[w2_of_ctx]  # [V*V, V]
+    p3 = np.where(
+        c2[:, None] > 0,
+        (np.maximum(c3m - d, 0.0) + d * n1_fwd[:, None] * p2_of_ctx)
+        / np.where(c2[:, None] > 0, c2[:, None], 1.0),
+        p2_of_ctx,
+    )
+    return np.log(p3).reshape(-1)
+
+
+def write_trigram_counts(tri_counts, path: str) -> int:
+    """Raw sparse (tri, cnt) counts as one parquet file — the KN model
+    artifact (workers rebuild the dense KN table from counts; the
+    add-k path ships precomputed logs instead, ``write_trained_lm``)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = tri_counts.collect()
+    tri = np.array([r["tri"] for r in rows], dtype=np.int64)
+    c = np.array([r["cnt"] for r in rows], dtype=np.int64)
+    order = np.argsort(tri)
+    pq.write_table(pa.table({"tri": tri[order], "cnt": c[order]}), path)
+    return len(rows)
+
+
+def load_trigram_counts(path: str) -> tuple[np.ndarray, np.ndarray]:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path).to_pydict()
+    return (
+        np.asarray(t["tri"], dtype=np.int64),
+        np.asarray(t["cnt"], dtype=np.int64),
+    )
+
+
+def make_kn_perplexity_udf(counts_path: str):
+    """KN-smoothed scoring UDF: the sparse counts ship via SparkFiles
+    and each worker process builds the dense KN table once (cached by
+    basename).  Same scoring kernel / plan shape as the add-k UDF."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import SparkSession
+    from pyspark.sql.functions import pandas_udf
+
+    name = os.path.basename(counts_path)
+    SparkSession.active().sparkContext.addFile(counts_path)
+
+    @pandas_udf("double")
+    def kn_perplexity(texts: pd.Series) -> pd.Series:
+        from pyspark import SparkFiles
+
+        key = ("kn", name)
+        if key not in _PPL_MODEL_CACHE:
+            tri, c = load_trigram_counts(SparkFiles.get(name))
+            _PPL_MODEL_CACHE[key] = kn_logp_from_counts(tri, c)
+        return pd.Series(
+            score_texts(texts.fillna("").tolist(), logp=_PPL_MODEL_CACHE[key])
+        )
+
+    return kn_perplexity
+
+
 MAX_PERPLEXITY = 10.0  # keep threshold (natural prose scores ~1-4)
 
 

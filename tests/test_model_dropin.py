@@ -252,3 +252,55 @@ def test_trained_lm_counts_ignore_short_and_null(spark, tmp_path):
     )
     rows = train_trigram_counts(docs).collect()
     assert len(rows) == 1 and rows[0]["cnt"] == 1
+
+
+def test_kn_table_is_a_distribution_and_prefers_seen():
+    import collections
+
+    from json_remedy_spark.functions.perplexity import (
+        _VOCAB,
+        _char_ids,
+        kn_logp_from_counts,
+    )
+
+    ids = _char_ids("the quick brown fox jumps over the lazy dog " * 20)
+    tri = (ids[:-2] * _VOCAB + ids[1:-1]) * _VOCAB + ids[2:]
+    c = collections.Counter(tri.tolist())
+    tri_idx = np.array(sorted(c))
+    cnt = np.array([c[t] for t in tri_idx])
+    logp = kn_logp_from_counts(tri_idx, cnt)
+    p = np.exp(logp).reshape(_VOCAB * _VOCAB, _VOCAB)
+    assert np.allclose(p.sum(axis=1), 1.0, atol=1e-9)
+    t0 = int(tri_idx[0])
+    ctx = t0 // _VOCAB
+    unseen = next(w for w in range(_VOCAB) if ctx * _VOCAB + w not in c)
+    assert logp[t0] > logp[ctx * _VOCAB + unseen]
+    # empty model falls back to uniform
+    uni = kn_logp_from_counts(np.array([], dtype=np.int64), np.array([]))
+    assert np.allclose(uni, -np.log(_VOCAB))
+
+
+def test_kn_scoring_through_sparkfiles_matches_driver(spark, docs, tmp_path):
+    from pyspark.sql import functions as F
+
+    from json_remedy_spark.functions.perplexity import (
+        kn_logp_from_counts,
+        load_trigram_counts,
+        make_kn_perplexity_udf,
+        score_texts,
+        train_trigram_counts,
+        write_trigram_counts,
+    )
+
+    path = str(tmp_path / "kn_counts.parquet")
+    write_trigram_counts(train_trigram_counts(docs), path)
+    udf = make_kn_perplexity_udf(path)
+    got = {
+        r["doc_id"]: r["ppl"]
+        for r in docs.select("doc_id", udf(F.col("text")).alias("ppl")).collect()
+    }
+    dense = kn_logp_from_counts(*load_trigram_counts(path))
+    rows = docs.collect()
+    want = score_texts([r["text"] or "" for r in rows], logp=dense)
+    for r, w in zip(rows, want):
+        assert got[r["doc_id"]] == pytest.approx(float(w), abs=1e-12)
