@@ -134,6 +134,35 @@ def q_jaccard_pairs(spark, sf_dir):
     )
 
 
+def q_lsh_recall(spark, sf_dir):
+    """Banding-quality evidence (the minhash analogue of ann_recall):
+    recall and precision of the LSH candidate set against EXACT
+    all-pairs jaccard >= 0.5 ground truth, both computed in-engine.
+    At 12 hashes / 4 bands the S-curve puts ~0.5-jaccard pairs near
+    the collision knee — the measured numbers quantify it.  Exact
+    oracle: DuckDB recomputes truth, candidates, and both ratios."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    truth = dedup.jaccard_pairs(d, threshold=0.5).select("doc_a", "doc_b")
+    cand = dedup.lsh_candidate_pairs(d)
+    hit = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
+    t = truth.agg(F.count("*").alias("n_true"))
+    c = cand.agg(F.count("*").alias("n_cand"))
+    h = hit.agg(F.count("*").alias("n_hit"))
+    return (
+        t.crossJoin(c)
+        .crossJoin(h)
+        .select(
+            F.col("n_true").cast("long").alias("n_true"),
+            F.col("n_cand").cast("long").alias("n_cand"),
+            F.col("n_hit").cast("long").alias("n_hit"),
+            F.round(F.col("n_hit") / F.col("n_true"), 4).cast("double").alias("recall"),
+            F.round(F.col("n_hit") / F.col("n_cand"), 4).cast("double").alias("precision"),
+        )
+    )
+
+
 def q_simhash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return dedup.simhash(d).select(
@@ -693,6 +722,42 @@ def q_langid(spark, sf_dir):
         d.withColumn("lang_id", langid.detect_language(F.col("text")))
         .groupBy("lang_id")
         .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def q_filter_funnel(spark, sf_dir):
+    """RefinedWeb-style filter ablation table: per-rule violation
+    counts over the corpus plus the fused keep count — the one-row
+    summary a pipeline writeup reports.  Conditions reuse the exact
+    metric expressions the bit-exact `quality_stats` oracle pins, so
+    each comparison agrees across engines; one map-only pass, one
+    scalar aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    h = quality.hof_metrics(t)
+    nw, mwl, dr = (
+        h.getField("n_words"),
+        h.getField("mean_word_len"),
+        h.getField("distinct_ratio"),
+    )
+    rules = {
+        "too_few_words": nw < quality.MIN_WORDS,
+        "too_many_words": nw > quality.MAX_WORDS,
+        "bad_mean_word_len": (mwl < quality.MIN_MEAN_WORD_LEN)
+        | (mwl > quality.MAX_MEAN_WORD_LEN),
+        "symbol_heavy": quality.symbol_ratio(t) > quality.MAX_SYMBOL_RATIO,
+        "no_stopword": ~quality.has_stopword(t),
+        "low_distinct_ratio": dr < quality.MIN_DISTINCT_RATIO,
+    }
+    return d.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        *[
+            F.sum(F.when(c, 1).otherwise(0)).cast("long").alias(name)
+            for name, c in rules.items()
+        ],
+        F.sum(F.when(quality.passes_quality(t, hof=h), 1).otherwise(0))
+        .cast("long")
+        .alias("kept"),
     )
 
 
@@ -1615,6 +1680,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "lsh_candidate_pairs": q_lsh_candidate_pairs,
         "jaccard_pairs": q_jaccard_pairs,
+        "lsh_recall": q_lsh_recall,
+        "filter_funnel": q_filter_funnel,
         "simhash": q_simhash,
         "simhash_near_dup": q_simhash_near_dup,
         "lsh_jaccard_verified": q_lsh_jaccard_verified,
@@ -2221,6 +2288,38 @@ def _mixture_sample_sql() -> str:
     """
 
 
+def _filter_funnel_sql() -> str:
+    from json_remedy_spark.functions.quality import (
+        MAX_MEAN_WORD_LEN,
+        MAX_SYMBOL_RATIO,
+        MAX_WORDS,
+        MIN_DISTINCT_RATIO,
+        MIN_MEAN_WORD_LEN,
+        MIN_WORDS,
+    )
+
+    q = quality.quality_sql("text")
+    nw, mwl, sym, stop, dr = (
+        q["q_n_words"],
+        q["q_mean_word_len"],
+        q["q_symbol_ratio"],
+        q["q_has_stopword"],
+        q["q_distinct_ratio"],
+    )
+    return f"""
+      SELECT count(*)::BIGINT AS n_docs,
+             sum(CASE WHEN {nw} < {MIN_WORDS} THEN 1 ELSE 0 END)::BIGINT AS too_few_words,
+             sum(CASE WHEN {nw} > {MAX_WORDS} THEN 1 ELSE 0 END)::BIGINT AS too_many_words,
+             sum(CASE WHEN {mwl} < {MIN_MEAN_WORD_LEN}
+                       OR {mwl} > {MAX_MEAN_WORD_LEN} THEN 1 ELSE 0 END)::BIGINT AS bad_mean_word_len,
+             sum(CASE WHEN {sym} > {MAX_SYMBOL_RATIO} THEN 1 ELSE 0 END)::BIGINT AS symbol_heavy,
+             sum(CASE WHEN NOT ({stop}) THEN 1 ELSE 0 END)::BIGINT AS no_stopword,
+             sum(CASE WHEN {dr} < {MIN_DISTINCT_RATIO} THEN 1 ELSE 0 END)::BIGINT AS low_distinct_ratio,
+             sum(CASE WHEN {q["passes"]} THEN 1 ELSE 0 END)::BIGINT AS kept
+      FROM documents
+    """
+
+
 def _dsir_weights_cte() -> str:
     """Shared CTE chain: both DSIR oracles recompute the bucket
     histograms (raw + marker-augmented target), the add-k smoothed
@@ -2754,6 +2853,31 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5
         """,
+        "lsh_recall": f"""
+            WITH {_lsh_ctes()},
+            sh AS ({_SHINGLES}),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            ),
+            truth AS (
+              SELECT doc_a, doc_b FROM inter
+              JOIN sizes sa ON sa.doc_id = doc_a
+              JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+            ),
+            hit AS (SELECT t.doc_a, t.doc_b FROM truth t
+                    JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b)
+            SELECT (SELECT count(*) FROM truth)::BIGINT AS n_true,
+                   (SELECT count(*) FROM cand)::BIGINT AS n_cand,
+                   (SELECT count(*) FROM hit)::BIGINT AS n_hit,
+                   round((SELECT count(*) FROM hit) * 1.0
+                         / (SELECT count(*) FROM truth), 4)::DOUBLE AS recall,
+                   round((SELECT count(*) FROM hit) * 1.0
+                         / (SELECT count(*) FROM cand), 4)::DOUBLE AS precision
+        """,
         "simhash": _simhash_sql(),
         "simhash_near_dup": _simhash_near_dup_sql(),
         "lsh_jaccard_verified": _lsh_verified_sql(),
@@ -3013,6 +3137,7 @@ def oracle_sql() -> dict[str, str]:
           FROM reach GROUP BY u
         """,
         "langid": f"SELECT {lang_expr} AS lang_id, count(*)::BIGINT AS n FROM documents GROUP BY 1",
+        "filter_funnel": _filter_funnel_sql(),
         "quality_stats": f"""
             SELECT doc_id::BIGINT AS doc_id,
                    {qsql['q_n_words']}::BIGINT AS q_n_words,
