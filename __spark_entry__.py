@@ -144,8 +144,11 @@ def q_lsh_recall(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    truth = dedup.jaccard_pairs(d, threshold=0.5).select("doc_a", "doc_b")
-    cand = dedup.lsh_candidate_pairs(d)
+    # three scalar aggregates + the semi-join would otherwise re-run
+    # the shingle kernel / band join once per consumer — persist the
+    # (tiny) pair sets so each expensive pipeline executes once
+    truth = dedup.jaccard_pairs(d, threshold=0.5).select("doc_a", "doc_b").persist()
+    cand = dedup.lsh_candidate_pairs(d).persist()
     hit = truth.join(cand, ["doc_a", "doc_b"], "left_semi")
     t = truth.agg(F.count("*").alias("n_true"))
     c = cand.agg(F.count("*").alias("n_cand"))

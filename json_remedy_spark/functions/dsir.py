@@ -120,6 +120,7 @@ def dsir_weights(
     k: float = DSIR_K,
     log_ratio: np.ndarray | None = None,
     extra_cols: tuple = (),
+    raw_histogram_pct: int | None = None,
 ) -> DataFrame:
     """Per-doc DSIR importance log-weight:
     ``(doc_id, *extra_cols, weight)``.
@@ -128,14 +129,26 @@ def dsir_weights(
     here: two tiny aggregate jobs, then one scoring pass) or a
     precomputed ``log_ratio`` vector (the at-rest form — a production
     run fits the ratio once on samples and reuses it across dumps).
-    The id keeps its input type; ``extra_cols`` ride through the Arrow
-    hop so a pipeline can gate on the weight without a join-back."""
+    ``raw_histogram_pct`` fits the raw-side model q on a deterministic
+    md5 id-sample instead of the full corpus — at 10^12 docs the
+    histogram needs ~10^6 docs to converge, so an extra full pass
+    just to count bigrams is waste; the scoring pass still covers
+    every doc.  The id keeps its input type; ``extra_cols`` ride
+    through the Arrow hop so a pipeline can gate on the weight
+    without a join-back."""
     if log_ratio is None:
         if target is None:
             raise ValueError("dsir_weights needs target or log_ratio")
+        raw_for_hist = raw
+        if raw_histogram_pct is not None:
+            from json_remedy_spark.functions.corpus import hash_mod_bucket
+
+            raw_for_hist = raw.where(
+                hash_mod_bucket(F.col(id_col)) < raw_histogram_pct
+            )
         log_ratio = dsir_log_ratio(
             bigram_bucket_counts(target, text_col, n_buckets),
-            bigram_bucket_counts(raw, text_col, n_buckets),
+            bigram_bucket_counts(raw_for_hist, text_col, n_buckets),
             n_buckets,
             k,
         )

@@ -141,3 +141,25 @@ def test_fuzzy_decontaminate_eval_side_broadcasts(spark):
     assert "BroadcastHashJoin" in plan, plan
     for h in handles:
         h.unpersist()
+
+
+def test_weights_with_sampled_raw_histogram(corpus):
+    from pyspark.sql import functions as F
+
+    from json_remedy_spark.functions import dsir
+
+    target = corpus.where((F.col("doc_id") % 3) == 0)
+    w = (
+        dsir.dsir_weights(corpus, target, raw_histogram_pct=50)
+        .toPandas()
+        .set_index("doc_id")["weight"]
+    )
+    # model fit on a half-sample still ranks the classes correctly
+    assert w[0] > w[2] > w[1]
+    # deterministic: same sample -> same weights
+    w2 = (
+        dsir.dsir_weights(corpus, target, raw_histogram_pct=50)
+        .toPandas()
+        .set_index("doc_id")["weight"]
+    )
+    assert (w.sort_index() == w2.sort_index()).all()
