@@ -764,6 +764,46 @@ def q_filter_funnel(spark, sf_dir):
     )
 
 
+# synthesized page scaffold for the main-content query: a link-dense
+# nav (dropped by density), the document body (kept when long enough —
+# ' and the' guarantees a stopword), a short list item (dropped by
+# length), and a link-dense footer (dropped by density)
+_MC_PRE = (
+    '<html><body><div class="nav"><a href="/">Home</a> '
+    '<a href="/about">About</a> <a href="/contact">Contact</a></div><p>'
+)
+_MC_MID = " and the</p><li>short the</li><footer>© "
+_MC_POST = (
+    '<a href="/l">Legal</a> <a href="/p">Privacy</a> '
+    '<a href="/t">Terms</a></footer></body></html>'
+)
+
+
+def q_main_content(spark, sf_dir):
+    """Block-level main-content extraction (jusText-lite,
+    functions/webgraph.py:main_content): nav/footer chrome dropped by
+    link density, short blocks by length, non-prose by stopword
+    absence.  Exact oracle: DuckDB re-runs the identical split /
+    clean / score / keep chain over the same synthesized pages."""
+    from json_remedy_spark.functions.webgraph import main_content
+
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    pages = d.select(
+        "doc_id",
+        F.concat(
+            F.lit(_MC_PRE), F.col("text"), F.lit(_MC_MID), F.lit(_MC_POST)
+        ).alias("html"),
+    )
+    return main_content(pages).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "main_text",
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+    )
+
+
 def q_quality_stats(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     t = F.col("text")
@@ -1685,6 +1725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "lsh_recall": q_lsh_recall,
         "filter_funnel": q_filter_funnel,
+        "main_content": q_main_content,
         "simhash": q_simhash,
         "simhash_near_dup": q_simhash_near_dup,
         "lsh_jaccard_verified": q_lsh_jaccard_verified,
@@ -2288,6 +2329,51 @@ def _mixture_sample_sql() -> str:
       SELECT doc_id::BIGINT AS doc_id, source,
              unnest(range(0, n_copies))::BIGINT AS copy
       FROM n WHERE n_copies > 0
+    """
+
+
+def _main_content_sql() -> str:
+    from json_remedy_spark.functions.webgraph import main_content_sql
+
+    m = main_content_sql("html")
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    return f"""
+      WITH pages AS (
+        SELECT doc_id,
+               '{q(_MC_PRE)}' || text || '{q(_MC_MID)}' || '{q(_MC_POST)}' AS html
+        FROM documents
+      ),
+      segs AS (
+        SELECT doc_id, x.i AS bi, x.b
+        FROM (SELECT doc_id, string_split_regex({m["clean"]}, '{m["split_re"]}') AS bs
+              FROM pages),
+             LATERAL (SELECT unnest(bs) AS b, unnest(range(1, len(bs) + 1)) AS i) x
+      ),
+      scored AS (
+        SELECT doc_id, bi, {m["block_text"]} AS t, {m["link_chars"]} AS lc
+        FROM segs
+      ),
+      nonempty AS (SELECT * FROM scored WHERE length(t) > 0),
+      kept AS (
+        SELECT doc_id, bi, t FROM nonempty
+        WHERE length(t) >= {m["min_chars"]}
+          AND lc * 1.0 / length(t) <= {m["max_density"]}
+          AND {m["stopword"]}
+      ),
+      agg AS (SELECT doc_id, count(*) AS n_blocks FROM nonempty GROUP BY doc_id),
+      kagg AS (SELECT doc_id, string_agg(t, chr(10) ORDER BY bi) AS main_text,
+                      count(*) AS n_kept
+               FROM kept GROUP BY doc_id)
+      SELECT d.doc_id::BIGINT AS doc_id,
+             coalesce(kagg.main_text, '') AS main_text,
+             coalesce(agg.n_blocks, 0)::BIGINT AS n_blocks,
+             coalesce(kagg.n_kept, 0)::BIGINT AS n_kept
+      FROM documents d
+      LEFT JOIN agg ON agg.doc_id = d.doc_id
+      LEFT JOIN kagg ON kagg.doc_id = d.doc_id
     """
 
 
@@ -3141,6 +3227,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "langid": f"SELECT {lang_expr} AS lang_id, count(*)::BIGINT AS n FROM documents GROUP BY 1",
         "filter_funnel": _filter_funnel_sql(),
+        "main_content": _main_content_sql(),
         "quality_stats": f"""
             SELECT doc_id::BIGINT AS doc_id,
                    {qsql['q_n_words']}::BIGINT AS q_n_words,

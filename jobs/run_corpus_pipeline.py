@@ -64,6 +64,13 @@ def build_parser() -> argparse.ArgumentParser:
         "map-side before any further spend",
     )
     ap.add_argument("--output", required=True)
+    ap.add_argument(
+        "--main-content",
+        action="store_true",
+        help="with --input-format warc: extract block-classified main "
+        "content (jusText-lite — nav/footer/link-farm blocks dropped) "
+        "instead of full visible text",
+    )
     ap.add_argument("--eval-input", default=None)
     ap.add_argument(
         "--fuzzy-decon",
@@ -178,11 +185,23 @@ def run(spark, args) -> str:
 
         raw = read_warc_pages(spark, args.input)
         h = F.col("html").cast("string")
-        pages = raw.where(~h.rlike(NOINDEX_PATTERN)).select(
-            "url", "warc_ts", "html",
-            html_to_text(h).alias("text"),
-            F.lit("").alias("lang"),
-        )
+        indexed = raw.where(~h.rlike(NOINDEX_PATTERN))
+        if args.main_content:
+            from json_remedy_spark.functions.webgraph import main_content
+
+            pages = main_content(
+                indexed, id_col="url", extra_cols=("warc_ts", "html")
+            ).select(
+                F.col("doc_id").alias("url"), "warc_ts", "html",
+                F.col("main_text").alias("text"),
+                F.lit("").alias("lang"),
+            )
+        else:
+            pages = indexed.select(
+                "url", "warc_ts", "html",
+                html_to_text(h).alias("text"),
+                F.lit("").alias("lang"),
+            )
     else:
         pages = read_table(spark, args.input)
 

@@ -323,3 +323,151 @@ def pagerank(
     for h in (e, nodes, deg):
         h.unpersist()
     return ranks
+
+
+# --------------------------------------------------------------------------
+# block-level main-content extraction (jusText-lite)
+# --------------------------------------------------------------------------
+#
+# html_to_text keeps EVERY visible string — nav bars, footers, cookie
+# banners included.  Real crawl pipelines classify block-level
+# segments and keep only content-like ones (jusText, Pomikalek 2011;
+# trafilatura).  This is the deterministic context-free core of that
+# family: split on block-level tags, score each block by length,
+# link density, and stopword presence, keep passing blocks.  The
+# whole rule set is mirrored in DuckDB (main_content_sql) so the
+# extraction is oracle-checked byte-for-byte.
+
+_BLOCK_SPLIT = (
+    r"(?i)</?(?:p|div|li|ul|ol|h[1-6]|td|th|tr|table|section|article|"
+    r"aside|nav|header|footer|blockquote|pre|br)\b[^>]*>"
+)
+_LINK_CONTENT = r"(?is)<a\b[^>]*>(.*?)</a>"
+# ASCII whitespace only — Python \s is unicode-wide, Java/RE2 are
+# ASCII; an explicit class keeps all three dialects identical
+_WS_RUN = r"[ \t\r\n\f]+"
+MIN_BLOCK_CHARS = 40
+MAX_LINK_DENSITY = 0.3
+
+
+def _block_clean(seg: str) -> str:
+    import re as _re2
+
+    t = _re2.sub(_ANY_TAG, " ", seg)
+    for ent, rep in _ENTITIES:
+        if ent == "&amp;":
+            continue
+        t = t.replace(ent, rep)
+    t = t.replace("&amp;", "&")
+    return _re2.sub(_WS_RUN, " ", t).strip()
+
+
+def main_content(
+    pages: DataFrame,
+    id_col: str = "doc_id",
+    html_col: str = "html",
+    extra_cols: tuple = (),
+) -> DataFrame:
+    """(doc_id, main_text, n_blocks, n_kept): boilerplate-classified
+    page text.  A block survives iff its cleaned text has
+    >= MIN_BLOCK_CHARS chars, link density <= MAX_LINK_DENSITY
+    (anchor-text chars / text chars), and at least one stopword
+    (quality.STOPWORD_PATTERN — the multi-language inventory).
+
+    Zero-shuffle mapInPandas (page bodies never shuffle); regexes are
+    dialect-shared with the DuckDB oracle."""
+    import re as _re2
+
+    import pandas as pd
+
+    from json_remedy_spark.functions.quality import STOPWORD_PATTERN
+
+    block_re = _re2.compile(_BLOCK_SPLIT)
+    link_re = _re2.compile(_LINK_CONTENT)
+    stop_re = _re2.compile(STOPWORD_PATTERN)
+
+    extras = list(extra_cols)
+    src = pages.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(html_col).cast("string").alias("h"),
+        *extras,
+    )
+    id_type = src.schema["doc_id"].dataType.simpleString()
+    extra_fields = "".join(
+        f", {c} {src.schema[c].dataType.simpleString()}" for c in extras
+    )
+
+    def extract(html: str):
+        t = _re2.sub(_SCRIPT_STYLE, " ", html or "")
+        t = _re2.sub(_HTML_COMMENT, " ", t)
+        kept, n_blocks = [], 0
+        for seg in block_re.split(t):
+            text = _block_clean(seg)
+            if not text:
+                continue
+            n_blocks += 1
+            link_chars = sum(
+                len(_block_clean(m)) for m in link_re.findall(seg)
+            )
+            density = link_chars / len(text)
+            if (
+                len(text) >= MIN_BLOCK_CHARS
+                and density <= MAX_LINK_DENSITY
+                and stop_re.search(text)
+            ):
+                kept.append(text)
+        return "\n".join(kept), n_blocks, len(kept)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [extract(h) for h in pdf["h"]]
+            out = {"doc_id": pdf["doc_id"]}
+            for c in extras:
+                out[c] = pdf[c]
+            out["main_text"] = [r[0] for r in rows]
+            out["n_blocks"] = [r[1] for r in rows]
+            out["n_kept"] = [r[2] for r in rows]
+            yield pd.DataFrame(out)
+
+    return src.mapInPandas(
+        gen,
+        schema=(
+            f"doc_id {id_type}{extra_fields}, "
+            "main_text string, n_blocks long, n_kept long"
+        ),
+    )
+
+
+def main_content_sql(col: str = "html") -> dict:
+    """DuckDB expressions mirroring ``main_content``: returns a dict
+    with 'blocks' (the cleaned block list CTE fragment) for callers to
+    assemble — see __spark_entry__._main_content_sql."""
+    from json_remedy_spark.functions.quality import STOPWORD_PATTERN
+
+    clean = f"regexp_replace(regexp_replace({col}, '{_SCRIPT_STYLE}', ' ', 'g'), '{_HTML_COMMENT}', ' ', 'g')"
+
+    def clean_chain(var: str) -> str:
+        """_block_clean as a SQL expression over lambda variable."""
+        c = f"regexp_replace({var}, '{_ANY_TAG}', ' ', 'g')"
+        for ent, rep in _ENTITIES:
+            if ent == "&amp;":
+                continue
+            r = rep.replace("'", "''")
+            c = f"replace({c}, '{ent}', '{r}')"
+        c = f"replace({c}, '&amp;', '&')"
+        return f"trim(regexp_replace({c}, '{_WS_RUN}', ' ', 'g'))"
+
+    block_text = clean_chain("b")
+    link_chars = (
+        f"coalesce(list_sum(list_transform(regexp_extract_all(b, "
+        f"'{_LINK_CONTENT}', 1), x -> length({clean_chain('x')}))), 0)"
+    )
+    return {
+        "clean": clean,
+        "split_re": _BLOCK_SPLIT,
+        "block_text": block_text,
+        "link_chars": link_chars,
+        "stopword": f"regexp_matches(t, '{STOPWORD_PATTERN}')",
+        "min_chars": MIN_BLOCK_CHARS,
+        "max_density": MAX_LINK_DENSITY,
+    }

@@ -2098,3 +2098,47 @@ def test_mixture_sample_defaults_and_drop(spark):
     assert [(r["doc_id"], r["copy"]) for r in out] == [(1, 0)]
     plan = mixture_sample(docs, {"gone": 0.0})._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_main_content_drops_chrome_keeps_body(spark):
+    from json_remedy_spark.functions.webgraph import main_content
+
+    body = "This is the real article content of the page with many informative words inside it."
+    html = (
+        '<html><head><script>var x = "<p>junk</p>";</script>'
+        "<style>.a{color:red}</style></head><body>"
+        '<div class="nav"><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></div>'
+        f"<p>{body}</p>"
+        "<li>tiny the</li>"
+        '<footer>© <a href="/l">Legal</a> <a href="/p">Privacy</a> <a href="/t">Terms</a></footer>'
+        "</body></html>"
+    )
+    pages = spark.createDataFrame(
+        [(1, html), (2, None), (3, "<p>no stopwords here just gibberish qqqq wwww eeee rrrr tttt yyyy</p>")],
+        "doc_id long, html string",
+    )
+    out = {r["doc_id"]: r for r in main_content(pages).collect()}
+    assert out[1]["main_text"] == body
+    assert out[1]["n_kept"] == 1 and out[1]["n_blocks"] >= 3
+    assert out[2]["main_text"] == "" and out[2]["n_blocks"] == 0
+    # long + low link density but zero stopwords -> dropped
+    assert out[3]["n_kept"] == 0
+    # zero-shuffle plan
+    plan = main_content(pages)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_main_content_link_density_boundary(spark):
+    from json_remedy_spark.functions.webgraph import main_content
+
+    # anchors inside a long informative block stay below the density
+    # threshold -> block survives WITH its anchor text
+    html = (
+        "<p>Read the full analysis of the results in our report "
+        '<a href="/r">linked here</a> for all of the details and more '
+        "context about the findings.</p>"
+    )
+    pages = spark.createDataFrame([(1, html)], "doc_id long, html string")
+    row = main_content(pages).collect()[0]
+    assert row["n_kept"] == 1
+    assert "linked here" in row["main_text"]

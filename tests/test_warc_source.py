@@ -117,3 +117,48 @@ def test_warc_roundtrip_hypothesis():
         assert [(g["url"], g["html"]) for g in got] == [(r["url"], r["html"]) for r in recs]
 
     check()
+
+
+def test_corpus_job_warc_main_content(spark, tmp_path):
+    """--main-content on the WARC path: nav/footer chrome is absent
+    from the stored text while the article body survives."""
+    import duckdb
+
+    from jobs.run_corpus_pipeline import build_parser, run
+
+    # keep needs a repairable JSON payload (keep_expr: repaired != '""')
+    body = ("the quick brown fox jumps over the lazy dog and then it runs away "
+            "with a happy smile because this is what foxes do in the morning "
+            "when the sun rises over the hills and the birds start to sing "
+            "while the river flows quietly past the old stone bridge in town "
+            "and the baker opens the shop to sell warm bread to the people "
+            "who record the event as {'fox': True, 'count': 3,} every day "
+            "before they go back to the fields to work until the evening")
+    # the footer carries a JSON-ish tracking blob: without block
+    # classification it would reach the repair kernel alongside the
+    # article's payload and corrupt the extracted document
+    page = (
+        '<html><body><div><a href="/">Home</a> <a href="/a">About</a> '
+        '<a href="/c">Contact</a> <a href="/d">Docs</a></div>'
+        f"<p>{body}</p>"
+        '<footer>© <a href="/l">Legal</a> <a href="/p">Priv</a> '
+        "<a href=\"/t\">Terms</a> {'spam': 99}</footer>"
+        "</body></html>"
+    ).encode()
+    d = tmp_path / "warcs"
+    d.mkdir()
+    (d / "a.warc").write_bytes(build_warc_bytes([
+        {"url": "https://keep.com/p", "ts": dt.datetime(2026, 1, 1), "html": page},
+    ]))
+    out = str(tmp_path / "out")
+    msg = run(spark, build_parser().parse_args(
+        ["--input", str(d), "--input-format", "warc", "--main-content",
+         "--output", out]
+    ))
+    assert " in -> 1 out" in msg
+    text = duckdb.sql(
+        f"SELECT text FROM read_parquet('{out}/*.parquet')").fetchone()[0]
+    # only the article block fed the repair kernel: the payload is the
+    # body's JSON, and the footer's tracking blob never reached it
+    assert text == '{"fox":true,"count":3}'
+    assert "spam" not in text
