@@ -417,6 +417,23 @@ def main():
         )
     )
 
+    from json_remedy_spark.functions.webgraph import main_content
+
+    mc_pages = docs.select(
+        "doc_id",
+        F.concat(F.lit("<p>"), F.col("text"), F.lit(" the</p>")).alias("html"),
+    )
+    mc = main_content(mc_pages)
+    mcplan = formatted(mc)
+    sections.append(
+        (
+            "main_content (jusText-lite block classification)",
+            f"Exchange tree nodes: {tree_nodes(mcplan, 'Exchange')} (budget 0 — "
+            "one MapInPandas over the scan; page bodies never shuffle)\n\n"
+            + mcplan[:1000],
+        )
+    )
+
     out = ["# Physical plan evidence (generated by tools/snapshot_plans.py)\n"]
     for title, body in sections:
         out.append(f"\n## {title}\n\n```\n{body}\n```\n")
