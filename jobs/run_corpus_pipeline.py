@@ -113,6 +113,13 @@ def build_parser() -> argparse.ArgumentParser:
         "fastText-format weight parquet (langid.export_ft_model)",
     )
     ap.add_argument(
+        "--ppl-keep",
+        default=None,
+        help="CCNet stratified keep: 'head' or 'head,middle' — docs "
+        "are bucketed per language by perplexity tertiles (histogram "
+        "cutoffs, no global sort) and only the listed buckets survive",
+    )
+    ap.add_argument(
         "--dsir-target",
         default=None,
         help="enable DSIR importance resampling (Xie et al. 2023): a "
@@ -221,6 +228,13 @@ def run(spark, args) -> str:
     n_in = pages.count()
     stager = StageCheckpointer(spark, args.checkpoint_root) if args.checkpoint_root else None
 
+    # Persisted intermediates (bloom-probed frame, LSH signatures,
+    # fuzzy-dedup input, the ppl histogram's scored frame) accumulate
+    # across a multi-stage run otherwise — every stage appends its
+    # handles here and the job frees them all after the final write
+    # materializes (ADVICE r3 / VERDICT r3 #8).
+    job_handles: list = []
+
     def stage(name, fn):
         """Materialize + resume at global-stage granularity when a
         checkpoint root is given; plain lazy composition otherwise."""
@@ -260,8 +274,12 @@ def run(spark, args) -> str:
 
     docs = stage(
         "s1_filtered",
+        # --ppl-keep stratifies on the PAGE-text perplexity the filter
+        # already computed (the CCNet signal — the repaired payload's
+        # ppl is near-constant), so the column rides along only then
         lambda: kept.select(
-            F.xxhash64("url").alias("doc_id"), F.col("scrubbed").alias("text"), "url", "lang_id"
+            F.xxhash64("url").alias("doc_id"), F.col("scrubbed").alias("text"), "url", "lang_id",
+            *(["ppl"] if args.ppl_keep else []),
         ),
     )
 
@@ -280,6 +298,33 @@ def run(spark, args) -> str:
             .where(F.col("quality_label") == "high")
             .select("doc_id", "text", "url", "lang_id"),
         )
+
+    # 1d. optional CCNet perplexity stratification: per-language
+    # tertile cutoffs from the (lang x grid-bucket) histogram window,
+    # broadcast back for a map-side bucket label; only the listed
+    # buckets continue
+    if args.ppl_keep:
+        from json_remedy_spark.functions.perplexity import (
+            make_perplexity_udf,
+            ppl_head_middle_tail,
+        )
+
+        keep_buckets = [b.strip() for b in args.ppl_keep.split(",")]
+
+        def _pplb(d=docs):
+            scored = (
+                d
+                if "ppl" in d.columns
+                else d.withColumn("ppl", make_perplexity_udf()(F.col("text")))
+            )
+            b = ppl_head_middle_tail(
+                scored, lang_col="lang_id", handles=job_handles
+            )
+            return b.where(F.col("bucket").isin(keep_buckets)).drop(
+                "ppl", "bucket"
+            )
+
+        docs = stage("s1d_ppl_bucket", _pplb)
 
     # 2b2. optional unicode normalization (mojibake + NFC) BEFORE the
     # dedup family so broken and clean encodings of the same line/span
@@ -320,12 +365,6 @@ def run(spark, args) -> str:
             "s3_dup_span",
             lambda d=docs: replace_text(d, dup_span_removal(d, window=args.dup_span_window)),
         )
-
-    # Persisted intermediates (bloom-probed frame, LSH signatures,
-    # fuzzy-dedup input) accumulate across a 7-stage run otherwise —
-    # every stage appends its handles here and the job frees them all
-    # after the final write materializes (ADVICE r3 / VERDICT r3 #8).
-    job_handles: list = []
 
     # 2e. optional incremental gate against an at-rest seen store
     if args.seen_input:

@@ -250,3 +250,29 @@ def test_corpus_pipeline_mixture_and_bpe_export(spark, pages_parquet, tmp_path):
         f"SELECT rank, a, b FROM read_parquet('{bpe_out}/*.parquet') ORDER BY rank"
     ).fetchall()
     assert len(merges) == 10 and [m[0] for m in merges] == list(range(10))
+
+
+def test_corpus_pipeline_ppl_keep(spark, pages_parquet, tmp_path):
+    """--ppl-keep head,middle drops the per-language worst tertile
+    (about a third of the base output) and leaks no persists."""
+    import duckdb
+
+    from jobs.run_corpus_pipeline import build_parser, run
+
+    spark.catalog.clearCache()
+    base_out = str(tmp_path / "base")
+    run(spark, build_parser().parse_args(
+        ["--input", pages_parquet, "--output", base_out]))
+    base_n = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{base_out}/*.parquet')").fetchone()[0]
+
+    out = str(tmp_path / "hm")
+    msg = run(spark, build_parser().parse_args(
+        ["--input", pages_parquet, "--output", out, "--ppl-keep", "head,middle"]
+    ))
+    assert _sql_cache_empty(spark), "ppl-keep stage leaked persists"
+    n = duckdb.sql(f"SELECT count(*) FROM read_parquet('{out}/*.parquet')").fetchone()[0]
+    # tertiles are grid-quantized: allow slack around 2/3 but require a
+    # real cut
+    assert 0 < n < base_n
+    assert n <= 0.85 * base_n
