@@ -15,7 +15,12 @@
       [--robots-input <host,robots_txt table>]  politeness gate first
       [--boilerplate-frac F]  per-host template removal pre line-dedup
       [--dsir-target <docs> --dsir-n N]  DSIR importance resampling
+      [--ppl-keep head,middle]  CCNet perplexity stratified keep
+      [--mixture src=rate,...]  source-mixture resampling (DoReMi)
+      [--fuzzy-decon T]  LSH near-dup decontamination vs --eval-input
+      [--main-content]  jusText-lite block classification (warc input)
       [--train-lm-out <dir>]  export a corpus-trained trigram LM
+      [--train-bpe-out <dir>]  export an in-engine BPE merge table
 
 Stage shapes (each documented at its operator):
   1. quality_filter — map-only DAG, one Arrow hop (repair+perplexity),
