@@ -976,8 +976,17 @@ def q_perplexity(spark, sf_dir):
 
 
 _TRAINED_LM_DIR = os.path.join(tempfile.gettempdir(), "jrs_trained_lm")
-_TRAINED_TRI = os.path.join(_TRAINED_LM_DIR, "corpus_tri.parquet")
-_TRAINED_BI = os.path.join(_TRAINED_LM_DIR, "corpus_bi.parquet")
+
+
+def _lm_path(name: str, sf_dir: str) -> str:
+    """Model-artifact path keyed by sf_dir: sc.addFile and the
+    per-process model caches key by BASENAME, so two scale factors in
+    one session must not share a filename (review finding — the second
+    run would silently score with the first corpus's model)."""
+    import hashlib
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return os.path.join(_TRAINED_LM_DIR, f"{name}_{h}.parquet")
 
 
 def q_trigram_lm(spark, sf_dir):
@@ -1016,15 +1025,15 @@ def q_ppl_trained(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    write_trained_lm(train_trigram_counts(d), _TRAINED_TRI, _TRAINED_BI)
-    ppl = make_perplexity_udf(model_paths=(_TRAINED_TRI, _TRAINED_BI))
+    tri, bi = _lm_path("corpus_tri", sf_dir), _lm_path("corpus_bi", sf_dir)
+    write_trained_lm(train_trigram_counts(d), tri, bi)
+    ppl = make_perplexity_udf(model_paths=(tri, bi))
     return d.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.round(ppl(F.col("text")), 4).alias("ppl"),
     )
 
 
-_KN_COUNTS = os.path.join(_TRAINED_LM_DIR, "kn_counts.parquet")
 
 
 def q_kn_perplexity(spark, sf_dir):
@@ -1045,8 +1054,9 @@ def q_kn_perplexity(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").repartition(
         spark.sparkContext.defaultParallelism
     )
-    write_trigram_counts(train_trigram_counts(d), _KN_COUNTS)
-    ppl = make_kn_perplexity_udf(_KN_COUNTS)
+    counts_path = _lm_path("kn_counts", sf_dir)
+    write_trigram_counts(train_trigram_counts(d), counts_path)
+    ppl = make_kn_perplexity_udf(counts_path)
     return d.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.round(ppl(F.col("text")), 4).alias("ppl"),
@@ -2233,28 +2243,44 @@ def _quality_classifier_sql() -> str:
     """
 
 
-_BPE_WF = """
-  words AS (SELECT doc_id,
-              unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
-            FROM documents),
-  wf AS (SELECT word, count(*) AS freq FROM words GROUP BY word)
-"""
+def _bpe_wf(limit: int | None = None) -> str:
+    """Word-frequency CTE; ``limit`` mirrors bpe_learn's deterministic
+    max_vocab_words cut (freq desc, word asc) for the learning oracle —
+    the encoding oracle segments the FULL vocabulary, as the kernel
+    does."""
+    cut = (
+        f" QUALIFY row_number() OVER (ORDER BY freq DESC, word) <= {limit}"
+        if limit
+        else ""
+    )
+    return f"""
+      words AS (SELECT doc_id,
+                  unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+                FROM documents),
+      wf AS (SELECT word, count(*) AS freq FROM words GROUP BY word{cut})
+    """
 
-# seg: round-r space-delimited segmentation of every vocabulary word,
-# driven by the exported merge table.  replace()'s left-to-right
-# non-overlapping scan over ' a b ' -> ' ab ' IS BPE's greedy
-# within-word merge (leading/trailing sentinels keep token boundaries
-# exact; consecutive occurrences re-match after the consumed space).
+
+_BPE_WF = _bpe_wf()
+
+# seg: round-r segmentation of every vocabulary word, driven by the
+# exported merge table.  Tokens are DOUBLE-space separated (single
+# edge sentinels): a match ' a  b ' -> ' ab ' consumes only the
+# inner-adjacent space on each side, so neighbouring occurrences never
+# share a delimiter and one left-to-right replace() pass equals BPE's
+# greedy within-word merge EXACTLY — including doubled pairs like
+# (a,n) in 'banana', where single-spacing would skip the second
+# occurrence (its leading space was consumed by the first match).
 _BPE_SEG = f"""
   m AS (SELECT rank, a, b FROM read_parquet('{_BPE_MERGES_EXPORT}/*.parquet')),
   seg AS (
     SELECT 0 AS r, word, freq,
            ' ' || array_to_string(
-             list_transform(range(1, len(word) + 1), i -> word[i]), ' ') || ' ' AS s
+             list_transform(range(1, len(word) + 1), i -> word[i]), '  ') || ' ' AS s
     FROM wf
     UNION ALL
     SELECT seg.r + 1, seg.word, seg.freq,
-           replace(seg.s, ' ' || m.a || ' ' || m.b || ' ',
+           replace(seg.s, ' ' || m.a || '  ' || m.b || ' ',
                           ' ' || m.a || m.b || ' ')
     FROM seg JOIN m ON m.rank = seg.r
   )
@@ -2271,14 +2297,16 @@ def _bpe_pair_counts_sql() -> str:
 
 
 def _bpe_merges_sql() -> str:
+    from json_remedy_spark.functions.bpe import MAX_VOCAB_WORDS
+
     return f"""
-      WITH RECURSIVE {_BPE_WF}, {_BPE_SEG},
+      WITH RECURSIVE {_bpe_wf(MAX_VOCAB_WORDS)}, {_BPE_SEG},
       counts AS (
         SELECT seg.r, t.a, t.b, sum(seg.freq) AS cnt
         FROM seg,
              LATERAL (
                SELECT toks[i] AS a, toks[i + 1] AS b
-               FROM (SELECT string_split(trim(seg.s), ' ') AS toks) z,
+               FROM (SELECT string_split(trim(seg.s), '  ') AS toks) z,
                     LATERAL (SELECT unnest(range(1, len(toks))) AS i) y
              ) t
         WHERE seg.r < (SELECT count(*) FROM m)
@@ -2294,7 +2322,7 @@ def _bpe_merges_sql() -> str:
 def _bpe_tokens_sql() -> str:
     return f"""
       WITH RECURSIVE {_BPE_WF}, {_BPE_SEG},
-      fin AS (SELECT word, len(string_split(trim(s), ' ')) AS n
+      fin AS (SELECT word, len(string_split(trim(s), '  ')) AS n
               FROM seg WHERE r = (SELECT count(*) FROM m)),
       per_doc AS (
         SELECT words.doc_id, sum(fin.n) AS n_tokens

@@ -297,11 +297,14 @@ def run(spark, args) -> str:
         _mp = None if args.quality_model == "builtin" else args.quality_model
         docs = stage(
             "s1c_model_gate",
-            lambda d=docs: quality_classifier(
-                d, extra_cols=("text", "url", "lang_id"), model_path=_mp
-            )
+            # keep the page-text ppl riding along when --ppl-keep needs
+            # it downstream (review: dropping it here would silently
+            # stratify on the near-constant payload perplexity)
+            lambda d=docs, cols=tuple(
+                ["text", "url", "lang_id"] + (["ppl"] if args.ppl_keep else [])
+            ): quality_classifier(d, extra_cols=cols, model_path=_mp)
             .where(F.col("quality_label") == "high")
-            .select("doc_id", "text", "url", "lang_id"),
+            .select("doc_id", *cols),
         )
 
     # 1d. optional CCNet perplexity stratification: per-language
@@ -446,7 +449,11 @@ def run(spark, args) -> str:
             return d.join(packed.select("doc_id"), "doc_id", "left_semi")
         docs = stage("s7_packed", _pack)
 
-    out_cols = docs.select("doc_id", "url", "lang_id", "text")
+    # the final frame feeds up to four consumers (output write, LM
+    # trainer, BPE trainer, n_out count) — persist so the multi-stage
+    # DAG above materializes once instead of once per consumer
+    out_cols = docs.select("doc_id", "url", "lang_id", "text").persist()
+    job_handles.append(out_cols)
     if args.shard_tokens:
         # training-loader export: contiguous ~N-token shards
         from json_remedy_spark.functions.corpus import write_token_shards
@@ -479,7 +486,7 @@ def run(spark, args) -> str:
             [(i, a, b) for i, (a, b) in enumerate(merges)],
             "rank long, a string, b string",
         ).write.mode("overwrite").parquet(args.train_bpe_out)
-    n_out = docs.count()
+    n_out = out_cols.count()
     for h in job_handles:
         h.unpersist()
     resume_note = (

@@ -33,6 +33,10 @@ from json_remedy_spark.functions.textstats import _WORD_RE
 
 _WORD_CRE = re.compile(_WORD_RE)
 
+# driver-side learning is bounded by the vocabulary, not the corpus;
+# the oracle mirrors this cut (same freq-desc/word-asc order)
+MAX_VOCAB_WORDS = 1_000_000
+
 
 def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, freq) over lowercased ``[a-z0-9]+`` runs — the same word
@@ -91,7 +95,7 @@ def bpe_learn(
     docs: DataFrame,
     n_merges: int,
     text_col: str = "text",
-    max_vocab_words: int = 1_000_000,
+    max_vocab_words: int = MAX_VOCAB_WORDS,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from the corpus: distributed word
     counting, then the driver-side loop on the (bounded) vocabulary.

@@ -359,7 +359,10 @@ def _block_clean(seg: str) -> str:
             continue
         t = t.replace(ent, rep)
     t = t.replace("&amp;", "&")
-    return _re2.sub(_WS_RUN, " ", t).strip()
+    # strip SPACES only (edges are already collapsed to single spaces)
+    # — Python str.strip() is unicode-wide while the oracle's trim()
+    # removes spaces only, and the two must agree byte-for-byte
+    return _re2.sub(_WS_RUN, " ", t).strip(" ")
 
 
 def main_content(

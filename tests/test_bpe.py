@@ -84,3 +84,68 @@ def test_bpe_merge_order_matters_for_encoding():
     assert apply_merges("best", merges) == ("b", "est")
     # without the first merge the second can never fire
     assert apply_merges("best", [("es", "t")]) == ("b", "e", "s", "t")
+
+
+def test_oracle_replay_matches_greedy_on_doubled_pairs():
+    """Regression (review finding): the DuckDB replace()-replay must
+    equal the kernel's greedy merge even when a merged pair occurs
+    doubled within a word ('banana' + merge (a,n)) — the double-space
+    token delimiting guarantees neighbouring matches never share a
+    space.  Replays both the segmentation and the per-round argmax
+    chain on an adversarial vocabulary."""
+    import duckdb
+
+    wf = [
+        ("banana", 3), ("ananan", 2), ("aaaa", 5), ("aaa", 4),
+        ("abab", 2), ("low", 5), ("newest", 6), ("mama", 7),
+    ]
+    merges = learn_bpe_from_freqs(wf, 14)
+    assert ("a", "n") in merges or ("a", "a") in merges  # doubled pairs exercised
+    con = duckdb.connect()
+    con.execute("CREATE TABLE wf(word VARCHAR, freq BIGINT)")
+    con.executemany("INSERT INTO wf VALUES (?, ?)", wf)
+    con.execute("CREATE TABLE m(rank BIGINT, a VARCHAR, b VARCHAR)")
+    con.executemany(
+        "INSERT INTO m VALUES (?, ?, ?)",
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+    )
+    seg_sql = """
+    WITH RECURSIVE seg AS (
+      SELECT 0 AS r, word, freq,
+             ' ' || array_to_string(list_transform(range(1, len(word) + 1), i -> word[i]), '  ') || ' ' AS s
+      FROM wf
+      UNION ALL
+      SELECT seg.r + 1, seg.word, seg.freq,
+             replace(seg.s, ' ' || m.a || '  ' || m.b || ' ', ' ' || m.a || m.b || ' ')
+      FROM seg JOIN m ON m.rank = seg.r
+    )
+    """
+    for w, toks in con.execute(
+        seg_sql
+        + "SELECT word, string_split(trim(s), '  ') FROM seg "
+        "WHERE r = (SELECT count(*) FROM m)"
+    ).fetchall():
+        assert toks == list(apply_merges(w, merges)), w
+    got = [
+        (a, b)
+        for _, a, b in con.execute(
+            seg_sql
+            + """,
+      counts AS (
+        SELECT seg.r, t.a, t.b, sum(seg.freq) AS cnt
+        FROM seg,
+             LATERAL (
+               SELECT toks[i] AS a, toks[i + 1] AS b
+               FROM (SELECT string_split(trim(seg.s), '  ') AS toks) z,
+                    LATERAL (SELECT unnest(range(1, len(toks))) AS i) y
+             ) t
+        WHERE seg.r < (SELECT count(*) FROM m)
+        GROUP BY seg.r, t.a, t.b
+      )
+      SELECT r, a, b FROM (
+        SELECT r, a, b, row_number() OVER (PARTITION BY r ORDER BY cnt DESC, a, b) AS rn
+        FROM counts) WHERE rn = 1 ORDER BY r
+    """
+        ).fetchall()
+    ]
+    assert got == merges
