@@ -1209,6 +1209,41 @@ def q_html_text(spark, sf_dir):
     )
 
 
+def q_blocklist_filter(spark, sf_dir):
+    """UT1-style domain blocklist gate
+    (functions/webgraph.py:blocklist_filter): a banned domain blocks
+    itself AND every subdomain via the exploded host-suffix equi-join;
+    an exact-subdomain entry blocks only that subdomain.  CLOSED-FORM
+    oracle — hosts are synthesized by arithmetic, so the expected flag
+    is known by construction."""
+    from json_remedy_spark.functions import webgraph
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    host = F.concat(
+        F.when(F.pmod(k, 5) == 0, F.lit("cdn.")).otherwise(F.lit("")),
+        F.lit("shop"),
+        F.pmod(k, 10).cast("string"),
+        F.lit(".example.com"),
+    )
+    pages = o.select(
+        k.cast("long").alias("doc_id"),
+        F.concat(F.lit("https://"), host, F.lit("/p"), k.cast("string")).alias("url"),
+    )
+    blocklist = spark.createDataFrame(
+        [
+            ("shop4.example.com", "commerce"),
+            ("shop7.example.com", "adult"),
+            ("cdn.shop2.example.com", "tracker"),
+            ("example.net", "spam"),  # never matches this corpus
+        ],
+        "host string, category string",
+    )
+    return webgraph.blocklist_filter(pages, blocklist).select(
+        "doc_id", "url", "block_category", "blocked"
+    )
+
+
 def q_robots_filter(spark, sf_dir):
     """Robots.txt crawl-politeness gate: parse per-host Disallow rules
     for the ``*`` agent (group runs, comments, empty-disallow,
@@ -1795,6 +1830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_meta": q_page_meta,
         "anchor_texts": q_anchor_texts,
         "robots_filter": q_robots_filter,
+        "blocklist_filter": q_blocklist_filter,
         "html_text": q_html_text,
         "domain_rank": q_domain_rank,
         "lsh_ann_topk": q_lsh_ann_topk,
@@ -3051,6 +3087,25 @@ def oracle_sql() -> dict[str, str]:
         # closed-form ground truth: the robots bodies are synthesized by
         # arithmetic, so the binding rule set is known by construction —
         # hosts shopN with N%3=0 disallow /admin and /tmp/ for agent *
+        # closed-form: hosts are arithmetic — bans on shop4/shop7 catch
+        # plain AND cdn variants (suffix semantics); the cdn.shop2
+        # entry catches only the cdn variant
+        "blocklist_filter": """
+          WITH p AS (
+            SELECT o_orderkey AS k,
+                   o_orderkey % 10 AS h,
+                   (o_orderkey % 5 = 0) AS cdn
+            FROM orders
+          )
+          SELECT k::BIGINT AS doc_id,
+                 'https://' || (CASE WHEN cdn THEN 'cdn.' ELSE '' END)
+                   || 'shop' || h::VARCHAR || '.example.com/p' || k::VARCHAR AS url,
+                 CASE WHEN h = 4 THEN 'commerce'
+                      WHEN h = 7 THEN 'adult'
+                      WHEN h = 2 AND cdn THEN 'tracker' END AS block_category,
+                 (h = 4 OR h = 7 OR (h = 2 AND cdn)) AS blocked
+          FROM p
+        """,
         "robots_filter": """
           SELECT o_orderkey::BIGINT AS doc_id,
                  'https://shop' || (o_orderkey % 10)::VARCHAR || '.example.com' ||

@@ -100,6 +100,13 @@ def build_parser() -> argparse.ArgumentParser:
         "before any downstream spend",
     )
     ap.add_argument(
+        "--blocklist-input",
+        default=None,
+        help="(host, category) domain blocklist (UT1-style): pages on "
+        "a banned domain or any of its subdomains drop before any "
+        "downstream spend (broadcast suffix equi-join)",
+    )
+    ap.add_argument(
         "--boilerplate-frac",
         type=float,
         default=0.0,
@@ -230,6 +237,17 @@ def run(spark, args) -> str:
         pages = robots_filter(pages, rules, id_col="url").where(
             ~F.col("robots_disallowed")
         ).drop("robots_disallowed")
+    # 0b. optional domain blocklist (UT1 category ban): banned domains
+    # and every subdomain drop map-side via the broadcast suffix join
+    if args.blocklist_input:
+        from json_remedy_spark.functions.webgraph import blocklist_filter
+
+        bl = read_table(spark, args.blocklist_input)
+        pages = (
+            blocklist_filter(pages, bl, id_col="url")
+            .where(~F.col("blocked"))
+            .drop("blocked", "block_category")
+        )
     n_in = pages.count()
     stager = StageCheckpointer(spark, args.checkpoint_root) if args.checkpoint_root else None
 

@@ -474,3 +474,58 @@ def main_content_sql(col: str = "html") -> dict:
         "min_chars": MIN_BLOCK_CHARS,
         "max_density": MAX_LINK_DENSITY,
     }
+
+
+# --------------------------------------------------------------------------
+# domain blocklist gate (UT1 / adult-spam category lists)
+# --------------------------------------------------------------------------
+
+
+def host_suffixes(url: Column) -> Column:
+    """All dot-suffixes of the URL's host: 'a.b.example.com' ->
+    ['a.b.example.com', 'b.example.com', 'example.com', 'com'] — a
+    blocklist entry bans its exact domain AND every subdomain via a
+    plain EQUI-join against this exploded chain (bounded by label
+    count, ~5 rows/url; no LIKE scan, no cross join)."""
+    parts = F.split(url_host(url), r"\.")
+    n = F.size(parts)
+    return F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.array_join(F.slice(parts, i + 1, n - i), "."),
+    )
+
+
+def blocklist_filter(
+    pages: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    broadcast_list: bool = True,
+) -> DataFrame:
+    """Pages + ``(blocked, block_category)`` from a (host, category)
+    domain blocklist (the UT1-style category ban every web pipeline
+    applies): a page is blocked iff any dot-suffix of its URL host
+    appears in the list; ``block_category`` is the alphabetically
+    first matching category (deterministic under multi-match).
+
+    Scale shape: the list broadcasts (UT1 is ~4M rows — a few hundred
+    MB; ``broadcast_list=False`` shuffles on host past executor
+    memory); pages explode only their ~5-row suffix chain, and hits
+    collapse to a distinct id set before the flag join-back — page
+    text never moves."""
+    if broadcast_list:
+        blocklist = F.broadcast(blocklist)
+    keyed = pages.select(
+        F.col(id_col).alias("_bid"),
+        F.explode(host_suffixes(F.col(url_col))).alias("host"),
+    )
+    hits = (
+        keyed.join(blocklist, "host")
+        .groupBy("_bid")
+        .agg(F.min("category").alias("block_category"))
+    )
+    return (
+        pages.join(hits, pages[id_col] == hits["_bid"], "left")
+        .drop("_bid")
+        .withColumn("blocked", F.col("block_category").isNotNull())
+    )

@@ -276,3 +276,35 @@ def test_corpus_pipeline_ppl_keep(spark, pages_parquet, tmp_path):
     # real cut
     assert 0 < n < base_n
     assert n <= 0.85 * base_n
+
+
+def test_corpus_pipeline_blocklist(spark, pages_parquet, tmp_path):
+    """--blocklist-input drops a banned host's pages (and would drop
+    subdomains) before any downstream spend; cache stays clean."""
+    import duckdb
+
+    from jobs.run_corpus_pipeline import build_parser, run
+
+    spark.catalog.clearCache()
+    base_out = str(tmp_path / "bl_base")
+    run(spark, build_parser().parse_args(
+        ["--input", pages_parquet, "--output", base_out]))
+    base = {r[0] for r in duckdb.sql(
+        f"SELECT url FROM read_parquet('{base_out}/*.parquet')").fetchall()}
+    victim_host = sorted(base)[0].split("/")[2]
+
+    bl_path = str(tmp_path / "bl")
+    spark.createDataFrame(
+        [(victim_host, "test-ban")], "host string, category string"
+    ).write.parquet(bl_path)
+    out = str(tmp_path / "bl_gated")
+    msg = run(spark, build_parser().parse_args(
+        ["--input", pages_parquet, "--output", out,
+         "--blocklist-input", bl_path]
+    ))
+    assert " in -> " in msg
+    got = {r[0] for r in duckdb.sql(
+        f"SELECT url FROM read_parquet('{out}/*.parquet')").fetchall()}
+    assert not {u for u in got if u.split("/")[2] == victim_host}
+    assert got < base
+    assert _sql_cache_empty(spark), "blocklist stage leaked persists"

@@ -2142,3 +2142,33 @@ def test_main_content_link_density_boundary(spark):
     row = main_content(pages).collect()[0]
     assert row["n_kept"] == 1
     assert "linked here" in row["main_text"]
+
+
+def test_blocklist_filter_suffix_semantics(spark):
+    from json_remedy_spark.functions.webgraph import blocklist_filter
+
+    pages = spark.createDataFrame(
+        [
+            (1, "https://Ads.Tracker.NET/x"),      # subdomain of banned, case-folded
+            (2, "https://tracker.net/"),            # exact banned domain
+            (3, "https://nottracker.net/"),         # different domain, no substring match
+            (4, "https://good.example.com/x"),      # clean
+            (5, "https://multi.bad.org/x"),         # two matching entries -> min category
+            (6, "no-scheme-url"),                   # hostless
+        ],
+        "doc_id long, url string",
+    )
+    bl = spark.createDataFrame(
+        [("tracker.net", "ads"), ("bad.org", "zmalware"), ("multi.bad.org", "adult")],
+        "host string, category string",
+    )
+    out = {r["doc_id"]: r for r in blocklist_filter(pages, bl).collect()}
+    assert out[1]["blocked"] and out[1]["block_category"] == "ads"
+    assert out[2]["blocked"]
+    assert not out[3]["blocked"] and out[3]["block_category"] is None
+    assert not out[4]["blocked"]
+    # deterministic multi-match: alphabetically first category wins
+    assert out[5]["block_category"] == "adult"
+    assert not out[6]["blocked"]
+    plan = blocklist_filter(pages, bl)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
