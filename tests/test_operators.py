@@ -2172,3 +2172,83 @@ def test_blocklist_filter_suffix_semantics(spark):
     assert not out[6]["blocked"]
     plan = blocklist_filter(pages, bl)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_main_content_python_vs_duckdb_parity_fuzz():
+    """Property fuzz (normalize-op precedent): the Python extraction
+    and the DuckDB oracle chain agree byte-for-byte on arbitrary
+    HTML-ish inputs — tags, entities, links, nested blocks, stray
+    angle brackets."""
+    import duckdb
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from json_remedy_spark.functions import webgraph as wg
+
+    con = duckdb.connect()
+    m = wg.main_content_sql("html")
+    sql = f"""
+      WITH pages AS (SELECT 1 AS doc_id, ? AS html),
+      segs AS (
+        SELECT doc_id, x.i AS bi, x.b
+        FROM (SELECT doc_id, string_split_regex({m["clean"]}, '{m["split_re"]}') AS bs
+              FROM pages),
+             LATERAL (SELECT unnest(bs) AS b, unnest(range(1, len(bs) + 1)) AS i) x
+      ),
+      scored AS (SELECT doc_id, bi, {m["block_text"]} AS t, {m["link_chars"]} AS lc FROM segs),
+      nonempty AS (SELECT * FROM scored WHERE length(t) > 0),
+      kept AS (
+        SELECT doc_id, bi, t FROM nonempty
+        WHERE length(t) >= {m["min_chars"]}
+          AND lc * 1.0 / length(t) <= {m["max_density"]}
+          AND {m["stopword"]}
+      )
+      SELECT coalesce((SELECT string_agg(t, chr(10) ORDER BY bi) FROM kept), ''),
+             (SELECT count(*) FROM nonempty),
+             (SELECT count(*) FROM kept)
+    """
+
+    frag = st.sampled_from([
+        "<p>", "</p>", "<div class='x'>", "</div>", "<li>", "<br>",
+        '<a href="/x">', "</a>", "<footer>", "<script>var x=1;</script>",
+        "<!-- c -->", "&amp;", "&lt;", "&nbsp;", "<", ">",
+        "the and of to in words here ", "qqq www eee ",
+        "a long informative sentence about the state of the world today ",
+        " ", "\n", "\t",
+    ])
+    html_strategy = st.lists(frag, min_size=0, max_size=25).map("".join)
+
+    import re as _re
+
+    block_re = _re.compile(wg._BLOCK_SPLIT)
+    link_re = _re.compile(wg._LINK_CONTENT)
+    from json_remedy_spark.functions.quality import STOPWORD_PATTERN
+
+    stop_re = _re.compile(STOPWORD_PATTERN)
+
+    def py_extract(html):
+        t = _re.sub(wg._SCRIPT_STYLE, " ", html or "")
+        t = _re.sub(wg._HTML_COMMENT, " ", t)
+        kept, n_blocks = [], 0
+        for seg in block_re.split(t):
+            text = wg._block_clean(seg)
+            if not text:
+                continue
+            n_blocks += 1
+            link_chars = sum(len(wg._block_clean(x)) for x in link_re.findall(seg))
+            if (
+                len(text) >= wg.MIN_BLOCK_CHARS
+                and link_chars / len(text) <= wg.MAX_LINK_DENSITY
+                and stop_re.search(text)
+            ):
+                kept.append(text)
+        return "\n".join(kept), n_blocks, len(kept)
+
+    @settings(max_examples=120, deadline=None)
+    @given(html_strategy)
+    def check(html):
+        got = con.execute(sql, [html]).fetchone()
+        want = py_extract(html)
+        assert (got[0], got[1], got[2]) == want, html
+
+    check()

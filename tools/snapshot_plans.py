@@ -434,6 +434,33 @@ def main():
         )
     )
 
+    from json_remedy_spark.functions.webgraph import blocklist_filter
+
+    bl = spark.createDataFrame(
+        [("h0.com", "ads")], "host string, category string"
+    )
+    bf = blocklist_filter(
+        docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("https://sub"), (F.col("doc_id") % 3).cast("string"),
+                F.lit(".h"), (F.col("doc_id") % 5).cast("string"),
+                F.lit(".com/p"),
+            ).alias("url"),
+        ),
+        bl,
+    )
+    bfplan = formatted(bf)
+    sections.append(
+        (
+            "blocklist_filter (domain ban, suffix equi-join)",
+            f"BroadcastHashJoin present: {'BroadcastHashJoin' in bfplan} — the "
+            "list broadcasts; pages explode only their ~5-row host-suffix "
+            "chain (plain equi-join, no LIKE scan), and hits collapse to a "
+            "distinct id set before the flag join-back\n\n" + bfplan[:1500],
+        )
+    )
+
     out = ["# Physical plan evidence (generated by tools/snapshot_plans.py)\n"]
     for title, body in sections:
         out.append(f"\n## {title}\n\n```\n{body}\n```\n")
