@@ -804,6 +804,58 @@ def q_main_content(spark, sf_dir):
     )
 
 
+_PIPE_FUNNEL_EXPORT = os.path.join(tempfile.gettempdir(), "jrs_pipe_funnel")
+
+
+def q_pipeline_funnel(spark, sf_dir):
+    """The FUSED keep/drop decision decomposed per gate (repair ok,
+    nonempty payload, English, perplexity, heuristics) — the
+    north-star funnel over the full pipeline.  Hybrid oracle: the two
+    kernel-only gates export per-doc flags (re-aggregated — the
+    repair_metrics pattern); langid / perplexity / heuristics counts
+    are recomputed CLOSED-FORM from documents; and n_keep is
+    independently recomputed as the per-doc AND of all five gates, so
+    a fusion bug in keep_expr (not just a gate-count bug)
+    hash-mismatches."""
+    from json_remedy_spark.functions.perplexity import MAX_PERPLEXITY
+    from json_remedy_spark.operators.pipeline import quality_filter
+
+    d = _t(spark, sf_dir, "documents")
+    pages = d.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        "doc_id",
+        "text",
+        F.col("lang"),
+    )
+    res = quality_filter(pages, with_actions=False)
+    flags = res.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "ok",
+        (F.col("repaired").isNotNull() & (F.col("repaired") != F.lit('""'))).alias(
+            "nonempty"
+        ),
+        (F.col("lang_id") == "en").alias("lang_ok"),
+        (F.col("ppl") <= MAX_PERPLEXITY).alias("ppl_ok"),
+        "q_pass",
+        "keep",
+    ).persist()
+    flags.select("doc_id", "ok", "nonempty").write.mode("overwrite").parquet(
+        _PIPE_FUNNEL_EXPORT
+    )
+    z = F.lit(0)
+    return flags.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(~F.col("ok"), 1).otherwise(z)).cast("long").alias("n_repair_fail"),
+        F.sum(F.when(F.col("ok") & ~F.col("nonempty"), 1).otherwise(z))
+        .cast("long")
+        .alias("n_empty_payload"),
+        F.sum(F.when(~F.col("lang_ok"), 1).otherwise(z)).cast("long").alias("n_lang_fail"),
+        F.sum(F.when(~F.col("ppl_ok"), 1).otherwise(z)).cast("long").alias("n_ppl_fail"),
+        F.sum(F.when(~F.col("q_pass"), 1).otherwise(z)).cast("long").alias("n_quality_fail"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(z)).cast("long").alias("n_keep"),
+    )
+
+
 def q_quality_stats(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     t = F.col("text")
@@ -1735,6 +1787,7 @@ EXPORT_SCHEMAS: dict[str, str] = {
     _LAYER_HITS_EXPORT: "layer VARCHAR, hits INTEGER",
     _REPAIR_ACTIONS_EXPORT: "action VARCHAR",
     _BPE_MERGES_EXPORT: "rank BIGINT, a VARCHAR, b VARCHAR",
+    _PIPE_FUNNEL_EXPORT: "doc_id BIGINT, ok BOOLEAN, nonempty BOOLEAN",
     _REPAIR_DEBUG_EXPORT: "layer VARCHAR, status VARCHAR, repairs BIGINT",
 }
 
@@ -1770,6 +1823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs": q_jaccard_pairs,
         "lsh_recall": q_lsh_recall,
         "filter_funnel": q_filter_funnel,
+        "pipeline_funnel": q_pipeline_funnel,
         "main_content": q_main_content,
         "simhash": q_simhash,
         "simhash_near_dup": q_simhash_near_dup,
@@ -2438,6 +2492,37 @@ def _main_content_sql() -> str:
       FROM documents d
       LEFT JOIN agg ON agg.doc_id = d.doc_id
       LEFT JOIN kagg ON kagg.doc_id = d.doc_id
+    """
+
+
+def _pipeline_funnel_sql() -> str:
+    from json_remedy_spark.functions.perplexity import MAX_PERPLEXITY
+
+    lang_expr = langid.detect_language_sql("text")
+    passes = quality.quality_sql("text")["passes"]
+    return f"""
+      WITH k AS (SELECT doc_id, ok, nonempty
+                 FROM read_parquet('{_PIPE_FUNNEL_EXPORT}/*.parquet')),
+      p AS ({_perplexity_sql()}),
+      g AS (
+        SELECT d.doc_id,
+               k.ok, k.nonempty,
+               (({lang_expr}) = 'en') AS lang_ok,
+               (p.ppl <= {MAX_PERPLEXITY}) AS ppl_ok,
+               {passes} AS q_pass
+        FROM documents d
+        JOIN k ON k.doc_id = d.doc_id
+        JOIN p ON p.doc_id = d.doc_id
+      )
+      SELECT count(*)::BIGINT AS n_docs,
+             sum(CASE WHEN NOT ok THEN 1 ELSE 0 END)::BIGINT AS n_repair_fail,
+             sum(CASE WHEN ok AND NOT nonempty THEN 1 ELSE 0 END)::BIGINT AS n_empty_payload,
+             sum(CASE WHEN NOT lang_ok THEN 1 ELSE 0 END)::BIGINT AS n_lang_fail,
+             sum(CASE WHEN NOT ppl_ok THEN 1 ELSE 0 END)::BIGINT AS n_ppl_fail,
+             sum(CASE WHEN NOT q_pass THEN 1 ELSE 0 END)::BIGINT AS n_quality_fail,
+             sum(CASE WHEN ok AND nonempty AND lang_ok AND ppl_ok AND q_pass
+                      THEN 1 ELSE 0 END)::BIGINT AS n_keep
+      FROM g
     """
 
 
@@ -3310,6 +3395,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "langid": f"SELECT {lang_expr} AS lang_id, count(*)::BIGINT AS n FROM documents GROUP BY 1",
         "filter_funnel": _filter_funnel_sql(),
+        "pipeline_funnel": _pipeline_funnel_sql(),
         "main_content": _main_content_sql(),
         "quality_stats": f"""
             SELECT doc_id::BIGINT AS doc_id,
