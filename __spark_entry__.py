@@ -351,6 +351,17 @@ def q_mixture_sample(spark, sf_dir):
     )
 
 
+def q_corpus_report(spark, sf_dir):
+    """Per-language dataset-card rollup (corpus.corpus_report): doc
+    counts, token totals, mean, and GRID-exact p50/p90 token cutoffs
+    via the histogram trick — no per-language sort.  Exact oracle:
+    DuckDB recomputes the histogram, cumulative window, and cutoffs."""
+    d = _t(spark, sf_dir, "documents")
+    return corpus.corpus_report(d).select(
+        "lang", "n_docs", "total_tokens", "mean_tokens", "p50_tokens", "p90_tokens"
+    )
+
+
 def q_pack_token_budget(spark, sf_dir):
     """Per-language token packing: deterministic doc_id-ordered prefix
     whose cumulative token count reaches the budget (floor semantics)."""
@@ -1833,6 +1844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "fuzzy_decontaminate": q_fuzzy_decontaminate,
         "mixture_sample": q_mixture_sample,
+        "corpus_report": q_corpus_report,
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_merges": q_bpe_merges,
         "bpe_tokens": q_bpe_tokens,
@@ -2422,6 +2434,28 @@ def _bpe_tokens_sql() -> str:
       SELECT d.doc_id::BIGINT AS doc_id,
              coalesce(p.n_tokens, 0)::BIGINT AS n_tokens
       FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+    """
+
+
+def _corpus_report_sql() -> str:
+    tok = textstats.stats_sql("text")["token_count"]
+    grid = 64
+    return f"""
+      WITH t AS (SELECT lang, {tok} AS n_tok FROM documents),
+      b AS (SELECT lang, n_tok, n_tok // {grid} AS tb FROM t),
+      hist AS (SELECT lang, tb, count(*) AS n, sum(n_tok) AS tok
+               FROM b GROUP BY lang, tb),
+      cum AS (SELECT lang, tb, n, tok,
+                     sum(n) OVER (PARTITION BY lang ORDER BY tb) AS cum,
+                     sum(n) OVER (PARTITION BY lang) AS tot
+              FROM hist)
+      SELECT lang,
+             max(tot)::BIGINT AS n_docs,
+             sum(tok)::BIGINT AS total_tokens,
+             round(sum(tok) / max(tot), 4)::DOUBLE AS mean_tokens,
+             ((min(CASE WHEN cum * 2 >= tot THEN tb END) + 1) * {grid})::BIGINT AS p50_tokens,
+             ((min(CASE WHEN cum * 10 >= tot * 9 THEN tb END) + 1) * {grid})::BIGINT AS p90_tokens
+      FROM cum GROUP BY lang
     """
 
 
@@ -3130,6 +3164,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": _decontaminate_sql(),
         "fuzzy_decontaminate": _fuzzy_decontaminate_sql(),
         "mixture_sample": _mixture_sample_sql(),
+        "corpus_report": _corpus_report_sql(),
         "bpe_pair_counts": _bpe_pair_counts_sql(),
         "bpe_merges": _bpe_merges_sql(),
         "bpe_tokens": _bpe_tokens_sql(),

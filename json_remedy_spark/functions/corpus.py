@@ -755,3 +755,44 @@ def dup_span_removal(
         F.count("*").alias("n_tokens"),
         F.sum(F.when(~F.col("keep_tok"), 1).otherwise(0)).alias("n_dropped"),
     )
+
+
+def corpus_report(
+    docs: DataFrame,
+    lang_col: str = "lang",
+    text_col: str = "text",
+    grid: int = 64,
+) -> DataFrame:
+    """Per-language corpus report — the rollup a dataset card quotes:
+    ``(lang, n_docs, total_tokens, mean_tokens, p50_tokens,
+    p90_tokens)``.
+
+    Percentiles are GRID-exact (the CCNet-histogram trick shared with
+    ``ppl_head_middle_tail``): token counts land on ``grid``-sized
+    buckets, the cutoff is the upper edge of the smallest bucket whose
+    cumulative doc count reaches the quantile, and the comparisons are
+    integer-exact — so the DuckDB oracle matches bit-for-bit and no
+    per-language global sort ever runs (a 10^9-doc language would
+    otherwise be one straggler task)."""
+    t = docs.select(
+        F.col(lang_col).alias("lang"),
+        token_count(F.col(text_col)).alias("n_tok"),
+    ).withColumn("_tb", F.floor(F.col("n_tok") / grid))
+    hist = t.groupBy("lang", "_tb").agg(
+        F.count("*").alias("n"), F.sum("n_tok").alias("tok")
+    )
+    w = Window.partitionBy("lang").orderBy("_tb")
+    cum = hist.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "tot", F.sum("n").over(Window.partitionBy("lang"))
+    )
+    return cum.groupBy("lang").agg(
+        F.max("tot").cast("long").alias("n_docs"),
+        F.sum("tok").cast("long").alias("total_tokens"),
+        F.round(F.sum("tok") / F.max("tot"), 4).cast("double").alias("mean_tokens"),
+        ((F.min(F.when(F.col("cum") * 2 >= F.col("tot"), F.col("_tb"))) + 1) * grid)
+        .cast("long")
+        .alias("p50_tokens"),
+        ((F.min(F.when(F.col("cum") * 10 >= F.col("tot") * 9, F.col("_tb"))) + 1) * grid)
+        .cast("long")
+        .alias("p90_tokens"),
+    )

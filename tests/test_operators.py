@@ -2252,3 +2252,25 @@ def test_main_content_python_vs_duckdb_parity_fuzz():
         assert (got[0], got[1], got[2]) == want, html
 
     check()
+
+
+def test_corpus_report_percentiles_and_totals(spark):
+    from json_remedy_spark.functions.corpus import corpus_report
+
+    # 10 docs of 1 token, 10 of ~100 tokens -> p50 falls in the first
+    # grid bucket (cutoff 64), p90 in the 100-token bucket (cutoff 128)
+    rows = [(i, "en", "word") for i in range(10)] + [
+        (10 + i, "en", " ".join(["w"] * 100)) for i in range(10)
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    r = {x["lang"]: x for x in corpus_report(d).collect()}["en"]
+    assert r["n_docs"] == 20
+    assert r["total_tokens"] == 10 * 1 + 10 * 100
+    assert r["mean_tokens"] == (1010) / 20
+    assert r["p50_tokens"] == 64 and r["p90_tokens"] == 128
+    # languages are independent
+    d2 = d.union(
+        spark.createDataFrame([(99, "de", "ein wort")], "doc_id long, lang string, text string")
+    )
+    out = {x["lang"]: x for x in corpus_report(d2).collect()}
+    assert out["de"]["n_docs"] == 1 and out["en"]["n_docs"] == 20
