@@ -142,6 +142,19 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--dsir-n", type=int, default=0)
     ap.add_argument("--dsir-seed", type=int, default=0)
     ap.add_argument(
+        "--dsir-ratio",
+        default=None,
+        help="with --dsir-n: reuse an at-rest fitted log-ratio parquet "
+        "(save_log_ratio format) instead of fitting against "
+        "--dsir-target — the fit-once / reuse-across-dumps form",
+    )
+    ap.add_argument(
+        "--dsir-ratio-out",
+        default=None,
+        help="with --dsir-target: also export the fitted log-ratio "
+        "parquet for later --dsir-ratio runs",
+    )
+    ap.add_argument(
         "--train-lm-out",
         default=None,
         help="after the final corpus is fixed, train the char-trigram "
@@ -429,15 +442,30 @@ def run(spark, args) -> str:
     # histogram aggregates (<= B rows each), one map-only scoring
     # pass, TakeOrderedAndProject cut — the survivor set semi-joins
     # back so downstream stages see full rows
-    if args.dsir_target and args.dsir_n:
+    if (args.dsir_target or args.dsir_ratio) and args.dsir_n:
         def _dsir(d=docs):
-            from json_remedy_spark.functions.dsir import dsir_resample, dsir_weights
+            from json_remedy_spark.functions.dsir import (
+                bigram_bucket_counts,
+                dsir_log_ratio,
+                dsir_resample,
+                dsir_weights,
+                load_log_ratio,
+                save_log_ratio,
+            )
 
             d = d.persist()  # histogram + scoring passes share one scan
             job_handles.append(d)
-            target = read_table(spark, args.dsir_target).select("text")
+            if args.dsir_ratio:
+                lr = load_log_ratio(args.dsir_ratio)
+            else:
+                target = read_table(spark, args.dsir_target).select("text")
+                lr = dsir_log_ratio(
+                    bigram_bucket_counts(target), bigram_bucket_counts(d)
+                )
+                if args.dsir_ratio_out:
+                    save_log_ratio(lr, args.dsir_ratio_out)
             sel = dsir_resample(
-                dsir_weights(d, target), args.dsir_n, seed=args.dsir_seed
+                dsir_weights(d, log_ratio=lr), args.dsir_n, seed=args.dsir_seed
             )
             return d.join(sel.select("doc_id"), "doc_id", "left_semi")
         docs = stage("s6b_dsir", _dsir)

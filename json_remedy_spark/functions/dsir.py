@@ -111,6 +111,29 @@ def dsir_log_ratio(
     return lp - lq
 
 
+def save_log_ratio(log_ratio: np.ndarray, path: str) -> None:
+    """Persist a fitted log-ratio vector as (bucket, log_ratio)
+    parquet — the at-rest form: fit once on samples, reuse across
+    crawl dumps (the IVF-index / signature-table pattern)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    lr = np.asarray(log_ratio, dtype=np.float64)
+    pq.write_table(
+        pa.table({"bucket": np.arange(len(lr), dtype=np.int64), "log_ratio": lr}),
+        path,
+    )
+
+
+def load_log_ratio(path: str, n_buckets: int = FT_BUCKETS) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(path).to_pydict()
+    lr = np.zeros(n_buckets, dtype=np.float64)
+    lr[np.asarray(t["bucket"], dtype=np.int64)] = t["log_ratio"]
+    return lr
+
+
 def dsir_weights(
     raw: DataFrame,
     target: DataFrame | None = None,

@@ -163,3 +163,22 @@ def test_weights_with_sampled_raw_histogram(corpus):
         .set_index("doc_id")["weight"]
     )
     assert (w.sort_index() == w2.sort_index()).all()
+
+
+def test_log_ratio_at_rest_roundtrip(corpus, tmp_path):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from json_remedy_spark.functions import dsir
+
+    target = corpus.where((F.col("doc_id") % 3) == 0)
+    lr = dsir.dsir_log_ratio(
+        dsir.bigram_bucket_counts(target), dsir.bigram_bucket_counts(corpus)
+    )
+    path = str(tmp_path / "ratio.parquet")
+    dsir.save_log_ratio(lr, path)
+    lr2 = dsir.load_log_ratio(path)
+    assert np.array_equal(lr, lr2)
+    w1 = dsir.dsir_weights(corpus, log_ratio=lr).toPandas().set_index("doc_id")
+    w2 = dsir.dsir_weights(corpus, log_ratio=lr2).toPandas().set_index("doc_id")
+    assert (w1["weight"].sort_index() == w2["weight"].sort_index()).all()

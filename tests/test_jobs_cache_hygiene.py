@@ -308,3 +308,27 @@ def test_corpus_pipeline_blocklist(spark, pages_parquet, tmp_path):
     assert not {u for u in got if u.split("/")[2] == victim_host}
     assert got < base
     assert _sql_cache_empty(spark), "blocklist stage leaked persists"
+
+
+def test_corpus_pipeline_dsir_ratio_reuse(spark, pages_parquet, tmp_path):
+    """--dsir-ratio-out exports the fitted ratio; a second run with
+    --dsir-ratio (no target) selects the SAME documents."""
+    import duckdb
+
+    from jobs.run_corpus_pipeline import build_parser, run
+
+    spark.catalog.clearCache()
+    ratio = str(tmp_path / "ratio.parquet")
+    out1 = str(tmp_path / "o1")
+    run(spark, build_parser().parse_args(
+        ["--input", pages_parquet, "--output", out1,
+         "--dsir-target", pages_parquet, "--dsir-n", "20",
+         "--dsir-ratio-out", ratio]))
+    out2 = str(tmp_path / "o2")
+    run(spark, build_parser().parse_args(
+        ["--input", pages_parquet, "--output", out2,
+         "--dsir-ratio", ratio, "--dsir-n", "20"]))
+    assert _sql_cache_empty(spark)
+    a = {r[0] for r in duckdb.sql(f"SELECT url FROM read_parquet('{out1}/*.parquet')").fetchall()}
+    b = {r[0] for r in duckdb.sql(f"SELECT url FROM read_parquet('{out2}/*.parquet')").fetchall()}
+    assert a == b and len(a) == 20
