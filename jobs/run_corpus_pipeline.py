@@ -15,6 +15,8 @@
       [--robots-input <host,robots_txt table>]  politeness gate first
       [--boilerplate-frac F]  per-host template removal pre line-dedup
       [--dsir-target <docs> --dsir-n N]  DSIR importance resampling
+      [--dsir-ratio <parquet> | --dsir-ratio-out <parquet>]  at-rest ratio
+      [--blocklist-input <host,category table>]  UT1 domain ban
       [--ppl-keep head,middle]  CCNet perplexity stratified keep
       [--mixture src=rate,...]  source-mixture resampling (DoReMi)
       [--fuzzy-decon T]  LSH near-dup decontamination vs --eval-input
