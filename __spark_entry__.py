@@ -956,6 +956,18 @@ def q_can_repair(spark, sf_dir):
     )
 
 
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization over the events table
+    (functions/events.py) — the batch twin of Structured Streaming's
+    session_window; integer-microsecond arithmetic, exact oracle."""
+    from json_remedy_spark.functions.events import sessionize
+
+    e = _t(spark, sf_dir, "events")
+    return sessionize(e).select(
+        "user_id", "session_no", "n_events", "start_us", "end_us", "duration_us"
+    )
+
+
 def q_event_metrics(spark, sf_dir):
     """Metrics-style aggregation (north_rule metrics tables)."""
     e = _t(spark, sf_dir, "events")
@@ -1874,6 +1886,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repair_predicates": q_repair_predicates,
         "can_repair": q_can_repair,
         "event_metrics": q_event_metrics,
+        "sessionize": q_sessionize,
         "keep_drop": q_keep_drop,
         "repair_ok_fastpath": q_repair_ok_fastpath,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -3085,6 +3098,8 @@ def _cosine_topk_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from json_remedy_spark.functions.events import sessionize_sql
+
     qsql = quality.quality_sql("text")
     ssql = textstats.stats_sql("text")
     lang_expr = langid.detect_language_sql("text")
@@ -3553,6 +3568,7 @@ def oracle_sql() -> dict[str, str]:
                          greatest(nb // {_N_FRAMES}, 1))::BIGINT AS frame_bytes
             FROM (SELECT url, nb, unnest(range(0, {_N_FRAMES})) AS i FROM b)
         """,
+        "sessionize": sessionize_sql(),
         "event_metrics": """
             SELECT event_type, count(*)::BIGINT AS n,
                    round(avg(value), 4)::DOUBLE AS avg_value,

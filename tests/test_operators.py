@@ -2274,3 +2274,33 @@ def test_corpus_report_percentiles_and_totals(spark):
     )
     out = {x["lang"]: x for x in corpus_report(d2).collect()}
     assert out["de"]["n_docs"] == 1 and out["en"]["n_docs"] == 20
+
+
+def test_sessionize_gap_semantics(spark):
+    import datetime as dt
+
+    from json_remedy_spark.functions.events import sessionize
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: two events 10 min apart (one session), then a 31-min
+        # gap (new session)
+        (0, t0, 1), (1, t0 + dt.timedelta(minutes=10), 1),
+        (2, t0 + dt.timedelta(minutes=41), 1),
+        # user 2: single event
+        (3, t0, 2),
+        # exact-gap boundary: 30:00 is NOT a new session (> gap, strict)
+        (4, t0, 3), (5, t0 + dt.timedelta(minutes=30), 3),
+        (6, t0 + dt.timedelta(minutes=60, seconds=1), 3),
+    ]
+    e = spark.createDataFrame(rows, "event_id long, ts timestamp_ntz, user_id long")
+    out = {
+        (r["user_id"], r["session_no"]): r for r in sessionize(e, 30).collect()
+    }
+    assert out[(1, 1)]["n_events"] == 2
+    assert out[(1, 2)]["n_events"] == 1
+    assert out[(2, 1)]["n_events"] == 1 and out[(2, 1)]["duration_us"] == 0
+    # 30:00 exactly joins the session; 30:01 later starts a new one
+    assert out[(3, 1)]["n_events"] == 2
+    assert out[(3, 2)]["n_events"] == 1
+    assert out[(1, 1)]["duration_us"] == 10 * 60 * 1_000_000
