@@ -2304,3 +2304,54 @@ def test_sessionize_gap_semantics(spark):
     assert out[(3, 1)]["n_events"] == 2
     assert out[(3, 2)]["n_events"] == 1
     assert out[(1, 1)]["duration_us"] == 10 * 60 * 1_000_000
+
+
+def test_stream_sessions_restart_and_late_finalization(spark, tmp_path):
+    """Streaming sessionization (session_window + watermark): sessions
+    finalize once the watermark passes their close — including across
+    a restart from the checkpoint — and agree with the batch
+    sessionize rollup for the finalized window."""
+    import datetime as dt
+
+    from json_remedy_spark.streaming.stream_sessions import run_once
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    # batch 1: user 1 has a 2-event session; a much-later event from
+    # user 2 advances the watermark far past user 1's session close
+    spark.createDataFrame(
+        [
+            (0, t0, 1),
+            (1, t0 + dt.timedelta(minutes=5), 1),
+            (2, t0 + dt.timedelta(hours=6), 2),
+        ],
+        "event_id long, ts timestamp, user_id long",
+    ).coalesce(1).write.mode("append").parquet(str(in_dir))
+    run_once(spark, str(in_dir), out, ck, gap_minutes=30)
+    rows = {r["user_id"]: r for r in spark.read.parquet(out).collect()}
+    assert rows[1]["n_events"] == 2
+    assert 2 not in rows  # user 2's session is still open
+
+    # batch 2 (restart from checkpoint): an even later event finalizes
+    # user 2's session
+    spark.createDataFrame(
+        [(3, t0 + dt.timedelta(hours=20), 3)],
+        "event_id long, ts timestamp, user_id long",
+    ).coalesce(1).write.mode("append").parquet(str(in_dir))
+    run_once(spark, str(in_dir), out, ck, gap_minutes=30)
+    rows2 = {r["user_id"]: r for r in spark.read.parquet(out).collect()}
+    assert rows2[2]["n_events"] == 1
+    # batch-operator agreement on the finalized session
+    from json_remedy_spark.functions.events import sessionize
+
+    b = sessionize(
+        spark.createDataFrame(
+            [(0, t0, 1), (1, t0 + dt.timedelta(minutes=5), 1)],
+            "event_id long, ts timestamp_ntz, user_id long",
+        ),
+        30,
+    ).collect()[0]
+    assert b["n_events"] == rows2[1]["n_events"]
