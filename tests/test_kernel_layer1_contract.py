@@ -240,3 +240,29 @@ def test_normalize_encoding_direct():
     log = []
     out = cleaning.normalize_encoding('{"name": "Alice"}', log)
     assert out == '{"name": "Alice"}' and log == []
+
+
+def test_fenced_string_unwrap_via_escaped_backticks():
+    """VERDICT r4 #4c regression: the unwrap gate must keep the walk
+    when backticks reach the DECODED value only through \\u0060
+    escapes (the reference's code_fence_extractor inspects the decoded
+    value, not the source bytes).  Trailing comma forces the repair
+    path — the whole-input fast path returns valid JSON untouched by
+    design (lib/json_remedy.ex:118-127)."""
+    from json_remedy_spark.kernel import repair
+
+    src = '{"a": "\\u0060\\u0060\\u0060json\\n{\\"b\\": 1}\\n\\u0060\\u0060\\u0060",}'
+    assert "`" not in src
+    r = repair(src)
+    assert r.ok and r.value == {"a": {"b": 1}}
+    assert any(a["action"] == "unwrapped fenced JSON string" for a in r.repairs)
+
+
+def test_fenced_string_valid_json_fast_path_untouched():
+    """Reference parity: a fully VALID doc takes the whole-input fast
+    path and its fenced string values stay literal strings."""
+    from json_remedy_spark.kernel import repair
+
+    src = '{"a": "```json\\n{\\"b\\": 1}\\n```"}'
+    r = repair(src)
+    assert r.ok and r.value == {"a": '```json\n{"b": 1}\n```'}
