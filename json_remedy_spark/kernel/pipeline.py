@@ -43,8 +43,23 @@ class RepairResult:
     fast_path: bool = False
 
 
-def to_canonical(value: Any) -> str:
-    out = json.dumps(value, ensure_ascii=False, separators=(",", ":"))
+def to_canonical(value: Any, indent: int | None = None) -> str:
+    """Serialize a repaired value.
+
+    Default is the pinned compact insertion-order form — the
+    byte-identity invariant column (SURVEY §7.4 documents the
+    key-order delta vs the reference's BEAM map order, which is
+    permanent).  ``indent`` is the analogue of the reference's
+    ``jason_options: [pretty: true]`` pass-through on
+    ``repair_to_string/2`` (lib/json_remedy.ex:152-165): Jason's
+    pretty printer emits 2-space-indented ``"key": value`` lines,
+    which ``json.dumps(indent=2)`` matches line-for-line on the
+    doctest examples; key order remains insertion order either way.
+    """
+    if indent is not None:
+        out = json.dumps(value, ensure_ascii=False, indent=indent)
+    else:
+        out = json.dumps(value, ensure_ascii=False, separators=(",", ":"))
     try:
         out.encode("utf-8")
     except UnicodeEncodeError:
@@ -434,10 +449,25 @@ def repair_with_debug(s: str | bytes, **kw) -> tuple[RepairResult, dict]:
     return r, dbg.finish(len(r.repairs or []))
 
 
-def repair_to_string(s: str | bytes, **kw) -> RepairResult:
+def repair_to_string(s: str | bytes, indent: int | None = None, **kw) -> RepairResult:
     """Repair then re-serialize (lib/json_remedy.ex:152-165); canonical
-    compact form is the byte-identical invariant column."""
-    return repair(s, **kw)
+    compact form is the byte-identical invariant column.
+
+    ``indent`` mirrors the reference's ``jason_options`` pass-through
+    (``Jason.encode!(term, pretty: true)`` == ``indent=2``): the
+    returned result's ``repaired`` field is pretty-printed, the
+    decoded ``value`` is unchanged.  Key order stays the pinned
+    insertion-order delta either way (SURVEY §7.4)."""
+    r = repair(s, **kw)
+    if indent is not None and r.ok:
+        return RepairResult(
+            ok=True,
+            value=r.value,
+            repaired=to_canonical(r.value, indent=indent),
+            repairs=r.repairs,
+            fast_path=r.fast_path,
+        )
+    return r
 
 
 def analyze(s: str | bytes) -> list:

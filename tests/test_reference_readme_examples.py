@@ -157,3 +157,38 @@ def test_basic_usage_combined():
         "age": 30,
         "settings": {"theme": "dark", "notifications": True},
     }
+
+
+# ---- repair_to_string jason_options analogue (json_remedy.ex:152-165) -----
+
+def test_repair_to_string_doc_examples_compact():
+    """The three repair_to_string doctest examples, compact default."""
+    from json_remedy_spark.kernel.pipeline import repair_to_string
+
+    assert repair_to_string('{name: "Alice"}').repaired == '{"name":"Alice"}'
+    assert repair_to_string("[1, 2, 3,]").repaired == "[1,2,3]"
+    assert repair_to_string('```json\n{"test": true}\n```').repaired == '{"test":true}'
+
+
+def test_repair_to_string_pretty_indent():
+    """indent= mirrors jason_options [pretty: true] (2-space indent,
+    'key': value lines); value and repairs are unchanged, key order
+    stays the pinned insertion-order delta (SURVEY 7.4)."""
+    from json_remedy_spark.kernel.pipeline import repair_to_string
+
+    r = repair_to_string('{name: "Alice", age: 30,}', indent=2)
+    assert r.ok and r.value == {"name": "Alice", "age": 30}
+    assert r.repaired == '{\n  "name": "Alice",\n  "age": 30\n}'
+    # error results pass through untouched
+    bad = repair_to_string("[" * 5001, indent=2)
+    assert not bad.ok and bad.repaired is None
+
+
+def test_to_canonical_indent_nested():
+    from json_remedy_spark.kernel.pipeline import to_canonical
+
+    assert to_canonical({"a": [1, {"b": None}]}, indent=2) == (
+        '{\n  "a": [\n    1,\n    {\n      "b": null\n    }\n  ]\n}'
+    )
+    # default stays the compact invariant form
+    assert to_canonical({"a": [1]}) == '{"a":[1]}'
