@@ -1525,6 +1525,21 @@ def q_frame_sample(spark, sf_dir):
     )
 
 
+def q_media_near_dup(spark, sf_dir):
+    """Multimodal near-dup: dHash perceptual fingerprints over binary
+    payloads -> the text-SimHash banded hamming join (4x16-bit bands,
+    pigeonhole-exact recall at k<=3, one shuffle, never all-pairs).
+    Exact oracle: DuckDB recomputes the integer dHash from payload
+    bytes via hex nibbles and replays the banded join."""
+    from json_remedy_spark.functions.multimodal import media_near_dup
+
+    return media_near_dup(_docs_as_binary(spark, sf_dir), max_hamming=3).select(
+        F.col("doc_a").cast("string").alias("doc_a"),
+        F.col("doc_b").cast("string").alias("doc_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
+
+
 # Recall-tier ANN knobs for the driver queries.  The synthetic
 # embeddings are near-uniform (true top-5 sits at cos ~0.3, the
 # LSH worst case), so hitting the recall floors (lsh>=0.6, ivf>=0.8)
@@ -1867,6 +1882,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "media_meta": q_media_meta,
         "frame_sample": q_frame_sample,
+        "media_near_dup": q_media_near_dup,
         "ivf_ann_topk": q_ivf_ann_topk,
         "perplexity": q_perplexity,
         "ppl_histogram": q_ppl_histogram,
@@ -2872,6 +2888,68 @@ def _simhash_near_dup_sql() -> str:
     """
 
 
+def _media_dhash_sql() -> str:
+    """DuckDB replica of multimodal.dhash over utf-8 payload bytes:
+    hex-nibble byte extraction (the media_features pattern), byte i ->
+    grid cell (i-1) % DHASH_CELLS, cell value = byte sum mod 256, bit
+    j set when cell[r*COLS+c] < cell[r*COLS+c+1] (r = j // (COLS-1),
+    c = j % (COLS-1)); bit 63 via its signed two's-complement literal
+    (the _simhash_sql pattern)."""
+    from json_remedy_spark.functions import multimodal as mm
+
+    cells, cols = mm.DHASH_CELLS, mm.DHASH_COLS
+    pivots = ", ".join(
+        f"coalesce(max(CASE WHEN cell = {k} THEN gv END), 0) AS g{k}"
+        for k in range(cells)
+    )
+    bits = []
+    for j in range(64):
+        r, c = j // (cols - 1), j % (cols - 1)
+        base = r * cols + c
+        bits.append(
+            f"(CASE WHEN g{base} < g{base + 1} "
+            f"THEN ({dedup._signed64(1 << j)})::BIGINT ELSE 0 END)"
+        )
+    fp = " | ".join(bits)
+    return f"""
+      SELECT url AS doc_id, ({fp})::BIGINT AS simhash FROM (
+        WITH b AS (
+          SELECT concat('doc://', doc_id) AS url,
+                 lower(hex(encode(text))) AS hx,
+                 least(octet_length(encode(text)), 65536) AS nb
+          FROM documents
+        ),
+        byt AS (
+          SELECT url, ((i - 1) % {cells}) AS cell,
+                 (strpos('0123456789abcdef', substr(hx, 2 * i - 1, 1)) - 1) * 16
+                 + (strpos('0123456789abcdef', substr(hx, 2 * i, 1)) - 1) AS v
+          FROM (SELECT url, hx, unnest(range(1, nb + 1)) AS i FROM b)
+        ),
+        cel AS (SELECT url, cell, sum(v) % 256 AS gv FROM byt GROUP BY 1, 2)
+        SELECT b.url, {pivots}
+        FROM b LEFT JOIN cel ON cel.url = b.url GROUP BY b.url
+      )
+    """
+
+
+def _media_near_dup_sql() -> str:
+    """Same banded hamming join as _simhash_near_dup_sql, over dHash
+    fingerprints with string (url) ids."""
+    cb = dedup._SIMHASH_CHUNK_BITS
+    mask = dedup._SIMHASH_CHUNK_MASK
+    return f"""
+      WITH fp AS ({_media_dhash_sql()}),
+      banded AS (
+        SELECT doc_id, simhash, band, (simhash >> ({cb} * band)::INT) & {mask} AS chunk
+        FROM (SELECT doc_id, simhash, unnest(range(0, {dedup.SIMHASH_BANDS})) AS band FROM fp)
+      )
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+      FROM banded a JOIN banded b ON a.band = b.band AND a.chunk = b.chunk
+      WHERE a.doc_id < b.doc_id AND bit_count(xor(a.simhash, b.simhash)) <= 3
+    """
+
+
 def _simhash_sql() -> str:
     # portable hex -> int: 8 nibbles via strpos per 32-bit half of the
     # 64-bit fingerprint (h1 = md5 chars 1-8 -> bits 0-31, h2 = chars
@@ -3587,6 +3665,7 @@ def oracle_sql() -> dict[str, str]:
                    octet_length(encode(text))::BIGINT AS n_bytes
             FROM documents
         """,
+        "media_near_dup": _media_near_dup_sql(),
         "frame_sample": f"""
             WITH b AS (
               SELECT concat('doc://', doc_id) AS url,

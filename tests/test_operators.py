@@ -2382,3 +2382,53 @@ def test_nfc_normalize_null_text_changed_is_false(spark):
     out = {r["doc_id"]: r for r in nfc_normalize(d).collect()}
     assert out[1]["text"] is None and out[1]["changed"] is False
     assert out[2]["changed"] is False
+
+
+def test_media_dhash_deterministic_and_locality():
+    """dHash kernel: deterministic, 64-bit signed, and perceptually
+    local — identical payloads hash identically, a single flipped byte
+    changes at most 2 bits (its cell touches two comparisons)."""
+    from json_remedy_spark.functions.multimodal import dhash
+
+    a = bytes(range(256)) * 40
+    assert dhash(a) == dhash(bytes(a))
+    assert -(1 << 63) <= dhash(a) < 1 << 63
+    assert dhash(b"") == 0
+    b = bytearray(a)
+    b[100] = (b[100] + 7) % 256
+    diff = bin((dhash(a) ^ dhash(bytes(b))) & ((1 << 64) - 1)).count("1")
+    assert diff <= 2
+
+
+def test_media_near_dup_pairs_and_pigeonhole(spark):
+    """media_near_dup finds exact and near payload duplicates through
+    the banded join; pairs beyond the pigeonhole bound never appear."""
+    from json_remedy_spark.functions.multimodal import media_near_dup
+
+    from json_remedy_spark.functions.multimodal import dhash
+
+    base = b"\x89PNG" + bytes(range(256)) * 16
+    # search for a single-byte perturbation that flips 1-3 dHash bits
+    # (a ±delta on one cell only matters when it crosses an adjacent-
+    # cell comparison) — kernel-driven so the fixture can't go stale
+    h0 = dhash(base)
+    near = None
+    for pos in range(4, 600):
+        for delta in (0x80, 0x40, 0xC0):
+            cand = bytearray(base)
+            cand[pos] = (cand[pos] + delta) % 256
+            k = bin((h0 ^ dhash(bytes(cand))) & ((1 << 64) - 1)).count("1")
+            if 1 <= k <= 3:
+                near = bytes(cand)
+                break
+        if near:
+            break
+    assert near is not None
+    far = bytes(reversed(base))
+    rows = [("u1", base), ("u2", base), ("u3", near), ("u4", far)]
+    d = spark.createDataFrame(rows, "url string, html binary")
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in media_near_dup(d).collect()}
+    assert pairs[("u1", "u2")] == 0
+    assert ("u1", "u3") in pairs and 0 < pairs[("u1", "u3")] <= 3
+    assert all(h <= 3 for h in pairs.values())
+    assert not any("u4" in p for p in pairs)
