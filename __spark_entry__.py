@@ -1525,6 +1525,126 @@ def q_frame_sample(spark, sf_dir):
     )
 
 
+def q_corpus_funnel(spark, sf_dir):
+    """End-to-end evidence for the COMPOSED corpus job
+    (jobs/run_corpus_pipeline.py): stage-by-stage surviving-doc counts
+    through the same operator chain the job runs — robots gate -> URL
+    dedup (canonical collapse, min-url representative) -> global line
+    dedup with emptied docs dropped -> fuzzy near-dup components
+    (canonical representatives survive) -> benchmark decontamination.
+
+    Pages are synthesized deterministically from doc_id in BOTH
+    engines (3 URL variants per canonical page; hosts shop0-9 with the
+    q_robots_filter robots bodies; nav/footer chrome lines around the
+    real text).  The oracle is CLOSED-FORM AND CHAINED: each stage is
+    recomputed in DuckDB from the previous stage's recomputed survivor
+    set (per-stage `documents`-shadowing CTEs re-use the proven
+    component/shingle SQL), so a divergence at ANY stage shifts every
+    downstream count."""
+    from json_remedy_spark.functions import webgraph
+    from json_remedy_spark.functions.corpus import canonical_url, decontaminate, line_dedup
+
+    d_all = _t(spark, sf_dir, "documents")
+    ev = d_all.where(F.col("source") == "src0").select("doc_id", "text")
+    corp = d_all.where(F.col("source") != "src0")
+
+    g = F.expr("doc_id DIV 3")
+    h = F.pmod(g, 10).cast("string")
+    gs = g.cast("string")
+    path = (
+        F.when(F.pmod(g, 4) == 0, F.concat(F.lit("/admin/panel"), gs))
+        .when(F.pmod(g, 4) == 1, F.concat(F.lit("/products/"), gs))
+        .when(F.pmod(g, 4) == 2, F.concat(F.lit("/tmp/cache/"), gs))
+        .otherwise(F.concat(F.lit("/p/"), gs))
+    )
+    variant = F.pmod(F.col("doc_id"), 3)
+    url = (
+        F.when(variant == 0, F.concat(F.lit("HTTP://Shop"), h, F.lit(".Example.COM"), path))
+        .when(variant == 1, F.concat(F.lit("http://shop"), h, F.lit(".example.com"), path, F.lit("?utm_source=feed")))
+        .otherwise(F.concat(F.lit("http://shop"), h, F.lit(".example.com"), path, F.lit("#top")))
+    )
+    # the per-doc ' marker N' suffix keeps duplicated source texts as
+    # DISTINCT lines (so global line dedup can't erase the near-dup
+    # structure before the fuzzy stage gets to see it)
+    text = F.concat(
+        F.lit("Please enable cookies to continue\n"),
+        F.lit("section "), h, F.lit(" navigation menu\n"),
+        F.substring(F.col("text"), 1, 80),
+        F.lit(" marker "), F.pmod(F.col("doc_id"), 97).cast("string"),
+        F.lit("\ncopyright footer "), variant.cast("string"),
+    )
+    pages = corp.select(
+        F.col("doc_id").cast("long").alias("doc_id"), url.alias("url"), text.alias("text")
+    ).persist()
+
+    # stage 1: robots gate (same rule synthesis as q_robots_filter)
+    n_tbl = _t(spark, sf_dir, "nation")
+    n = F.col("n_nationkey")
+    body = F.concat(
+        F.lit("User-agent: megabot\nDisallow: /products\n"),
+        F.when(
+            n % 3 == 0,
+            F.lit(
+                "User-agent: helper\nUser-agent: *\n"
+                "DISALLOW: /admin # panel is private\nDisallow: /tmp/\nDisallow:\n"
+            ),
+        )
+        .when(n % 3 == 1, F.lit("User-agent: *\n# nothing blocked\nDisallow:\n"))
+        .otherwise(F.lit("")),
+    )
+    robots = n_tbl.where(n < 10).select(
+        F.concat(F.lit("shop"), n.cast("string"), F.lit(".example.com")).alias("host"),
+        body.alias("robots_txt"),
+    )
+    rules = webgraph.robots_disallow_rules(robots)
+    s1 = (
+        webgraph.robots_filter(pages, rules)
+        .where(~F.col("robots_disallowed"))
+        .select("doc_id", "url", "text")
+        .persist()
+    )
+
+    # stage 2: URL dedup — canonical collapse, min-url representative
+    # (the job's no-warc_ts fallback path)
+    keyed = s1.withColumn("canon_url", canonical_url(F.col("url")))
+    rep = keyed.groupBy("canon_url").agg(F.min("url").alias("rep_url"))
+    s2 = (
+        keyed.join(rep, "canon_url")
+        .where(F.col("url") == F.col("rep_url"))
+        .select("doc_id", "text")
+        .persist()
+    )
+
+    # stage 3: global line dedup; docs emptied by it drop out
+    s3 = (
+        line_dedup(s2)
+        .where(F.length(F.trim("text")) > 0)
+        .select("doc_id", "text")
+        .persist()
+    )
+
+    # stage 4: fuzzy near-dup components — canonical reps survive
+    comp = dedup.near_dup_components(s3, threshold=0.5)
+    s4 = s3.join(
+        comp.where(F.col("is_canonical")).select("doc_id"), "doc_id"
+    ).persist()
+
+    # stage 5: benchmark decontamination vs the src0 eval split
+    s5 = decontaminate(s4, ev).where(~F.col("contaminated")).select("doc_id")
+
+    def cnt(df, name):
+        return df.agg(F.count("*").cast("long").alias(name))
+
+    return (
+        cnt(pages, "n_input")
+        .crossJoin(cnt(s1, "n_post_robots"))
+        .crossJoin(cnt(s2, "n_post_url_dedup"))
+        .crossJoin(cnt(s3, "n_post_line_dedup"))
+        .crossJoin(cnt(s4, "n_post_fuzzy"))
+        .crossJoin(cnt(s5, "n_post_decon"))
+    )
+
+
 def q_media_near_dup(spark, sf_dir):
     """Multimodal near-dup: dHash perceptual fingerprints over binary
     payloads -> the text-SimHash banded hamming join (4x16-bit bands,
@@ -1883,6 +2003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": q_media_meta,
         "frame_sample": q_frame_sample,
         "media_near_dup": q_media_near_dup,
+        "corpus_funnel": q_corpus_funnel,
         "ivf_ann_topk": q_ivf_ann_topk,
         "perplexity": q_perplexity,
         "ppl_histogram": q_ppl_histogram,
@@ -2888,6 +3009,114 @@ def _simhash_near_dup_sql() -> str:
     """
 
 
+def _corpus_funnel_sql() -> str:
+    """Chained closed-form oracle for q_corpus_funnel: every stage is
+    recomputed from the PREVIOUS stage's recomputed survivor set.  The
+    fuzzy and shingle stages re-use the proven component/shingle SQL
+    via `documents`-shadowing CTEs (an inner `WITH documents AS
+    (SELECT ... FROM s_k)` re-binds the builders' table references to
+    the chained survivors; base-table reads are `main.`-qualified so
+    the shadow never recurses)."""
+    canon = corpus.canonical_url_sql("url")
+    return f"""
+      WITH corp AS (
+        SELECT doc_id, text FROM main.documents WHERE source <> 'src0'
+      ),
+      pages AS (
+        SELECT doc_id, (doc_id // 3) AS g,
+               CASE
+                 WHEN doc_id % 3 = 0 THEN
+                   'HTTP://Shop' || ((doc_id // 3) % 10)::VARCHAR || '.Example.COM'
+                   || path
+                 WHEN doc_id % 3 = 1 THEN
+                   'http://shop' || ((doc_id // 3) % 10)::VARCHAR || '.example.com'
+                   || path || '?utm_source=feed'
+                 ELSE
+                   'http://shop' || ((doc_id // 3) % 10)::VARCHAR || '.example.com'
+                   || path || '#top'
+               END AS url,
+               'Please enable cookies to continue' || chr(10)
+                 || 'section ' || ((doc_id // 3) % 10)::VARCHAR || ' navigation menu' || chr(10)
+                 || substr(text, 1, 80) || ' marker ' || (doc_id % 97)::VARCHAR || chr(10)
+                 || 'copyright footer ' || (doc_id % 3)::VARCHAR AS text
+        FROM (
+          SELECT *, CASE (doc_id // 3) % 4
+                      WHEN 0 THEN '/admin/panel' || (doc_id // 3)::VARCHAR
+                      WHEN 1 THEN '/products/' || (doc_id // 3)::VARCHAR
+                      WHEN 2 THEN '/tmp/cache/' || (doc_id // 3)::VARCHAR
+                      ELSE '/p/' || (doc_id // 3)::VARCHAR
+                    END AS path
+          FROM corp
+        )
+      ),
+      -- robots gate, closed form by construction: hosts shop{0,3,6,9}
+      -- carry *-agent Disallow /admin + /tmp/; paths g%4 in (0,2)
+      -- start with those prefixes
+      s1 AS (
+        SELECT * FROM pages
+        WHERE NOT ((g % 10) % 3 = 0 AND (g % 4) IN (0, 2))
+      ),
+      s2 AS (
+        SELECT doc_id, text FROM (
+          SELECT doc_id, text, url,
+                 min(url) OVER (PARTITION BY {canon}) AS rep_url
+          FROM s1
+        ) WHERE url = rep_url
+      ),
+      s3 AS (
+        SELECT doc_id, text FROM (
+          SELECT doc_id,
+                 coalesce(string_agg(CASE WHEN NOT eligible OR rn = 1 THEN line END,
+                                     chr(10) ORDER BY line_no), '') AS text
+          FROM (
+            SELECT doc_id, line_no, line,
+                   row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) AS rn,
+                   len(trim(line)) >= 1 AS eligible
+            FROM (
+              SELECT doc_id, x.i - 1 AS line_no, x.line
+              FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM s2),
+                   LATERAL (SELECT unnest(ls) AS line, unnest(range(1, len(ls) + 1)) AS i) x
+            )
+          ) GROUP BY doc_id
+        ) WHERE len(trim(text)) > 0
+      ),
+      s4 AS (
+        SELECT s3.doc_id, s3.text FROM s3 JOIN (
+          SELECT doc_id FROM (
+            WITH documents AS (SELECT doc_id, text FROM s3)
+            SELECT * FROM ({_dedup_components_sql()})
+          ) WHERE is_canonical
+        ) keep ON keep.doc_id = s3.doc_id
+      ),
+      s4_sh AS (
+        SELECT * FROM (
+          WITH documents AS (SELECT doc_id, text FROM s4)
+          SELECT * FROM ({_SHINGLES})
+        )
+      ),
+      ev_sh AS (
+        SELECT DISTINCT shingle FROM (
+          WITH documents AS (
+            SELECT doc_id, text FROM main.documents WHERE source = 'src0'
+          )
+          SELECT * FROM ({_SHINGLES})
+        )
+      ),
+      s5 AS (
+        SELECT doc_id FROM s4
+        WHERE doc_id NOT IN (
+          SELECT DISTINCT s.doc_id FROM s4_sh s JOIN ev_sh USING (shingle)
+        )
+      )
+      SELECT (SELECT count(*) FROM pages)::BIGINT AS n_input,
+             (SELECT count(*) FROM s1)::BIGINT AS n_post_robots,
+             (SELECT count(*) FROM s2)::BIGINT AS n_post_url_dedup,
+             (SELECT count(*) FROM s3)::BIGINT AS n_post_line_dedup,
+             (SELECT count(*) FROM s4)::BIGINT AS n_post_fuzzy,
+             (SELECT count(*) FROM s5)::BIGINT AS n_post_decon
+    """
+
+
 def _media_dhash_sql() -> str:
     """DuckDB replica of multimodal.dhash over utf-8 payload bytes:
     hex-nibble byte extraction (the media_features pattern), byte i ->
@@ -3666,6 +3895,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "media_near_dup": _media_near_dup_sql(),
+        "corpus_funnel": _corpus_funnel_sql(),
         "frame_sample": f"""
             WITH b AS (
               SELECT concat('doc://', doc_id) AS url,
