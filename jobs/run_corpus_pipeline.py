@@ -540,6 +540,14 @@ def run(spark, args) -> str:
     resume_note = (
         f" (stages computed={stager.computed} skipped={stager.skipped})" if stager else ""
     )
+    if stager and stager.timings:
+        import json as _json
+
+        # machine-readable per-stage evidence line for scale rehearsals
+        print(
+            "stage_timings: "
+            + _json.dumps({"sec": stager.timings, "bytes": stager.stage_bytes})
+        )
     return f"corpus: {n_in} in -> {n_out} out -> {args.output}{resume_note}"
 
 

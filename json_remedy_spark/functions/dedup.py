@@ -430,6 +430,7 @@ def components_from_pairs(
     pairs: DataFrame,
     max_iters: int = 20,
     algorithm: str = "min_label",
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph: every doc gets
     ``rep_id`` = the smallest doc_id reachable through pairs (its
@@ -454,7 +455,9 @@ def components_from_pairs(
     shallow.
 
     ``all_ids``: one column ``doc_id``; ``pairs``: ``doc_a``/``doc_b``.
-    Returns (doc_id, rep_id, is_canonical)."""
+    Returns (doc_id, rep_id, is_canonical).  ``stats_out`` (optional
+    dict) receives {"rounds": N} — the round-complexity evidence hook
+    for the adversarial-graph drills."""
     if algorithm not in ("min_label", "star"):
         raise ValueError(f"unknown components algorithm: {algorithm!r}")
     # materialize the pair list ONCE before mirroring: the union's two
@@ -468,7 +471,9 @@ def components_from_pairs(
     n_pairs = p.count()
     parts = max(1, min(2048, n_pairs // 500_000 + 1))
     if algorithm == "star":
-        return _rejoin_singletons(all_ids, _star_components(p, parts, max_iters))
+        return _rejoin_singletons(
+            all_ids, _star_components(p, parts, max_iters, stats_out)
+        )
     edges = (
         p.union(p.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .repartition(parts, "v")
@@ -496,7 +501,9 @@ def components_from_pairs(
         .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum(F.col("rep_id").cast("decimal(38,0)"))).collect()[0][0]
-    for _ in range(max_iters):
+    for _round in range(max_iters):
+        if stats_out is not None:
+            stats_out["rounds"] = _round + 1
         neigh = (
             edges.join(labels.withColumnRenamed("doc_id", "v"), "v")
             .groupBy(F.col("u").alias("doc_id"))
@@ -533,7 +540,9 @@ def _rejoin_singletons(all_ids: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
-def _star_components(p: DataFrame, parts: int, max_iters: int) -> DataFrame:
+def _star_components(
+    p: DataFrame, parts: int, max_iters: int, stats_out: dict | None = None
+) -> DataFrame:
     """Large-star/small-star connected components (Kiveris et al. 2014,
     "Connected Components in MapReduce and Beyond") over the pair list
     ``p`` (columns u, v) — O(log n) rounds, two shuffle joins per

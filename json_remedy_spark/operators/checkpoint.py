@@ -105,6 +105,11 @@ class StageCheckpointer:
         self.root = root
         self.computed: list = []
         self.skipped: list = []
+        # per-stage wall seconds + materialized bytes — the scale-
+        # rehearsal evidence (a stage whose time grows super-linearly
+        # with input SF shows up here first)
+        self.timings: dict = {}
+        self.stage_bytes: dict = {}
 
     def _marker_exists(self, path: str) -> bool:
         """Hadoop FileSystem probe, not os.path — the checkpoint root
@@ -118,10 +123,26 @@ class StageCheckpointer:
         return p.getFileSystem(conf).exists(p)
 
     def stage(self, name: str, compute_fn) -> DataFrame:
+        import time
+
         path = os.path.join(self.root, name)
         if self._marker_exists(os.path.join(path, "_SUCCESS")):
             self.skipped.append(name)
             return self.spark.read.parquet(path)
+        t0 = time.time()
         compute_fn().write.mode("overwrite").parquet(path)
+        self.timings[name] = round(time.time() - t0, 2)
+        self.stage_bytes[name] = self._dir_bytes(path)
         self.computed.append(name)
         return self.spark.read.parquet(path)
+
+    def _dir_bytes(self, path: str) -> int:
+        """Materialized size of a stage dir via the Hadoop FS (works
+        for HDFS/S3 roots like _marker_exists)."""
+        jvm = self.spark._jvm
+        conf = self.spark._jsc.hadoopConfiguration()
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        try:
+            return int(p.getFileSystem(conf).getContentSummary(p).getLength())
+        except Exception:
+            return -1
