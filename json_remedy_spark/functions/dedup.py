@@ -583,7 +583,9 @@ def _star_components(
         return (r["n"], r["su"], r["sv"])
 
     prev = stats(e)
-    for _ in range(max_iters):
+    for _round in range(max_iters):
+        if stats_out is not None:
+            stats_out["rounds"] = _round + 1
         # ---- large-star ------------------------------------------------
         nbrs = e.select("u", "v").union(
             e.select(F.col("v").alias("u"), F.col("u").alias("v"))

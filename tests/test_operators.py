@@ -2432,3 +2432,28 @@ def test_media_near_dup_pairs_and_pigeonhole(spark):
     assert ("u1", "u3") in pairs and 0 < pairs[("u1", "u3")] <= 3
     assert all(h <= 3 for h in pairs.values())
     assert not any("u4" in p for p in pairs)
+
+
+def test_star_components_round_count_adversarial_scale(spark):
+    """VERDICT r4 #10: the adversarial-skew drill at real edge count —
+    a 100k-edge path graph (the worst case for min-label: diameter =
+    n-1) through algorithm='star', with the stats_out hook pinning the
+    O(log n) round-complexity claim numerically.  spark.range keeps
+    the fixture distributed (no driver-side 100k-row createDataFrame).
+    """
+    from pyspark.sql import functions as F
+
+    from json_remedy_spark.functions.dedup import components_from_pairs
+
+    n = 100_001  # 100k edges, diameter 100k
+    ids = spark.range(n).select(F.col("id").alias("doc_id"))
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("doc_a"), (F.col("id") + 1).alias("doc_b")
+    )
+    stats: dict = {}
+    out = components_from_pairs(
+        ids, pairs, max_iters=48, algorithm="star", stats_out=stats
+    )
+    assert out.where("rep_id <> 0").count() == 0 and out.count() == n
+    # 2*ceil(log2(n)) + slack = 40; min-label would need 100k rounds
+    assert 2 <= stats["rounds"] <= 40, stats
