@@ -45,6 +45,14 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--output", required=True)
     ap.add_argument("--threshold", type=float, default=0.8)
     ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument(
+        "--max-bucket", type=int, default=4096,
+        help="band-bucket size above which candidate generation "
+        "switches from exact all-pairs to verified star edges against "
+        "--hubs smallest members (quadratic-blowup guard for huge "
+        "boilerplate families; 0 disables the guard)",
+    )
+    ap.add_argument("--hubs", type=int, default=2)
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--embeddings", action="store_true")
@@ -63,6 +71,7 @@ def run(spark, args) -> str:
         components_from_pairs,
         jaccard_verify_candidates,
         lsh_candidate_pairs_from_table,
+        minhash_signatures,
         shingles,
         write_signature_table,
     )
@@ -93,17 +102,58 @@ def run(spark, args) -> str:
         F.col(args.id_col).alias("doc_id"), F.col(args.text_col).alias("text")
     )
 
-    fmt = write_signature_table(docs, args.sig_dir, n_buckets=args.buckets)
-    cand = lsh_candidate_pairs_from_table(spark, args.sig_dir).persist(
+    # Shingle-SET collapse BEFORE banding (the exact-dup-first
+    # ordering of Lee et al. 2022, strengthened to set identity).
+    # Docs with identical shingle sets — byte-identical texts, but
+    # also template boilerplate that permutes/repeats the same words —
+    # have jaccard 1 with each other and IDENTICAL jaccard against
+    # every third doc, so they are fully interchangeable in the
+    # LSH->verify->components graph: collapsing each set-group to its
+    # min-id representative and re-expanding afterwards provably
+    # reproduces the uncollapsed labeling (parity-tested).  Without
+    # it a k-doc set-identical group lands whole in ONE bucket of
+    # EVERY band: k(k-1)/2 candidate pairs, QUADRATIC in k.  The sf1
+    # scale rehearsal caught this live — a 56k-doc boilerplate family
+    # at 200k docs = 9x10^9 intra-bucket pairs; the verify join never
+    # finished.  The signature kernel still runs exactly once over
+    # the full corpus (set_hash rides the same Arrow pass); the
+    # verify-side shingle pass now touches only representatives.
+    sigs = minhash_signatures(docs, with_set_hash=True).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    sh = shingles(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    groups = sigs.groupBy("set_hash").agg(F.min("doc_id").alias("grp_rep"))
+    rep_ids = groups.select(F.col("grp_rep").alias("doc_id"))
+    rep_sigs = sigs.join(rep_ids, "doc_id").drop("set_hash")
+
+    fmt = write_signature_table(
+        docs, args.sig_dir, n_buckets=args.buckets, signatures=rep_sigs
+    )
+    cand = lsh_candidate_pairs_from_table(
+        spark,
+        args.sig_dir,
+        hub_cap=args.max_bucket or None,
+        n_hubs=args.hubs,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sh = shingles(docs.join(rep_ids, "doc_id")).persist(StorageLevel.MEMORY_AND_DISK)
     verified = jaccard_verify_candidates(sh, cand, threshold=args.threshold)
-    comp = components_from_pairs(docs.select("doc_id"), verified)
+    comp_rep = components_from_pairs(rep_ids, verified)
+    comp = (
+        sigs.select("doc_id", "set_hash")
+        .join(groups, "set_hash")
+        .join(
+            comp_rep.withColumnRenamed("doc_id", "grp_rep").drop("is_canonical"),
+            "grp_rep",
+        )
+        .select(
+            "doc_id",
+            "rep_id",
+            (F.col("doc_id") == F.col("rep_id")).alias("is_canonical"),
+        )
+    )
     write_table(comp, args.output, mode="overwrite")
     n_docs = comp.count()
     n_kept = comp.where("is_canonical").count()
-    for h in (cand, sh):
+    for h in (cand, sh, sigs):
         h.unpersist()
     return (
         f"signatures={fmt} docs={n_docs} kept={n_kept} "

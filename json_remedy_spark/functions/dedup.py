@@ -101,7 +101,12 @@ def shingles(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") ->
     return src.mapInPandas(gen, schema="doc_id long, shingle string")
 
 
-def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    with_set_hash: bool = False,
+) -> DataFrame:
     """k minhashes per doc: one md5 per shingle -> 48-bit base hash h,
     then the affine family mh_k = (A[k]*h + B[k]) mod P (independent
     permutation approximations, unlike naive h1+k*h2 double hashing
@@ -111,7 +116,15 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     mapInPandas pass with ZERO shuffle (the explode+groupBy
     formulation shuffles the full shingle table for nothing).  The
     DuckDB oracle reproduces the exact integers from the same md5 hex.
-    """
+
+    ``with_set_hash`` appends a ``set_hash`` column: md5 over the
+    SORTED shingle set.  Docs with equal ``set_hash`` have identical
+    shingle sets, hence jaccard 1 with each other and identical
+    jaccard against every third doc — fully interchangeable in the
+    LSH->verify->components graph.  The dedup job collapses on it
+    before banding (see run_dedup.py) because a k-doc set-identical
+    group (web boilerplate) otherwise lands whole in ONE bucket of
+    EVERY band: k(k-1)/2 candidate pairs, quadratic in k."""
     import hashlib
 
     import numpy as np
@@ -120,6 +133,8 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
     src = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     ks = list(range(MINHASH_K))
     schema = "doc_id long, " + ", ".join(f"mh{k} long" for k in ks)
+    if with_set_hash:
+        schema += ", set_hash string"
     A = np.array(MINHASH_A, dtype=np.int64)
     B = np.array(MINHASH_B, dtype=np.int64)
 
@@ -127,11 +142,13 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
         for pdf in batches:
             rows = {"doc_id": list(pdf["doc_id"])}
             cols = {f"mh{k}": [] for k in ks}
+            set_hashes = []
             for txt in pdf["text"]:
+                sl = _shingle_list(txt)
                 hs = np.array(
                     [
                         int(hashlib.md5(s.encode("utf-8")).hexdigest()[:12], 16)
-                        for s in _shingle_list(txt)
+                        for s in sl
                     ],
                     dtype=np.int64,
                 )
@@ -141,7 +158,13 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
                     sigs = [None] * MINHASH_K
                 for k in ks:
                     cols[f"mh{k}"].append(int(sigs[k]) if sigs[k] is not None else None)
+                if with_set_hash:
+                    set_hashes.append(
+                        hashlib.md5("\x1f".join(sorted(sl)).encode("utf-8")).hexdigest()
+                    )
             rows.update(cols)
+            if with_set_hash:
+                rows["set_hash"] = set_hashes
             yield pd.DataFrame(rows)
 
     return src.mapInPandas(gen, schema=schema)
@@ -162,17 +185,64 @@ def banded_signatures(sig: DataFrame) -> DataFrame:
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
-def candidate_pairs_from_banded(banded: DataFrame) -> DataFrame:
+def candidate_pairs_from_banded(
+    banded: DataFrame,
+    hub_cap: int | None = None,
+    n_hubs: int = 2,
+) -> DataFrame:
     """Distinct candidate pairs from a (doc_id, band, bucket) table —
     the self-join both the in-memory and the at-rest (bucketed table)
-    paths share."""
-    return (
-        banded.alias("a")
-        .join(banded.alias("b"), ["band", "bucket"])
+    paths share.
+
+    ``hub_cap``: quadratic-blowup guard for genuinely-huge near-dup
+    families (web template boilerplate).  A bucket of k docs emits
+    k(k-1)/2 pairs; the sf1 scale rehearsal surfaced a 56k-doc bucket
+    at only 200k docs (9x10^9 pairs — the verify join never
+    finishes).  Buckets with <= hub_cap members keep the EXACT
+    all-pairs self-join; larger buckets emit STAR edges instead: every
+    member pairs with the bucket's ``n_hubs`` smallest doc_ids (plus
+    hub-hub pairs), k*n_hubs pairs — LINEAR in k.  Downstream exact
+    jaccard still verifies every emitted edge, so above the cap the
+    tradeoff is bounded RECALL only: a doc joins the family unless it
+    fails verification against ALL hubs while passing against some
+    sibling — and a missed doc is merely KEPT as its own canonical
+    (dedup errs toward keeping, never wrongly drops a unique).  This
+    is strictly more conservative than marking whole LSH buckets as
+    duplicate clusters without any verification, the published
+    practice at corpus scale (Lee et al. 2022 §4.1; SlimPajama).
+    ``hub_cap=None`` (default — all library oracles) is fully exact.
+    """
+    if hub_cap is None:
+        return (
+            banded.alias("a")
+            .join(banded.alias("b"), ["band", "bucket"])
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .distinct()
+        )
+    from pyspark.sql.window import Window
+
+    ranked = banded.withColumn(
+        "_rn",
+        F.row_number().over(Window.partitionBy("band", "bucket").orderBy("doc_id")),
+    ).withColumn("_sz", F.max("_rn").over(Window.partitionBy("band", "bucket")))
+    small = ranked.where(F.col("_sz") <= hub_cap).drop("_rn", "_sz")
+    exact = (
+        small.alias("a")
+        .join(small.alias("b"), ["band", "bucket"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
     )
+    big = ranked.where(F.col("_sz") > hub_cap)
+    hubs = big.where(F.col("_rn") <= n_hubs).drop("_rn", "_sz")
+    starred = (
+        big.drop("_rn", "_sz")
+        .alias("m")
+        .join(hubs.alias("h"), ["band", "bucket"])
+        .where(F.col("h.doc_id") < F.col("m.doc_id"))
+        .select(F.col("h.doc_id").alias("doc_a"), F.col("m.doc_id").alias("doc_b"))
+    )
+    return exact.unionByName(starred).distinct()
 
 
 def lsh_candidate_pairs(
@@ -206,6 +276,7 @@ def write_signature_table(
     text_col: str = "text",
     n_buckets: int = 8,
     identifier: str = "jrs.db.lsh_signatures",
+    signatures: DataFrame | None = None,
 ) -> str:
     """Materialize the banded LSH signature table AT REST — the 100 TB
     form of ``lsh_candidate_pairs``'s in-memory persist.
@@ -220,7 +291,12 @@ def write_signature_table(
     actually used ("iceberg" | "parquet+manifest")."""
     from json_remedy_spark.sources.catalog import write_bucketed_table
 
-    banded = banded_signatures(minhash_signatures(docs, id_col, text_col))
+    sig = (
+        signatures
+        if signatures is not None
+        else minhash_signatures(docs, id_col, text_col)
+    )
+    banded = banded_signatures(sig)
     return write_bucketed_table(banded, identifier, out_dir, n_buckets=n_buckets, key="bucket")
 
 
@@ -235,13 +311,17 @@ def read_signature_table(spark, ref: str) -> DataFrame:
     return read_table(spark, ref).select("doc_id", "band", "bucket")
 
 
-def lsh_candidate_pairs_from_table(spark, out_dir: str) -> DataFrame:
+def lsh_candidate_pairs_from_table(
+    spark, out_dir: str, hub_cap: int | None = None, n_hubs: int = 2
+) -> DataFrame:
     """Candidate pairs computed from the AT-REST signature table —
     byte-identical results to ``lsh_candidate_pairs`` (same
     ``candidate_pairs_from_banded`` self-join), but the signature
     kernel never re-runs: both join sides scan the stored, bucketed
-    parquet."""
-    return candidate_pairs_from_banded(read_signature_table(spark, out_dir))
+    parquet.  ``hub_cap`` forwards the oversized-bucket star guard."""
+    return candidate_pairs_from_banded(
+        read_signature_table(spark, out_dir), hub_cap=hub_cap, n_hubs=n_hubs
+    )
 
 
 def jaccard_pairs(

@@ -332,3 +332,65 @@ def test_corpus_pipeline_dsir_ratio_reuse(spark, pages_parquet, tmp_path):
     a = {r[0] for r in duckdb.sql(f"SELECT url FROM read_parquet('{out1}/*.parquet')").fetchall()}
     b = {r[0] for r in duckdb.sql(f"SELECT url FROM read_parquet('{out2}/*.parquet')").fetchall()}
     assert a == b and len(a) == 20
+
+
+def test_dedup_job_exact_collapse_parity(spark, tmp_path):
+    """The job's shingle-SET pre-collapse (quadratic-pair guard,
+    caught by the sf1 rehearsal: a 56k-doc set-identical boilerplate
+    family at 200k docs = 9e9 intra-bucket pairs) must NOT change the
+    output: (doc_id, rep_id, is_canonical) equals the direct
+    uncollapsed lsh_verified_pairs -> components labeling on the same
+    input, including byte-identical groups, set-identical-but-
+    distinct texts (cyclic word repeats), near-dup bridges into those
+    groups, and singletons."""
+    from jobs.run_dedup import build_parser, run
+    from json_remedy_spark.functions.dedup import (
+        components_from_pairs,
+        lsh_verified_pairs,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs away "
+        "to the forest where it hides under an old oak tree for hours"
+    )
+    near = base + " until dusk"  # high-jaccard near-dup of the group text
+    rows = (
+        [(i, base) for i in range(6)]          # exact group, rep 0
+        + [(10, near)]                          # bridges into the group
+        + [(20, "completely unrelated spark engine text about shuffles "
+                "partitions and adaptive query execution plans")]
+        + [(21, "another standalone document describing parquet column "
+                "pruning and predicate pushdown behaviour in detail")]
+        + [(30, "zz twin text shared by exactly two documents here yes")]
+        + [(31, "zz twin text shared by exactly two documents here yes")]
+        # DISTINCT texts, IDENTICAL 3-word shingle sets (cyclic repeat)
+        + [(40, "red green blue red green blue red green blue")]
+        + [(41, "red green blue red green blue")]
+    )
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+
+    run(spark, build_parser().parse_args(
+        ["--input", src, "--sig-dir", str(tmp_path / "sig"),
+         "--output", str(tmp_path / "out"), "--buckets", "2",
+         "--threshold", "0.5"]
+    ))
+    got = sorted(
+        tuple(r) for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    )
+
+    direct = sorted(
+        tuple(r)
+        for r in components_from_pairs(
+            docs.select("doc_id"), lsh_verified_pairs(docs, 0.5)
+        ).collect()
+    )
+    assert got == direct
+    # and the semantics are the expected ones: one canonical per group
+    reps = {d: (r, c) for d, r, c in got}
+    assert reps[0] == (0, True) and reps[5] == (0, False)
+    assert reps[10] == (0, False)            # near-dup joined the group
+    assert reps[20] == (20, True) and reps[21] == (21, True)
+    assert reps[30] == (30, True) and reps[31] == (30, False)
+    assert reps[40] == (40, True) and reps[41] == (40, False)

@@ -2457,3 +2457,38 @@ def test_star_components_round_count_adversarial_scale(spark):
     assert out.where("rep_id <> 0").count() == 0 and out.count() == n
     # 2*ceil(log2(n)) + slack = 40; min-label would need 100k rounds
     assert 2 <= stats["rounds"] <= 40, stats
+
+
+def test_candidate_pairs_hub_cap_semantics(spark):
+    """hub_cap: buckets at or under the cap keep exact all-pairs;
+    oversized buckets emit star edges to the n_hubs smallest members
+    only (plus hub-hub), linear in the bucket size; a cap above every
+    bucket reproduces the exact output bit-for-bit."""
+    from pyspark.sql import functions as F
+
+    from json_remedy_spark.functions.dedup import candidate_pairs_from_banded
+
+    rows = (
+        [(i, 0, "big") for i in range(10)]      # oversized bucket, 10 docs
+        + [(i, 1, "small") for i in (3, 7)]     # small bucket
+        + [(99, 0, "lone")]                      # singleton bucket
+    )
+    banded = spark.createDataFrame(rows, ["doc_id", "band", "bucket"])
+
+    exact = {tuple(r) for r in candidate_pairs_from_banded(banded).collect()}
+    high_cap = {
+        tuple(r)
+        for r in candidate_pairs_from_banded(banded, hub_cap=100).collect()
+    }
+    # 45 pairs: C(10,2) from the big bucket; the small bucket's (3,7)
+    # also arises there and dedups
+    assert high_cap == exact and (3, 7) in exact and len(exact) == 45
+
+    capped = {
+        tuple(r)
+        for r in candidate_pairs_from_banded(banded, hub_cap=4, n_hubs=2).collect()
+    }
+    # big bucket: hubs {0,1} -> edges (0,m) for m in 1..9 and (1,m) for
+    # m in 2..9 = 17 star edges; small bucket stays exact
+    expect = {(0, m) for m in range(1, 10)} | {(1, m) for m in range(2, 10)} | {(3, 7)}
+    assert capped == expect
