@@ -90,6 +90,15 @@ def build_parser() -> argparse.ArgumentParser:
     )
     ap.add_argument("--token-budget", type=int, default=0)
     ap.add_argument("--threshold", type=float, default=0.8)
+    ap.add_argument(
+        "--fuzzy-max-bucket", type=int, default=512,
+        help="hub-cap for the fuzzy-dedup stage: band-buckets larger "
+        "than this emit verified star edges instead of exact "
+        "all-pairs (bounds candidates at ~max_bucket/2 * N — the "
+        "quadratic-blowup guard the sf1 rehearsal motivated for "
+        "run_dedup.py; 0 disables, restoring exact all-pairs)",
+    )
+    ap.add_argument("--fuzzy-hubs", type=int, default=2)
     ap.add_argument("--max-per-domain", type=int, default=0)
     ap.add_argument("--no-line-dedup", action="store_true")
     ap.add_argument("--dup-span-window", type=int, default=0)
@@ -419,7 +428,10 @@ def run(spark, args) -> str:
     def _fuzzy(d=docs):
         d = d.persist()
         job_handles.append(d)
-        comp = near_dup_components(d, threshold=args.threshold, handles=job_handles)
+        comp = near_dup_components(
+            d, threshold=args.threshold, handles=job_handles,
+            hub_cap=args.fuzzy_max_bucket or None, n_hubs=args.fuzzy_hubs,
+        )
         return d.join(comp.where("is_canonical").select("doc_id"), "doc_id", "left_semi")
     docs = stage("s5_fuzzy_dedup", _fuzzy)
 

@@ -46,11 +46,15 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--threshold", type=float, default=0.8)
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument(
-        "--max-bucket", type=int, default=4096,
+        "--max-bucket", type=int, default=512,
         help="band-bucket size above which candidate generation "
         "switches from exact all-pairs to verified star edges against "
         "--hubs smallest members (quadratic-blowup guard for huge "
-        "boilerplate families; 0 disables the guard)",
+        "boilerplate families; 0 disables the guard).  512 bounds "
+        "worst-case candidates at 256*N (linear): the sf1 rehearsal "
+        "measured 357M pre-distinct pairs at cap 4096 on 2M docs "
+        "(13.6x the 200k load for 10x input — verify join exhausts "
+        "/tmp) vs 52M at cap 512 (2x for 10x input)",
     )
     ap.add_argument("--hubs", type=int, default=2)
     ap.add_argument("--id-col", default="doc_id")
@@ -153,11 +157,17 @@ def run(spark, args) -> str:
     write_table(comp, args.output, mode="overwrite")
     n_docs = comp.count()
     n_kept = comp.where("is_canonical").count()
+    # candidate-volume observability: at corpus scale the first thing
+    # an operator needs when a dedup run slows down is whether the
+    # bucket distribution went quadratic (the sf1 rehearsal's failure
+    # mode) — both frames are already persisted, the counts are free
+    n_reps = rep_ids.count()
+    n_cand = cand.count()
     for h in (cand, sh, sigs):
         h.unpersist()
     return (
-        f"signatures={fmt} docs={n_docs} kept={n_kept} "
-        f"dropped={n_docs - n_kept} -> {args.output}"
+        f"signatures={fmt} docs={n_docs} reps={n_reps} cands={n_cand} "
+        f"kept={n_kept} dropped={n_docs - n_kept} -> {args.output}"
     )
 
 

@@ -722,12 +722,20 @@ def near_dup_components(
     text_col: str = "text",
     handles: list | None = None,
     algorithm: str = "min_label",
+    hub_cap: int | None = None,
+    n_hubs: int = 2,
 ) -> DataFrame:
     """The last mile of fuzzy dedup: verified near-dup pairs
     (``lsh_verified_pairs``) clustered into components, one canonical
     representative (min doc_id) per cluster.  ``is_canonical`` is the
-    keep set — filtering on it yields the deduplicated corpus."""
-    pairs = lsh_verified_pairs(docs, threshold, id_col, text_col, handles=handles)
+    keep set — filtering on it yields the deduplicated corpus.
+    ``hub_cap`` bounds intra-bucket candidate generation (see
+    ``candidate_pairs_from_banded``); None keeps the exact all-pairs
+    default every library oracle uses."""
+    pairs = lsh_verified_pairs(
+        docs, threshold, id_col, text_col, handles=handles,
+        hub_cap=hub_cap, n_hubs=n_hubs,
+    )
     return components_from_pairs(
         docs.select(F.col(id_col).alias("doc_id")), pairs, algorithm=algorithm
     )
@@ -756,6 +764,8 @@ def lsh_verified_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     handles: list | None = None,
+    hub_cap: int | None = None,
+    n_hubs: int = 2,
 ) -> DataFrame:
     """The composed 100 TB fuzzy-dedup recipe: banded-LSH candidate
     pairs, then EXACT n-gram Jaccard computed ONLY for those candidates
@@ -775,7 +785,9 @@ def lsh_verified_pairs(
     # candidates feed BOTH the semi-join key set and the intersection
     # join — persist so the band self-join runs once
     cand = candidate_pairs_from_banded(
-        banded_signatures(minhash_from_shingles(sh_all))
+        banded_signatures(minhash_from_shingles(sh_all)),
+        hub_cap=hub_cap,
+        n_hubs=n_hubs,
     ).persist(StorageLevel.MEMORY_AND_DISK)
     if handles is not None:
         handles.extend([sh_all, cand])

@@ -770,6 +770,36 @@ def test_near_dup_components_end_to_end(spark, docs):
     assert got[3] == 3
 
 
+def test_near_dup_components_hub_cap_threaded(spark):
+    """hub_cap threads through near_dup_components (the corpus
+    pipeline's s5 guard): a cap above every bucket reproduces the
+    exact labeling bit-for-bit, and an identical-text family larger
+    than the cap still fully collapses via its verified star edges
+    (every member pairs with the min-id hub at jaccard 1)."""
+    from json_remedy_spark.functions.dedup import near_dup_components
+
+    fam = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, fam) for i in range(8)] + [
+        (100, "completely unrelated text about arrow batches and shuffles")
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    exact = sorted(tuple(r) for r in near_dup_components(docs, threshold=0.8).collect())
+    high = sorted(
+        tuple(r)
+        for r in near_dup_components(docs, threshold=0.8, hub_cap=1000).collect()
+    )
+    assert high == exact
+
+    capped = {
+        r["doc_id"]: r["rep_id"]
+        for r in near_dup_components(
+            docs, threshold=0.8, hub_cap=3, n_hubs=1
+        ).collect()
+    }
+    assert all(capped[i] == 0 for i in range(8)) and capped[100] == 100
+
+
 def test_stateful_stream_lsh_near_dup(spark, tmp_path):
     """Streaming minhash-LSH: band-bucket state emits candidate pairs
     against the bucket representative, across micro-batches and a

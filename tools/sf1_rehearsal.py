@@ -17,7 +17,7 @@ Output: one JSON line per size pair plus a markdown table fragment
 /tmp and are reused across runs (the generator is deterministic).
 
 Usage:
-  PYSPARK_SUBMIT_ARGS="--driver-memory 8g pyspark-shell" \
+  PYSPARK_SUBMIT_ARGS="--driver-memory 16g pyspark-shell" \
       python tools/sf1_rehearsal.py [--small 200000] [--big 2000000] [--md]
 """
 
@@ -87,7 +87,7 @@ def run_corpus_job(n_docs: int) -> dict:
     env = dict(
         os.environ,
         PYSPARK_SUBMIT_ARGS=os.environ.get(
-            "PYSPARK_SUBMIT_ARGS", "--driver-memory 8g pyspark-shell"
+            "PYSPARK_SUBMIT_ARGS", "--driver-memory 16g pyspark-shell"
         ),
     )
     t0 = time.time()
@@ -123,7 +123,7 @@ def run_dedup_job(n_docs: int) -> dict:
     env = dict(
         os.environ,
         PYSPARK_SUBMIT_ARGS=os.environ.get(
-            "PYSPARK_SUBMIT_ARGS", "--driver-memory 8g pyspark-shell"
+            "PYSPARK_SUBMIT_ARGS", "--driver-memory 16g pyspark-shell"
         ),
     )
     t0 = time.time()
