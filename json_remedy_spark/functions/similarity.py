@@ -434,9 +434,15 @@ def write_ivf_index(
         F.col(col).alias("embedding"),
         F.element_at("ivf_cells", 1).cast("int").alias("cell"),
     )
-    assigned.write.mode("overwrite").partitionBy("cell").parquet(
-        os.path.join(out_dir, "vectors")
-    )
+    # co-locate each cell before the partitioned write: without this,
+    # every input task writes one file per cell it touches (tasks x
+    # cells files — the classic small-files blowup; the 2M/1.4k-cell
+    # rehearsal would emit ~360k files).  After the hash repartition
+    # a cell lives in exactly one task, so the layout is ~one file
+    # per cell regardless of input parallelism.
+    assigned.repartition(F.col("cell")).write.mode("overwrite").partitionBy(
+        "cell"
+    ).parquet(os.path.join(out_dir, "vectors"))
     return sum(
         1 for d in os.listdir(os.path.join(out_dir, "vectors")) if d.startswith("cell=")
     )
