@@ -1751,6 +1751,48 @@ def q_ivf_ann_topk(spark, sf_dir):
     return out
 
 
+_IVF_APPEND_INDEX = os.path.join(tempfile.gettempdir(), "jrs_ivf_append_index")
+_IVF_APPEND_EXPORT = os.path.join(tempfile.gettempdir(), "jrs_ivf_append_export")
+
+
+def q_ivf_append_topk(spark, sf_dir):
+    """Incremental IVF maintenance: build the at-rest index on the
+    even vec_ids, grow it with the odd half via ``append_to_ivf_index``
+    (assignment against the STORED centroids — no rebuild, existing
+    cell files untouched), then query the grown index.  Export-verified
+    like ``ivf_ann_topk``: DuckDB recomputes cos + rank over the full
+    embeddings table for the exported candidate set.  The
+    append-equals-union-build contract itself is pytest-pinned
+    (test_ivf_append_equals_union_build)."""
+    import shutil
+
+    from json_remedy_spark.functions.similarity import (
+        append_to_ivf_index,
+        ivf_topk_from_index,
+        write_ivf_index,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    # fixed /tmp path: clear first — a stale index plus mode("append")
+    # would double every odd vector on rerun
+    shutil.rmtree(_IVF_APPEND_INDEX, ignore_errors=True)
+    write_ivf_index(e.where("vec_id % 2 = 0"), _IVF_APPEND_INDEX, cells=8)
+    append_to_ivf_index(spark, _IVF_APPEND_INDEX, e.where("vec_id % 2 = 1"))
+    queries = e.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
+    out = ivf_topk_from_index(
+        spark, _IVF_APPEND_INDEX, queries, k=5, probes=_IVF_PROBES
+    ).select(
+        F.col("q_id").cast("long").alias("q_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cos").cast("double").alias("cos"),
+        F.col("rank").cast("long").alias("rank"),
+    ).persist()  # the export write materializes it; the caller's collect reuses
+    out.select("q_id", "vec_id").write.mode("overwrite").parquet(_IVF_APPEND_EXPORT)
+    return out
+
+
 # Exact-oracle protocol (VERDICT r3 #6): both approximate methods
 # are deterministic, so their candidate sets — and therefore
 # recall@5 — are fixed numbers.  The Spark query EXPORTS the
@@ -1956,6 +1998,7 @@ def q_repair_metrics(spark, sf_dir):
 EXPORT_SCHEMAS: dict[str, str] = {
     _LSH_TOPK_EXPORT: "q_id BIGINT, vec_id BIGINT",
     _IVF_TOPK_EXPORT: "q_id BIGINT, vec_id BIGINT",
+    _IVF_APPEND_EXPORT: "q_id BIGINT, vec_id BIGINT",
     _ANN_EXPORT: "method VARCHAR, q_id BIGINT, vec_id BIGINT",
     _SEMDEDUP_EXPORT: "vec_id BIGINT, cell INTEGER, keep BOOLEAN",
     _LAYER_HITS_EXPORT: "layer VARCHAR, hits INTEGER",
@@ -2005,6 +2048,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_near_dup": q_media_near_dup,
         "corpus_funnel": q_corpus_funnel,
         "ivf_ann_topk": q_ivf_ann_topk,
+        "ivf_append_topk": q_ivf_append_topk,
         "perplexity": q_perplexity,
         "ppl_histogram": q_ppl_histogram,
         "ppl_buckets": q_ppl_buckets,
@@ -3609,6 +3653,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": _cosine_topk_sql(),
         "lsh_ann_topk": _ann_topk_export_sql(_LSH_TOPK_EXPORT),
         "ivf_ann_topk": _ann_topk_export_sql(_IVF_TOPK_EXPORT),
+        "ivf_append_topk": _ann_topk_export_sql(_IVF_APPEND_EXPORT),
         "semantic_dedup_verified": f"""
           WITH exp AS (
             SELECT vec_id, cell, keep

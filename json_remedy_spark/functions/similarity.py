@@ -397,6 +397,29 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def _write_assigned_cells(src: DataFrame, cen, col: str, out_dir: str, mode: str) -> int:
+    """Assign each vector to its nearest centroid and land it in that
+    cell's partition directory.  Co-locate each cell before the
+    partitioned write: without the repartition, every input task
+    writes one file per cell it touches (tasks x cells files — the
+    classic small-files blowup; the 2M/1.4k-cell rehearsal would emit
+    ~360k files).  After the hash repartition a cell lives in exactly
+    one task, so the layout is ~one file per cell per write."""
+    import os
+
+    assigned = with_ivf_cell(src, cen, col, n_probes=1).select(
+        "vec_id",
+        F.col(col).alias("embedding"),
+        F.element_at("ivf_cells", 1).cast("int").alias("cell"),
+    )
+    assigned.repartition(F.col("cell")).write.mode(mode).partitionBy("cell").parquet(
+        os.path.join(out_dir, "vectors")
+    )
+    return sum(
+        1 for d in os.listdir(os.path.join(out_dir, "vectors")) if d.startswith("cell=")
+    )
+
+
 def write_ivf_index(
     vectors: DataFrame,
     out_dir: str,
@@ -404,6 +427,7 @@ def write_ivf_index(
     id_col: str = "vec_id",
     col: str = "embedding",
     refine: int = 1,
+    centroids=None,
 ) -> int:
     """Materialize the IVF index AT REST — the 100 TB form of
     ``ivf_topk``'s in-session assignment, mirroring the LSH signature
@@ -418,34 +442,55 @@ def write_ivf_index(
     cell assignment is ONE cheap matmul map pass over the embedding
     table, so a killed build simply reruns; on a cluster with an
     Iceberg catalog, route the write through ``writeTo`` for an atomic
-    snapshot commit instead."""
+    snapshot commit instead.
+
+    ``centroids``: pass a precomputed (cells, dims) array to skip the
+    k-means pass — the fit-once / index-many-dumps form (and the
+    handle that makes ``append_to_ivf_index`` exactly equivalent to a
+    one-shot build over the union)."""
     import os
 
     _require_numeric_id(vectors, id_col)
     src = vectors.select(F.col(id_col).alias("vec_id"), F.col(col).alias(col))
-    cen = _ivf_centroids(src, col, cells, refine=refine)
+    cen = (
+        np.asarray(centroids, dtype=np.float64)
+        if centroids is not None
+        else _ivf_centroids(src, col, cells, refine=refine)
+    )
     spark = vectors.sparkSession
     spark.createDataFrame(
         [(i, [float(x) for x in cen[i]]) for i in range(len(cen))],
         "cell int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "centroids"))
-    assigned = with_ivf_cell(src, cen, col, n_probes=1).select(
-        "vec_id",
-        F.col(col).alias("embedding"),
-        F.element_at("ivf_cells", 1).cast("int").alias("cell"),
-    )
-    # co-locate each cell before the partitioned write: without this,
-    # every input task writes one file per cell it touches (tasks x
-    # cells files — the classic small-files blowup; the 2M/1.4k-cell
-    # rehearsal would emit ~360k files).  After the hash repartition
-    # a cell lives in exactly one task, so the layout is ~one file
-    # per cell regardless of input parallelism.
-    assigned.repartition(F.col("cell")).write.mode("overwrite").partitionBy(
-        "cell"
-    ).parquet(os.path.join(out_dir, "vectors"))
-    return sum(
-        1 for d in os.listdir(os.path.join(out_dir, "vectors")) if d.startswith("cell=")
-    )
+    return _write_assigned_cells(src, cen, col, out_dir, "overwrite")
+
+
+def append_to_ivf_index(
+    spark,
+    out_dir: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    col: str = "embedding",
+) -> int:
+    """Grow the at-rest IVF index WITHOUT a rebuild — the
+    continuously-arriving-corpus form (a daily crawl dump lands as an
+    append; the existing 100 TB of indexed vectors are never
+    rewritten).  New vectors are assigned against the STORED centroids
+    (one matmul map pass) and appended into their cell directories;
+    ``ivf_topk_from_index`` sees them on the next query because
+    partition pruning lists the cell directory fresh each scan.
+
+    Identical-results contract (pytest-pinned): append(B) after
+    build(A, centroids=C) equals build(A ∪ B, centroids=C) —
+    assignment is a pure function of (vector, centroids), so the only
+    difference is file layout.  Centroids drift as the corpus grows;
+    when recall decays, re-fit offline and rebuild per cell (the
+    centroid table versions the index).  Returns the cell-directory
+    count after the append."""
+    _require_numeric_id(new_vectors, id_col)
+    cen = read_ivf_centroids(spark, out_dir)
+    src = new_vectors.select(F.col(id_col).alias("vec_id"), F.col(col).alias(col))
+    return _write_assigned_cells(src, cen, col, out_dir, "append")
 
 
 def read_ivf_centroids(spark, out_dir: str) -> np.ndarray:

@@ -518,6 +518,45 @@ def test_ivf_index_at_rest_matches_in_memory(spark, tmp_path):
     assert "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]
 
 
+def test_ivf_append_equals_union_build(spark, tmp_path):
+    """append_to_ivf_index's identical-results contract: building on
+    half the corpus then appending the other half returns byte-equal
+    top-k to a one-shot build over the union with the same centroids
+    (assignment is a pure function of (vector, centroids) — only file
+    layout differs).  Appended ids must be reachable in results."""
+    from json_remedy_spark.functions.similarity import (
+        append_to_ivf_index,
+        ivf_topk_from_index,
+        read_ivf_centroids,
+        write_ivf_index,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    first, second = e.where("vec_id % 2 = 0"), e.where("vec_id % 2 = 1")
+    q = e.where(F.col("vec_id") < 4).select(F.col("vec_id").alias("q_id"), "embedding")
+
+    grown = str(tmp_path / "ivf_grown")
+    write_ivf_index(first, grown, cells=8)
+    cen = read_ivf_centroids(spark, grown)
+    n_cells = append_to_ivf_index(spark, grown, second)
+    assert n_cells >= 2
+
+    oneshot = str(tmp_path / "ivf_oneshot")
+    write_ivf_index(e, oneshot, cells=8, centroids=cen)
+
+    got = sorted(map(tuple, ivf_topk_from_index(spark, grown, q, k=5, probes=3).collect()))
+    want = sorted(map(tuple, ivf_topk_from_index(spark, oneshot, q, k=5, probes=3).collect()))
+    assert got == want and got
+    # both halves are queryable: odd (appended) ids appear in the top-k
+    assert any(vec_id % 2 == 1 for (_, vec_id, _, _) in got)
+    # nothing lost or duplicated by the append
+    total = spark.read.parquet(grown + "/vectors").count()
+    assert total == e.count()
+    assert spark.read.parquet(grown + "/vectors").select("vec_id").distinct().count() == total
+
+
 def test_components_with_full_range_hash_ids(spark):
     """doc ids from xxhash64 are full-range 64-bit: the convergence
     sum must not overflow BIGINT (runs in DECIMAL(38,0))."""

@@ -10,13 +10,20 @@ the exact brute-force ``cosine_topk`` truth.
 What the two decades must show for the 100 TB design to hold:
   - index build scales ~linearly (one centroid pass + one cell
     assignment map + one repartitioned write),
-  - query latency scales with the PROBED FRACTION of the corpus, not
-    the corpus (probes/cells is held constant across sizes, so the
-    probed row count grows 10x but the scan skips the other ~94% of
-    partitions at both sizes),
-  - recall@10 stays flat (cells grow as sqrt(N), so per-cell
-    population grows sqrt(N) too — probing the same fraction keeps
-    the same neighborhoods).
+  - recall@10 stays flat at a constant probe FRACTION (cells grow as
+    sqrt(N), so per-cell population grows sqrt(N) too — probing the
+    same fraction keeps the same neighborhoods),
+  - the POINT-LOOKUP regime (few queries, constant nprobe) is where
+    partition pruning pays: the probed-cell set stays ~constant while
+    the corpus grows 10x, so query latency decouples from corpus
+    size.  The 100-query batch regime is measured too and is honestly
+    adversarial: 100 queries x probes covers nearly every cell, so
+    the scan prunes nothing and a single brute-force Arrow pass wins
+    — an index only beats a scan when the probed set is a small
+    fraction of the data, exactly like any database index,
+  - append_to_ivf_index grows the 2M index by 10% without rebuild:
+    append cost ~ the appended fraction of build cost, and the
+    appended vectors are immediately queryable.
 
 Usage:
   PYSPARK_SUBMIT_ARGS="--driver-memory 8g pyspark-shell" \
@@ -39,7 +46,9 @@ N_QUERIES = 100
 K = 10
 DIMS = 64
 LABELS = 64
-PROBE_FRACTION = 16  # probes = cells // PROBE_FRACTION
+PROBE_FRACTION = 16  # batch regime: probes = cells // PROBE_FRACTION
+POINT_QUERIES = 8    # point regime: few lookups, constant nprobe
+POINT_NPROBE = 32
 
 
 def get_spark():
@@ -111,6 +120,27 @@ def run_size(spark, n: int) -> dict:
         len([f for f in fs if f.endswith(".parquet")])
         for _, _, fs in os.walk(os.path.join(idx, "vectors"))
     )
+
+    # point-lookup regime: constant nprobe, few queries — the probed
+    # cell set is <= POINT_QUERIES * POINT_NPROBE regardless of corpus
+    # size, so partition pruning actually engages
+    pq = queries.limit(POINT_QUERIES).cache()
+    pq_ids = [r["q_id"] for r in pq.select("q_id").collect()]
+    t0 = time.time()
+    pgot = ivf_topk_from_index(spark, idx, pq, k=K, probes=POINT_NPROBE)
+    point_rows = {(r["q_id"], r["vec_id"]) for r in pgot.collect()}
+    t_point = round(time.time() - t0, 1)
+    point_truth = {(q, v) for (q, v) in truth_rows if q in set(pq_ids)}
+    point_recall = round(len(point_rows & point_truth) / len(point_truth), 4)
+    from json_remedy_spark.functions.similarity import read_ivf_centroids, with_ivf_cell
+    from json_remedy_spark.functions.similarity import with_unit_norm
+    cen = read_ivf_centroids(spark, idx)
+    probed_cells = (
+        with_ivf_cell(with_unit_norm(pq, "embedding"), cen, "embedding", n_probes=POINT_NPROBE)
+        .select(F.explode("ivf_cells").alias("cell")).distinct().count()
+    )
+    pq.unpersist()
+
     return {
         "n": n,
         "cells": n_cells,
@@ -120,6 +150,55 @@ def run_size(spark, n: int) -> dict:
         "ivf_query_sec": t_query,
         "brute_force_sec": t_brute,
         "recall_at_10": recall,
+        "point_query_sec": t_point,
+        "point_probed_cells": probed_cells,
+        "point_recall_at_10": point_recall,
+    }
+
+
+def run_append(spark, n_big: int) -> dict:
+    """Grow the big index by 10% without rebuild; appended ids must be
+    immediately queryable with flat recall."""
+    from json_remedy_spark.functions.similarity import (
+        append_to_ivf_index,
+        cosine_topk,
+        ivf_topk_from_index,
+    )
+    from json_remedy_spark.sources.vectors import synthesize_vectors
+
+    idx = os.path.join(TMP, f"ivf_{n_big}")
+    qpath = os.path.join(TMP, f"queries_{n_big}")
+    queries = spark.read.parquet(qpath).limit(POINT_QUERIES).cache()
+    n_extra = n_big // 10
+    # fresh ids past the corpus + held-out query block
+    extra = synthesize_vectors(
+        spark, n_big + N_QUERIES + n_extra, dims=DIMS, n_labels=LABELS,
+        partitions=max(32, n_extra // 50_000),
+    ).where(f"vec_id >= {n_big + N_QUERIES}")
+
+    t0 = time.time()
+    append_to_ivf_index(spark, idx, extra)
+    t_append = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    got = ivf_topk_from_index(spark, idx, queries, k=K, probes=POINT_NPROBE)
+    grown_rows = {(r["q_id"], r["vec_id"]) for r in got.collect()}
+    t_query = round(time.time() - t0, 1)
+
+    grown = spark.read.parquet(os.path.join(idx, "vectors")).selectExpr(
+        "vec_id", "embedding"
+    )
+    truth = cosine_topk(grown, queries, k=K, id_col="vec_id")
+    truth_rows = {(r["q_id"], r["vec_id"]) for r in truth.collect()}
+    recall = round(len(grown_rows & truth_rows) / len(truth_rows), 4)
+    from_appended = sum(1 for (_, v) in truth_rows if v >= n_big + N_QUERIES)
+    queries.unpersist()
+    return {
+        "appended": n_extra,
+        "append_sec": t_append,
+        "point_query_sec_after": t_query,
+        "recall_at_10_after": recall,
+        "truth_hits_from_appended": from_appended,
     }
 
 
@@ -142,20 +221,31 @@ def main():
     summary = {
         "input_ratio": ratio,
         "build_ratio": round(b["build_sec"] / s["build_sec"], 2),
-        "query_ratio": round(b["ivf_query_sec"] / s["ivf_query_sec"], 2),
+        "batch_query_ratio": round(b["ivf_query_sec"] / s["ivf_query_sec"], 2),
+        "point_query_ratio": round(b["point_query_sec"] / s["point_query_sec"], 2),
         "brute_ratio": round(b["brute_force_sec"] / s["brute_force_sec"], 2),
         "recall_small": s["recall_at_10"],
         "recall_big": b["recall_at_10"],
     }
     print(json.dumps(summary), flush=True)
+
+    app = run_append(spark, args.big)
+    print(json.dumps(app), flush=True)
+
     if args.md:
+        def row(r):
+            return (
+                f"| {r['n']} | {r['cells']} | {r['probes']} | {r['index_files']} | "
+                f"{r['build_sec']} | {r['ivf_query_sec']} | {r['brute_force_sec']} | "
+                f"{r['recall_at_10']} | {r['point_query_sec']} | "
+                f"{r['point_probed_cells']} | {r['point_recall_at_10']} |"
+            )
+
         print(
-            f"| n | cells | probes | files | build s | ivf query s | brute s | recall@10 |\n"
-            f"|---|---|---|---|---|---|---|---|\n"
-            f"| {s['n']} | {s['cells']} | {s['probes']} | {s['index_files']} | "
-            f"{s['build_sec']} | {s['ivf_query_sec']} | {s['brute_force_sec']} | {s['recall_at_10']} |\n"
-            f"| {b['n']} | {b['cells']} | {b['probes']} | {b['index_files']} | "
-            f"{b['build_sec']} | {b['ivf_query_sec']} | {b['brute_force_sec']} | {b['recall_at_10']} |"
+            "| n | cells | probes | files | build s | batch q s | brute s | "
+            "recall@10 | point q s | point cells | point recall |\n"
+            "|---|---|---|---|---|---|---|---|---|---|---|\n"
+            + row(s) + "\n" + row(b)
         )
     spark.stop()
 
