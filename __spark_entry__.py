@@ -222,6 +222,20 @@ def q_dedup_components(spark, sf_dir):
     )
 
 
+def q_soft_dedup_weights(spark, sf_dir):
+    """SoftDeDup (He et al. 2024): reweight instead of drop — every
+    doc kept, sampling weight = 1/cluster_size over the fuzzy near-dup
+    components (a cluster's total weight is exactly 1.0, the hard-dedup
+    equivalent mass, without deleting repeated-but-informative text)."""
+    d = _t(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism)
+    return dedup.soft_dedup_weights(d, threshold=0.5).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("rep_id").cast("long").alias("rep_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.col("weight").cast("double").alias("weight"),
+    )
+
+
 def q_dedup_cluster_sizes(spark, sf_dir):
     """Cluster-size histogram of the near-dup components — the
     corpus-health metric an operator reads first (how much of the
@@ -2049,6 +2063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_funnel": q_corpus_funnel,
         "ivf_ann_topk": q_ivf_ann_topk,
         "ivf_append_topk": q_ivf_append_topk,
+        "soft_dedup_weights": q_soft_dedup_weights,
         "perplexity": q_perplexity,
         "ppl_histogram": q_ppl_histogram,
         "ppl_buckets": q_ppl_buckets,
@@ -3557,6 +3572,14 @@ def oracle_sql() -> dict[str, str]:
           SELECT cluster_size::BIGINT AS cluster_size,
                  count(*)::BIGINT AS n_clusters
           FROM sizes GROUP BY 1
+        """,
+        "soft_dedup_weights": f"""
+          WITH comp AS ({_dedup_components_sql()}),
+          sizes AS (SELECT rep_id, count(*) AS cluster_size FROM comp GROUP BY rep_id)
+          SELECT c.doc_id::BIGINT AS doc_id, c.rep_id::BIGINT AS rep_id,
+                 s.cluster_size::BIGINT AS cluster_size,
+                 round(1.0 / s.cluster_size, 6)::DOUBLE AS weight
+          FROM comp c JOIN sizes s ON s.rep_id = c.rep_id
         """,
         "decontaminate": _decontaminate_sql(),
         "fuzzy_decontaminate": _fuzzy_decontaminate_sql(),

@@ -741,6 +741,46 @@ def near_dup_components(
     )
 
 
+def soft_dedup_weights(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    exponent: float = 1.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    handles: list | None = None,
+    algorithm: str = "min_label",
+    hub_cap: int | None = None,
+) -> DataFrame:
+    """Soft dedup (SoftDeDup, He et al. 2024, ACL — reweight instead
+    of drop): every document survives, but its training-sampling
+    weight is ``cluster_size ** -exponent`` over the fuzzy near-dup
+    components, so a 1,000-way boilerplate family contributes ~one
+    document's worth of gradient instead of 1,000 — without the
+    hard-dedup failure mode of deleting rare-but-repeated text whose
+    repeats carry signal.  ``exponent=1`` makes each cluster's total
+    weight exactly 1.0 (the hard-dedup equivalent mass); smaller
+    exponents interpolate toward no dedup.
+
+    Returns (doc_id, rep_id, cluster_size, weight).  Plan shape: the
+    component labels' shuffle plus ONE extra exchange — cluster sizes
+    come from a window count over rep_id, not a collected map, so no
+    driver state and no broadcast of an O(N)-cluster table."""
+    from pyspark.sql.window import Window
+
+    comp = near_dup_components(
+        docs, threshold, id_col, text_col, handles=handles,
+        algorithm=algorithm, hub_cap=hub_cap,
+    )
+    w = Window.partitionBy("rep_id")
+    size = F.count("*").over(w).cast("long")
+    return comp.select(
+        "doc_id",
+        "rep_id",
+        size.alias("cluster_size"),
+        F.round(F.pow(size.cast("double"), F.lit(-float(exponent))), 6).alias("weight"),
+    )
+
+
 def minhash_from_shingles(sh: DataFrame) -> DataFrame:
     """Minhash signatures derived from an ALREADY-MATERIALIZED
     (doc_id, shingle) table: the same 48-bit md5-prefix base hash and

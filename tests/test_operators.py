@@ -557,6 +557,27 @@ def test_ivf_append_equals_union_build(spark, tmp_path):
     assert spark.read.parquet(grown + "/vectors").select("vec_id").distinct().count() == total
 
 
+def test_soft_dedup_weights_cluster_mass(spark):
+    """SoftDeDup contract: at exponent=1 every cluster's total weight
+    is exactly the hard-dedup mass (1.0), singletons keep weight 1.0,
+    and no document is dropped."""
+    from json_remedy_spark.functions.dedup import soft_dedup_weights
+
+    dup = "the same boilerplate paragraph repeated across mirrors " * 6
+    rows = [(1, dup), (2, dup + "x"), (3, dup + "y"), (10, "a genuinely unique document about volcanoes")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = soft_dedup_weights(docs, threshold=0.5).collect()
+    assert {r["doc_id"] for r in got} == {1, 2, 3, 10}
+    by_id = {r["doc_id"]: r for r in got}
+    assert by_id[10]["cluster_size"] == 1 and by_id[10]["weight"] == 1.0
+    assert by_id[1]["cluster_size"] == 3
+    mass = sum(r["weight"] for r in got if r["rep_id"] == by_id[1]["rep_id"])
+    assert abs(mass - 1.0) < 1e-5
+    # exponent 0 = no dedup (all weights 1); exponent 0.5 interpolates
+    half = {r["doc_id"]: r["weight"] for r in soft_dedup_weights(docs, threshold=0.5, exponent=0.5).collect()}
+    assert half[10] == 1.0 and 1.0 / 3 < half[1] < 1.0
+
+
 def test_components_with_full_range_hash_ids(spark):
     """doc ids from xxhash64 are full-range 64-bit: the convergence
     sum must not overflow BIGINT (runs in DECIMAL(38,0))."""
