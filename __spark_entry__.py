@@ -1767,6 +1767,41 @@ def q_ivf_ann_topk(spark, sf_dir):
 
 _IVF_APPEND_INDEX = os.path.join(tempfile.gettempdir(), "jrs_ivf_append_index")
 _IVF_APPEND_EXPORT = os.path.join(tempfile.gettempdir(), "jrs_ivf_append_export")
+_IVF_SQ8_INDEX = os.path.join(tempfile.gettempdir(), "jrs_ivf_sq8_index")
+_IVF_SQ8_EXPORT = os.path.join(tempfile.gettempdir(), "jrs_ivf_sq8_export")
+
+
+def q_ivf_sq8_topk(spark, sf_dir):
+    """Quantized at-rest IVF: the index stores int8 scalar-quantized
+    codes (dims bytes + one double scale — 4x fewer bytes per probed
+    cell than float32; the 100 TB scan-cost lever) and the scoring
+    kernel dequantizes per Arrow batch.  Export-verified: DuckDB
+    REPLAYS THE QUANTIZATION from the source floats (scale = max|x|,
+    code = floor(x/scale*127 + 0.5), dequant, unit, cos, rank) — the
+    whole lossy path is independently recomputed, not just membership."""
+    import shutil
+
+    from json_remedy_spark.functions.similarity import (
+        ivf_topk_from_index,
+        write_ivf_index,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    shutil.rmtree(_IVF_SQ8_INDEX, ignore_errors=True)
+    write_ivf_index(e, _IVF_SQ8_INDEX, cells=8, quantize="sq8")
+    queries = e.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
+    out = ivf_topk_from_index(
+        spark, _IVF_SQ8_INDEX, queries, k=5, probes=_IVF_PROBES
+    ).select(
+        F.col("q_id").cast("long").alias("q_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cos").cast("double").alias("cos"),
+        F.col("rank").cast("long").alias("rank"),
+    ).persist()  # the export write materializes it; the caller's collect reuses
+    out.select("q_id", "vec_id").write.mode("overwrite").parquet(_IVF_SQ8_EXPORT)
+    return out
 
 
 def q_ivf_append_topk(spark, sf_dir):
@@ -2013,6 +2048,7 @@ EXPORT_SCHEMAS: dict[str, str] = {
     _LSH_TOPK_EXPORT: "q_id BIGINT, vec_id BIGINT",
     _IVF_TOPK_EXPORT: "q_id BIGINT, vec_id BIGINT",
     _IVF_APPEND_EXPORT: "q_id BIGINT, vec_id BIGINT",
+    _IVF_SQ8_EXPORT: "q_id BIGINT, vec_id BIGINT",
     _ANN_EXPORT: "method VARCHAR, q_id BIGINT, vec_id BIGINT",
     _SEMDEDUP_EXPORT: "vec_id BIGINT, cell INTEGER, keep BOOLEAN",
     _LAYER_HITS_EXPORT: "layer VARCHAR, hits INTEGER",
@@ -2064,6 +2100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_ann_topk": q_ivf_ann_topk,
         "ivf_append_topk": q_ivf_append_topk,
         "soft_dedup_weights": q_soft_dedup_weights,
+        "ivf_sq8_topk": q_ivf_sq8_topk,
         "perplexity": q_perplexity,
         "ppl_histogram": q_ppl_histogram,
         "ppl_buckets": q_ppl_buckets,
@@ -2348,6 +2385,49 @@ def _ann_topk_export_sql(path: str) -> str:
         FROM cand c
         JOIN v a ON a.vec_id = c.vec_id
         JOIN v b ON b.vec_id = c.q_id
+      )
+      SELECT q_id::BIGINT AS q_id, vec_id::BIGINT AS vec_id, cos::DOUBLE AS cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id)::BIGINT AS rank
+      FROM scored
+    """
+
+
+def _ivf_sq8_export_sql(path: str) -> str:
+    """Replay the sq8 quantization from the source floats, then
+    recompute cos + rank for the exported candidate set: the corpus
+    side goes float -> int8 code -> dequant -> unit (mirroring the
+    index's stored form), the query side stays full precision —
+    exactly the asymmetry of the Spark scoring path."""
+    return f"""
+      WITH cand AS (
+        SELECT DISTINCT q_id, vec_id FROM read_parquet('{path}/*.parquet')
+      ),
+      src AS (
+        SELECT vec_id, embedding::DOUBLE[] AS x,
+               greatest(list_max(list_transform(embedding::DOUBLE[], v -> abs(v))), 1e-30) AS scale
+        FROM embeddings
+      ),
+      dq AS (
+        SELECT vec_id,
+               list_transform(x, v -> floor(v / scale * 127.0 + 0.5) * (scale / 127.0)) AS deq
+        FROM src
+      ),
+      vu AS (
+        SELECT vec_id, list_transform(deq, v -> v /
+          greatest(sqrt(list_sum(list_transform(deq, w -> w*w))), 1e-12)) AS unit
+        FROM dq
+      ),
+      qu AS (
+        SELECT vec_id, list_transform(x, v -> v /
+          greatest(sqrt(list_sum(list_transform(x, w -> w*w))), 1e-12)) AS unit
+        FROM src
+      ),
+      scored AS (
+        SELECT c.q_id, c.vec_id,
+               round(list_sum(list_transform(list_zip(a.unit, b.unit), p -> p[1] * p[2])), 6) AS cos
+        FROM cand c
+        JOIN vu a ON a.vec_id = c.vec_id
+        JOIN qu b ON b.vec_id = c.q_id
       )
       SELECT q_id::BIGINT AS q_id, vec_id::BIGINT AS vec_id, cos::DOUBLE AS cos,
              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id)::BIGINT AS rank
@@ -3677,6 +3757,7 @@ def oracle_sql() -> dict[str, str]:
         "lsh_ann_topk": _ann_topk_export_sql(_LSH_TOPK_EXPORT),
         "ivf_ann_topk": _ann_topk_export_sql(_IVF_TOPK_EXPORT),
         "ivf_append_topk": _ann_topk_export_sql(_IVF_APPEND_EXPORT),
+        "ivf_sq8_topk": _ivf_sq8_export_sql(_IVF_SQ8_EXPORT),
         "semantic_dedup_verified": f"""
           WITH exp AS (
             SELECT vec_id, cell, keep

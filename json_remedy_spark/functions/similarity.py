@@ -397,7 +397,40 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
-def _write_assigned_cells(src: DataFrame, cen, col: str, out_dir: str, mode: str) -> int:
+def _make_sq8_udfs():
+    """Scalar int8 quantization (FAISS-SQ8 style) as two Arrow
+    kernels.  Deterministic double math so DuckDB can replay it
+    exactly from the source floats: scale = max|x| (double),
+    code_i = floor(x_i / scale * 127 + 0.5) in [-127, 127] stored as a
+    dims-byte binary, dequant = code * scale / 127.  4x fewer bytes
+    scanned per probed cell than float32, ~32x less than the double
+    form."""
+
+    @pandas_udf("struct<codes: binary, scale: double>")
+    def quant_udf(vecs: pd.Series) -> pd.DataFrame:
+        if len(vecs) == 0:
+            return pd.DataFrame({"codes": [], "scale": []})
+        mat = np.array(vecs.tolist(), dtype=np.float64)
+        scale = np.maximum(np.abs(mat).max(axis=1), 1e-30)
+        codes = np.floor(mat / scale[:, None] * 127.0 + 0.5).astype(np.int8)
+        return pd.DataFrame(
+            {"codes": [c.tobytes() for c in codes], "scale": scale}
+        )
+
+    @pandas_udf("array<double>")
+    def dequant_unit_udf(codes: pd.Series, scale: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.stack([np.frombuffer(b, dtype=np.int8) for b in codes]).astype(np.float64)
+        mat *= (scale.to_numpy(dtype=np.float64) / 127.0)[:, None]
+        return pd.Series(list(_np_unit(mat)))
+
+    return quant_udf, dequant_unit_udf
+
+
+def _write_assigned_cells(
+    src: DataFrame, cen, col: str, out_dir: str, mode: str, quantize: str | None = None
+) -> int:
     """Assign each vector to its nearest centroid and land it in that
     cell's partition directory.  Co-locate each cell before the
     partitioned write: without the repartition, every input task
@@ -412,6 +445,16 @@ def _write_assigned_cells(src: DataFrame, cen, col: str, out_dir: str, mode: str
         F.col(col).alias("embedding"),
         F.element_at("ivf_cells", 1).cast("int").alias("cell"),
     )
+    if quantize == "sq8":
+        quant_udf, _ = _make_sq8_udfs()
+        assigned = assigned.withColumn("q", quant_udf(F.col("embedding"))).select(
+            "vec_id",
+            F.col("q.codes").alias("codes"),
+            F.col("q.scale").alias("scale"),
+            "cell",
+        )
+    elif quantize is not None:
+        raise ValueError(f"unknown quantize mode: {quantize!r}")
     assigned.repartition(F.col("cell")).write.mode(mode).partitionBy("cell").parquet(
         os.path.join(out_dir, "vectors")
     )
@@ -428,6 +471,7 @@ def write_ivf_index(
     col: str = "embedding",
     refine: int = 1,
     centroids=None,
+    quantize: str | None = None,
 ) -> int:
     """Materialize the IVF index AT REST — the 100 TB form of
     ``ivf_topk``'s in-session assignment, mirroring the LSH signature
@@ -447,7 +491,13 @@ def write_ivf_index(
     ``centroids``: pass a precomputed (cells, dims) array to skip the
     k-means pass — the fit-once / index-many-dumps form (and the
     handle that makes ``append_to_ivf_index`` exactly equivalent to a
-    one-shot build over the union)."""
+    one-shot build over the union).
+
+    ``quantize="sq8"``: store int8 scalar-quantized codes (dims bytes
+    + one double scale per vector) instead of the float embedding —
+    4x fewer bytes per probed cell than float32; queries dequantize
+    in the Arrow scoring kernel.  Cell assignment always uses the
+    full-precision vectors."""
     import os
 
     _require_numeric_id(vectors, id_col)
@@ -462,7 +512,7 @@ def write_ivf_index(
         [(i, [float(x) for x in cen[i]]) for i in range(len(cen))],
         "cell int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "centroids"))
-    return _write_assigned_cells(src, cen, col, out_dir, "overwrite")
+    return _write_assigned_cells(src, cen, col, out_dir, "overwrite", quantize=quantize)
 
 
 def append_to_ivf_index(
@@ -486,11 +536,17 @@ def append_to_ivf_index(
     difference is file layout.  Centroids drift as the corpus grows;
     when recall decays, re-fit offline and rebuild per cell (the
     centroid table versions the index).  Returns the cell-directory
-    count after the append."""
+    count after the append.  The stored layout dictates the format:
+    appends into an sq8-quantized index quantize the new vectors the
+    same way (detected from the vectors schema, never guessed)."""
+    import os
+
     _require_numeric_id(new_vectors, id_col)
     cen = read_ivf_centroids(spark, out_dir)
+    stored = spark.read.parquet(os.path.join(out_dir, "vectors")).schema.fieldNames()
+    quantize = "sq8" if "codes" in stored else None
     src = new_vectors.select(F.col(id_col).alias("vec_id"), F.col(col).alias(col))
-    return _write_assigned_cells(src, cen, col, out_dir, "append")
+    return _write_assigned_cells(src, cen, col, out_dir, "append", quantize=quantize)
 
 
 def read_ivf_centroids(spark, out_dir: str) -> np.ndarray:
@@ -528,9 +584,17 @@ def ivf_topk_from_index(
         spark.read.parquet(os.path.join(out_dir, "vectors"))
         .where(F.col("cell").isin(probed))  # -> PartitionFilters at the scan
     )
-    v = with_unit_norm(v, "embedding").select(
-        "vec_id", F.col("unit").alias("v_unit"), F.col("cell").cast("int").alias("cell")
-    )
+    if "codes" in v.schema.fieldNames():  # sq8-quantized layout
+        _, dequant_unit = _make_sq8_udfs()
+        v = v.select(
+            "vec_id",
+            dequant_unit(F.col("codes"), F.col("scale")).alias("v_unit"),
+            F.col("cell").cast("int").alias("cell"),
+        )
+    else:
+        v = with_unit_norm(v, "embedding").select(
+            "vec_id", F.col("unit").alias("v_unit"), F.col("cell").cast("int").alias("cell")
+        )
     dot = make_dot_udf()
     scored = (
         v.join(F.broadcast(q), "cell")

@@ -557,6 +557,43 @@ def test_ivf_append_equals_union_build(spark, tmp_path):
     assert spark.read.parquet(grown + "/vectors").select("vec_id").distinct().count() == total
 
 
+def test_ivf_sq8_quantized_index(spark, tmp_path):
+    """sq8 layout: codes binary + scale double (4x fewer bytes than
+    float32), top-k within 1 rank-set of the full-precision index on
+    clustered data, appends auto-quantize to match the stored layout."""
+    from json_remedy_spark.functions.similarity import (
+        append_to_ivf_index,
+        ivf_topk_from_index,
+        write_ivf_index,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = e.where(F.col("vec_id") < 4).select(F.col("vec_id").alias("q_id"), "embedding")
+
+    full, sq8 = str(tmp_path / "full"), str(tmp_path / "sq8")
+    write_ivf_index(e, full, cells=8)
+    write_ivf_index(e, sq8, cells=8, quantize="sq8")
+
+    stored = spark.read.parquet(sq8 + "/vectors")
+    assert {f.name for f in stored.schema.fields} == {"vec_id", "codes", "scale", "cell"}
+    dims = len(e.select("embedding").first()[0])
+    assert all(len(r["codes"]) == dims for r in stored.limit(5).collect())
+
+    want = {(r["q_id"], r["vec_id"]) for r in ivf_topk_from_index(spark, full, q, k=5, probes=3).collect()}
+    got = {(r["q_id"], r["vec_id"]) for r in ivf_topk_from_index(spark, sq8, q, k=5, probes=3).collect()}
+    # int8 error is ~0.4% of the scale: neighbor SETS stay ~identical
+    assert len(got & want) / len(want) >= 0.9
+
+    n_before = stored.count()
+    append_to_ivf_index(spark, sq8, e.limit(0))  # empty append keeps layout
+    extra = e.withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    append_to_ivf_index(spark, sq8, extra)
+    after = spark.read.parquet(sq8 + "/vectors")
+    assert "codes" in after.schema.fieldNames() and after.count() == 2 * n_before
+
+
 def test_soft_dedup_weights_cluster_mass(spark):
     """SoftDeDup contract: at exponent=1 every cluster's total weight
     is exactly the hard-dedup mass (1.0), singletons keep weight 1.0,
