@@ -429,7 +429,13 @@ def _make_sq8_udfs():
 
 
 def _write_assigned_cells(
-    src: DataFrame, cen, col: str, out_dir: str, mode: str, quantize: str | None = None
+    src: DataFrame,
+    cen,
+    col: str,
+    out_dir: str,
+    mode: str,
+    quantize: str | None = None,
+    subdir: str = "vectors",
 ) -> int:
     """Assign each vector to its nearest centroid and land it in that
     cell's partition directory.  Co-locate each cell before the
@@ -456,10 +462,10 @@ def _write_assigned_cells(
     elif quantize is not None:
         raise ValueError(f"unknown quantize mode: {quantize!r}")
     assigned.repartition(F.col("cell")).write.mode(mode).partitionBy("cell").parquet(
-        os.path.join(out_dir, "vectors")
+        os.path.join(out_dir, subdir)
     )
     return sum(
-        1 for d in os.listdir(os.path.join(out_dir, "vectors")) if d.startswith("cell=")
+        1 for d in os.listdir(os.path.join(out_dir, subdir)) if d.startswith("cell=")
     )
 
 
@@ -556,6 +562,56 @@ def read_ivf_centroids(spark, out_dir: str) -> np.ndarray:
     return np.array([r["centroid"] for r in rows], dtype=np.float64)
 
 
+def read_index_vectors(spark, out_dir: str) -> DataFrame:
+    """The index's full vector set: the compacted base plus any
+    streamed delta batches (``deltas/batch=<id>/cell=*`` — written by
+    ``stream_ivf_ingest`` with per-batch overwrite, so a replayed
+    micro-batch is idempotent).  Both layouts carry ``cell`` as a
+    partition column, so a probed-cell filter prunes both scans."""
+    import glob as _glob
+    import os
+
+    base = spark.read.parquet(os.path.join(out_dir, "vectors"))
+    delta_root = os.path.join(out_dir, "deltas")
+    delta_dirs = sorted(_glob.glob(os.path.join(delta_root, "batch=*")))
+    if not delta_dirs:
+        return base
+    # basePath makes batch AND cell partition columns of one unified
+    # discovery (sibling batch=* roots otherwise conflict)
+    deltas = (
+        spark.read.option("basePath", delta_root).parquet(*delta_dirs).select(*base.columns)
+    )
+    return base.unionByName(deltas)
+
+
+def compact_ivf_deltas(spark, out_dir: str) -> int:
+    """Fold streamed delta batches into the base cell layout (one
+    file per touched cell appended) and drop the delta dirs; queries
+    are equal before and after (pytest-pinned).  The
+    append-then-delete pair is not atomic — a crash in between leaves
+    duplicates, so production routes this through a table format's
+    transactional REPLACE (Iceberg/Delta) or swaps a versioned
+    ``vectors_v<N>`` dir; at-rest compaction is an offline job either
+    way.  Returns the number of delta batches folded."""
+    import glob as _glob
+    import os
+    import shutil
+
+    delta_root = os.path.join(out_dir, "deltas")
+    delta_dirs = sorted(_glob.glob(os.path.join(delta_root, "batch=*")))
+    if not delta_dirs:
+        return 0
+    base_cols = spark.read.parquet(os.path.join(out_dir, "vectors")).columns
+    deltas = (
+        spark.read.option("basePath", delta_root).parquet(*delta_dirs).select(*base_cols)
+    )
+    deltas.repartition(F.col("cell")).write.mode("append").partitionBy("cell").parquet(
+        os.path.join(out_dir, "vectors")
+    )
+    shutil.rmtree(os.path.join(out_dir, "deltas"))
+    return len(delta_dirs)
+
+
 def ivf_topk_from_index(
     spark,
     out_dir: str,
@@ -580,10 +636,9 @@ def ivf_topk_from_index(
         F.explode("ivf_cells").alias("cell"),
     )
     probed = sorted(r["cell"] for r in q.select("cell").distinct().collect())
-    v = (
-        spark.read.parquet(os.path.join(out_dir, "vectors"))
-        .where(F.col("cell").isin(probed))  # -> PartitionFilters at the scan
-    )
+    # -> PartitionFilters at the scan (cell is a partition column in
+    # the base layout AND the second level of every streamed delta)
+    v = read_index_vectors(spark, out_dir).where(F.col("cell").isin(probed))
     if "codes" in v.schema.fieldNames():  # sq8-quantized layout
         _, dequant_unit = _make_sq8_udfs()
         v = v.select(
