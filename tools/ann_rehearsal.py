@@ -202,6 +202,54 @@ def run_append(spark, n_big: int) -> dict:
     }
 
 
+def _du(path: str) -> int:
+    total = 0
+    for root, _, files in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in files)
+    return total
+
+
+def run_sq8(spark, n: int) -> dict:
+    """Quantized decade: same corpus, sq8 layout — bytes per probed
+    cell drop ~4x vs the float32 source (the 100 TB scan-cost lever);
+    recall must hold."""
+    from json_remedy_spark.functions.similarity import (
+        cosine_topk,
+        ivf_topk_from_index,
+        write_ivf_index,
+    )
+
+    vpath, qpath = ensure_vectors(spark, n)
+    vectors = spark.read.parquet(vpath)
+    queries = spark.read.parquet(qpath).limit(POINT_QUERIES).cache()
+    cells = int(math.sqrt(n))
+    idx = os.path.join(TMP, f"ivf_sq8_{n}")
+    shutil.rmtree(idx, ignore_errors=True)
+
+    t0 = time.time()
+    write_ivf_index(vectors, idx, cells=cells, quantize="sq8")
+    t_build = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    got = ivf_topk_from_index(spark, idx, queries, k=K, probes=POINT_NPROBE)
+    rows = {(r["q_id"], r["vec_id"]) for r in got.collect()}
+    t_query = round(time.time() - t0, 1)
+
+    truth = cosine_topk(vectors, queries, k=K, id_col="vec_id")
+    truth_rows = {(r["q_id"], r["vec_id"]) for r in truth.collect()}
+    recall = round(len(rows & truth_rows) / len(truth_rows), 4)
+    out = {
+        "n": n,
+        "sq8_build_sec": t_build,
+        "sq8_point_query_sec": t_query,
+        "sq8_recall_at_10": recall,
+        "sq8_index_mb": round(_du(os.path.join(idx, "vectors")) / 1e6, 1),
+        "float_index_mb": round(_du(os.path.join(TMP, f"ivf_{n}", "vectors")) / 1e6, 1),
+    }
+    queries.unpersist()
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", type=int, default=200_000)
@@ -228,6 +276,10 @@ def main():
         "recall_big": b["recall_at_10"],
     }
     print(json.dumps(summary), flush=True)
+
+    # sq8 decade BEFORE the append mutates ivf_<big> (fair byte compare)
+    sq8 = run_sq8(spark, args.big)
+    print(json.dumps(sq8), flush=True)
 
     app = run_append(spark, args.big)
     print(json.dumps(app), flush=True)
