@@ -461,6 +461,34 @@ def main():
         )
     )
 
+    import tempfile
+
+    from json_remedy_spark.functions.similarity import (
+        ivf_topk_from_index,
+        write_ivf_index,
+    )
+    from json_remedy_spark.streaming.stream_ivf_ingest import run_ivf_ingest_stream
+
+    with tempfile.TemporaryDirectory() as td:
+        idx = os.path.join(td, "ivf")
+        write_ivf_index(emb.where("vec_id % 2 = 0"), idx, cells=8, quantize="sq8")
+        src = os.path.join(td, "src")
+        emb.where("vec_id % 2 = 1").select("vec_id", "embedding").coalesce(1).write.parquet(src)
+        run_ivf_ingest_stream(spark, src, idx, os.path.join(td, "ckpt"))
+        q = emb.where(F.col("vec_id") < 2).select(F.col("vec_id").alias("q_id"), "embedding")
+        iv = ivf_topk_from_index(spark, idx, q, k=3, probes=2)
+        ivplan = formatted(iv)
+        pf = ivplan.count("PartitionFilters: [cell")
+        sections.append(
+            (
+                "ivf_topk_from_index (at-rest sq8 index + streamed delta, probed-cell pruning)",
+                f"scans with probed-cell PartitionFilters: {pf} (budget 2 — the "
+                "compacted base AND the streamed delta batch both prune to the "
+                "probed cells; everything else is never listed or read)\n"
+                f"union of base+delta present: {'Union' in ivplan}\n\n" + ivplan[:2500],
+            )
+        )
+
     out = ["# Physical plan evidence (generated by tools/snapshot_plans.py)\n"]
     for title, body in sections:
         out.append(f"\n## {title}\n\n```\n{body}\n```\n")
