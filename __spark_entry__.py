@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from json_remedy_spark.functions import corpus, dedup, langid, quality, scrub, textstats
+from json_remedy_spark.functions import corpus, dedup, langid, quality, scrub, search, textstats
 from json_remedy_spark.functions.dedup import MINHASH_K, LSH_BANDS
 from json_remedy_spark.functions.multimodal import N_FEATURES as _N_FEATURES, N_FRAMES as _N_FRAMES
 
@@ -219,6 +219,29 @@ def q_dedup_components(spark, sf_dir):
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("rep_id").cast("long").alias("rep_id"),
         F.col("is_canonical").alias("is_canonical"),
+    )
+
+
+BM25_QUERIES = [(0, "hash join merge"), (1, "slow vector scan"), (2, "customer data batch filter")]
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 keyword retrieval (Lucene idf form) — how a pipeline mines
+    targeted subsets (mixture seeds, quality probes, query-based
+    decontamination).  Full independent DuckDB recomputation: same
+    JVM tokenizer regex, idf, tf saturation, rounding and tie-break."""
+    from json_remedy_spark.functions.search import bm25_topk
+
+    d = _t(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(BM25_QUERIES, "q_id long, query string")
+    # max_df_frac=1.0 HERE ONLY: the synthetic corpus draws from a
+    # ~40-term vocabulary where every term tops the production 0.5
+    # stopword cap; the cap's skew-guard behavior has its own unit test
+    return bm25_topk(d, queries, k=10, max_df_frac=1.0).select(
+        F.col("q_id").cast("long").alias("q_id"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("score").cast("double").alias("score"),
+        F.col("rank").cast("long").alias("rank"),
     )
 
 
@@ -2101,6 +2124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_append_topk": q_ivf_append_topk,
         "soft_dedup_weights": q_soft_dedup_weights,
         "ivf_sq8_topk": q_ivf_sq8_topk,
+        "bm25_topk": q_bm25_topk,
         "perplexity": q_perplexity,
         "ppl_histogram": q_ppl_histogram,
         "ppl_buckets": q_ppl_buckets,
@@ -3653,6 +3677,7 @@ def oracle_sql() -> dict[str, str]:
                  count(*)::BIGINT AS n_clusters
           FROM sizes GROUP BY 1
         """,
+        "bm25_topk": search.bm25_sql(BM25_QUERIES, k=10, max_df_frac=1.0),
         "soft_dedup_weights": f"""
           WITH comp AS ({_dedup_components_sql()}),
           sizes AS (SELECT rep_id, count(*) AS cluster_size FROM comp GROUP BY rep_id)

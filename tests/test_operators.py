@@ -594,6 +594,37 @@ def test_ivf_sq8_quantized_index(spark, tmp_path):
     assert "codes" in after.schema.fieldNames() and after.count() == 2 * n_before
 
 
+def test_bm25_topk_ranking_and_stopword_cap(spark):
+    """Known ordering: more query-term hits rank higher, rare terms
+    out-pull common ones, and terms above the df cap (stopword-grade)
+    contribute nothing — the skew guard that keeps 'the' from routing
+    the corpus through one join key."""
+    from json_remedy_spark.functions.search import bm25_topk
+
+    rows = [
+        (1, "the volcano erupted with ash the the"),
+        (2, "the volcano is dormant"),
+        (3, "ash fell on the town near the volcano and more ash came"),
+        (4, "an unrelated text about rivers the"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    q = spark.createDataFrame([(0, "volcano ash")], ["q_id", "query"])
+
+    # cap 0.9: past 'the' (df 4/4) but under 'volcano' (df 3/4 — a
+    # 4-doc corpus makes every real term look stopword-grade at 0.5)
+    got = bm25_topk(docs, q, k=4, max_df_frac=0.9).orderBy("rank").collect()
+    order = [r["doc_id"] for r in got]
+    # docs 1 and 3 hit both terms, 2 only 'volcano', 4 neither
+    assert set(order[:2]) == {1, 3} and order[2] == 2 and 4 not in order
+    assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+    assert all(got[i]["score"] >= got[i + 1]["score"] for i in range(len(got) - 1))
+
+    # 'the' (df 4/4) is over every sensible cap: a query of only
+    # stopword-grade terms matches nothing
+    the_q = spark.createDataFrame([(0, "the")], ["q_id", "query"])
+    assert bm25_topk(docs, the_q, k=4, max_df_frac=0.9).count() == 0
+
+
 def test_soft_dedup_weights_cluster_mass(spark):
     """SoftDeDup contract: at exponent=1 every cluster's total weight
     is exactly the hard-dedup mass (1.0), singletons keep weight 1.0,
