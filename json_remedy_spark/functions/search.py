@@ -53,22 +53,42 @@ def bm25_topk(
     text_col: str = "text",
     q_id_col: str = "q_id",
     q_text_col: str = "query",
+    handles: list | None = None,
 ) -> DataFrame:
     """Top-``k`` documents per query by BM25.
 
     ``queries``: a small (q_id, query) frame — it broadcasts.
     Returns (q_id, doc_id, score, rank); score is rounded to 6
     decimals so the DuckDB oracle's independent recomputation matches
-    exactly.  Deterministic tie-break: score desc, doc_id asc."""
+    exactly.  Deterministic tie-break: score desc, doc_id asc.
+
+    The corpus is tokenized ONCE: the (doc_id, term, tf, dl) postings
+    frame persists and feeds the stats scalar agg, the df agg and the
+    score join from one materialization (without it Catalyst plans
+    three separate tokenize+aggregate corpus passes).  Long-lived
+    sessions pass ``handles`` to receive the persisted frame for
+    unpersist; at 100 TB this is an at-rest postings table bucketed
+    by term — the ``write_signature_table`` recipe."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(_tokens(F.col(text_col))).alias("term")
     )
-    postings = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dl = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    postings = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")))
+        .persist()
+    )
+    if handles is not None:
+        handles.append(postings)
 
     # two scalars reach the driver (bounded agg — never corpus rows);
-    # N counts token-bearing docs, matching the oracle's stats CTE
-    stats = dl.agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).first()
+    # N counts token-bearing docs, matching the oracle's stats CTE.
+    # dl values are exact integers, so avg is association-independent
+    # and matches DuckDB bit-for-bit.
+    stats = (
+        postings.select("doc_id", "dl").distinct()
+        .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).first()
+    )
     n_docs, avgdl = stats["n"], stats["avgdl"]
 
     df_tbl = postings.groupBy("term").agg(F.count("*").alias("df")).where(
@@ -84,7 +104,7 @@ def bm25_topk(
         "idf", F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
     )
 
-    hits = postings.join(dl, "doc_id").join(
+    hits = postings.join(
         F.broadcast(q_scored_terms.select("q_id", "term", "idf")), "term"
     )
     contrib = hits.withColumn(
