@@ -489,6 +489,26 @@ def main():
             )
         )
 
+    from json_remedy_spark.functions.search import bm25_topk
+
+    bm_handles = []
+    bq = spark.createDataFrame([(0, "hash join merge")], ["q_id", "query"])
+    bm = bm25_topk(docs, bq, k=5, max_df_frac=1.0, handles=bm_handles)
+    bmplan = formatted(bm)
+    sections.append(
+        (
+            "bm25_topk (keyword retrieval, single postings materialization)",
+            f"SortMergeJoin nodes: {tree_nodes(bmplan, 'SortMergeJoin')} (budget 0 "
+            "— df table and query terms broadcast; candidates-only shuffle)\n"
+            f"InMemoryTableScan reuse sites: {bmplan.count('InMemoryTableScan')} "
+            "(>=2 — the df agg and the score join read the ONE persisted "
+            "tokenize+aggregate pass; dl rides it as a window sum)\n\n"
+            + bmplan[:2200],
+        )
+    )
+    for h in bm_handles:
+        h.unpersist()
+
     out = ["# Physical plan evidence (generated by tools/snapshot_plans.py)\n"]
     for title, body in sections:
         out.append(f"\n## {title}\n\n```\n{body}\n```\n")
