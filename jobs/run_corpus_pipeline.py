@@ -99,6 +99,14 @@ def build_parser() -> argparse.ArgumentParser:
         "run_dedup.py; 0 disables, restoring exact all-pairs)",
     )
     ap.add_argument("--fuzzy-hubs", type=int, default=2)
+    ap.add_argument(
+        "--soft-dedup", type=float, default=None, metavar="EXP",
+        help="SoftDeDup (He et al. 2024): instead of dropping fuzzy "
+        "near-dups, keep EVERY doc and attach a sampling weight of "
+        "cluster_size^-EXP over the same components (EXP=1 gives each "
+        "cluster total mass 1.0); the weight column survives to the "
+        "output/shards for the training loader",
+    )
     ap.add_argument("--max-per-domain", type=int, default=0)
     ap.add_argument("--no-line-dedup", action="store_true")
     ap.add_argument("--dup-span-window", type=int, default=0)
@@ -424,10 +432,21 @@ def run(spark, args) -> str:
             return d.join(fresh.select("doc_id"), "doc_id", "left_semi")
         docs = stage("s4_incremental_gate", _gate)
 
-    # 3. fuzzy near-dup dedup over the line-deduped scrubbed text
+    # 3. fuzzy near-dup dedup over the line-deduped scrubbed text —
+    # hard drop (keep canonicals) or, with --soft-dedup, SoftDeDup
+    # reweighting (keep all, attach weight)
     def _fuzzy(d=docs):
         d = d.persist()
         job_handles.append(d)
+        if args.soft_dedup is not None:
+            from json_remedy_spark.functions.dedup import soft_dedup_weights
+
+            w = soft_dedup_weights(
+                d, threshold=args.threshold, exponent=args.soft_dedup,
+                handles=job_handles,
+                hub_cap=args.fuzzy_max_bucket or None, n_hubs=args.fuzzy_hubs,
+            )
+            return d.join(w.select("doc_id", "weight"), "doc_id")
         comp = near_dup_components(
             d, threshold=args.threshold, handles=job_handles,
             hub_cap=args.fuzzy_max_bucket or None, n_hubs=args.fuzzy_hubs,
@@ -512,7 +531,10 @@ def run(spark, args) -> str:
     # the final frame feeds up to four consumers (output write, LM
     # trainer, BPE trainer, n_out count) — persist so the multi-stage
     # DAG above materializes once instead of once per consumer
-    out_cols = docs.select("doc_id", "url", "lang_id", "text").persist()
+    keep_cols = ["doc_id", "url", "lang_id", "text"] + (
+        ["weight"] if "weight" in docs.columns else []  # --soft-dedup
+    )
+    out_cols = docs.select(*keep_cols).persist()
     job_handles.append(out_cols)
     if args.shard_tokens:
         # training-loader export: contiguous ~N-token shards

@@ -750,6 +750,7 @@ def soft_dedup_weights(
     handles: list | None = None,
     algorithm: str = "min_label",
     hub_cap: int | None = None,
+    n_hubs: int = 2,
 ) -> DataFrame:
     """Soft dedup (SoftDeDup, He et al. 2024, ACL — reweight instead
     of drop): every document survives, but its training-sampling
@@ -769,7 +770,7 @@ def soft_dedup_weights(
 
     comp = near_dup_components(
         docs, threshold, id_col, text_col, handles=handles,
-        algorithm=algorithm, hub_cap=hub_cap,
+        algorithm=algorithm, hub_cap=hub_cap, n_hubs=n_hubs,
     )
     w = Window.partitionBy("rep_id")
     size = F.count("*").over(w).cast("long")

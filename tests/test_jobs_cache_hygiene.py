@@ -394,3 +394,68 @@ def test_dedup_job_exact_collapse_parity(spark, tmp_path):
     assert reps[20] == (20, True) and reps[21] == (21, True)
     assert reps[30] == (30, True) and reps[31] == (30, False)
     assert reps[40] == (40, True) and reps[41] == (40, False)
+
+
+def test_corpus_pipeline_soft_dedup(spark, tmp_path):
+    """--soft-dedup keeps EVERY fuzzy near-dup with a weight column:
+    total mass equals the hard-dedup keep count (exponent 1), weights
+    within a cluster are 1/size, and the cache drains."""
+    from jobs.run_corpus_pipeline import build_parser, run
+    from json_remedy_spark.sources.webpages import synthesize_corpus
+
+    docs, labels = synthesize_corpus(spark, 120, partitions=4)
+    # a 3-way near-dup family derived from a doc the quality filter
+    # provably KEEPS (so it reaches the fuzzy stage), with per-member
+    # suffixes so the url/line-dedup stages don't collapse it first
+    # the family's variation must live INSIDE a long string VALUE:
+    # the repair layer strips trailing wrapper text (an appended
+    # suffix leaves all members byte-identical -> exact dedup eats
+    # them) and emits compact JSON (whitespace only survives inside
+    # strings — and the fuzzy shingles are whitespace 3-grams)
+    sentence = (
+        "the geological survey of the northern region describes how basalt "
+        "and granite formations near the wide river valley were shaped over "
+        "many thousands of years by slow cooling and steady erosion while "
+        "several field teams recorded the layers in careful detail and the "
+        "museum kept every sample for later study of the mineral record"
+    )
+    fam = [
+        (
+            f"https://rocks.example/{i}",
+            '{"title": "field notes", "desc": "' + sentence + f' site{i} marker{i}"' + "}",
+        )
+        for i in range(3)
+    ]
+    extra = spark.createDataFrame(
+        [(u, None, None, t, "en") for u, t in fam],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    pages = str(tmp_path / "pages")
+    docs.unionByName(extra).write.parquet(pages)
+
+    spark.catalog.clearCache()
+    soft_out, hard_out = str(tmp_path / "soft"), str(tmp_path / "hard")
+    run(spark, build_parser().parse_args(
+        ["--input", pages, "--output", soft_out, "--threshold", "0.5",
+         "--soft-dedup", "1.0"]
+    ))
+    assert _sql_cache_empty(spark), "soft-dedup path leaked persists"
+    run(spark, build_parser().parse_args(
+        ["--input", pages, "--output", hard_out, "--threshold", "0.5"]
+    ))
+
+    soft = spark.read.parquet(soft_out)
+    hard_n = spark.read.parquet(hard_out).count()
+    assert "weight" in soft.columns
+    fam_rows = soft.where(soft.url.startswith("https://rocks.example/")).collect()
+    assert len(fam_rows) == 3  # soft keeps the whole family
+    # the base doc (still in the corpus) typically joins the cluster,
+    # so derive the size from the weight instead of hardcoding 3
+    w = fam_rows[0]["weight"]
+    assert all(abs(r["weight"] - w) < 1e-6 for r in fam_rows)
+    cluster = round(1 / w)
+    assert cluster >= 3 and abs(w - 1 / cluster) < 1e-6
+    # exponent 1: cluster mass = 1 -> total mass == hard keep count
+    mass = soft.agg({"weight": "sum"}).first()[0]
+    assert abs(mass - hard_n) < 1e-3
+    assert soft.count() == hard_n + (cluster - 1)  # the non-canonical dups
