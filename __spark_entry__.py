@@ -245,6 +245,35 @@ def q_bm25_topk(spark, sf_dir):
     )
 
 
+_BM25_INDEX = os.path.join(tempfile.gettempdir(), "jrs_bm25_postings")
+
+
+def q_bm25_index_topk(spark, sf_dir):
+    """BM25 over the AT-REST postings table (term-bucketed partitions;
+    query terms hash to probed buckets -> partition pruning at the
+    scan).  Byte-identical to the in-session scorer, so the same full
+    DuckDB recomputation verifies it."""
+    import shutil
+
+    from json_remedy_spark.functions.search import (
+        bm25_topk_from_postings,
+        write_postings_table,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    shutil.rmtree(_BM25_INDEX, ignore_errors=True)
+    write_postings_table(d, _BM25_INDEX, n_buckets=16, max_df_frac=1.0)
+    queries = spark.createDataFrame(BM25_QUERIES, "q_id long, query string")
+    return bm25_topk_from_postings(
+        spark, _BM25_INDEX, queries, k=10, n_buckets=16
+    ).select(
+        F.col("q_id").cast("long").alias("q_id"),
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("score").cast("double").alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 def q_soft_dedup_weights(spark, sf_dir):
     """SoftDeDup (He et al. 2024): reweight instead of drop — every
     doc kept, sampling weight = 1/cluster_size over the fuzzy near-dup
@@ -2125,6 +2154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "soft_dedup_weights": q_soft_dedup_weights,
         "ivf_sq8_topk": q_ivf_sq8_topk,
         "bm25_topk": q_bm25_topk,
+        "bm25_index_topk": q_bm25_index_topk,
         "perplexity": q_perplexity,
         "ppl_histogram": q_ppl_histogram,
         "ppl_buckets": q_ppl_buckets,
@@ -3678,6 +3708,7 @@ def oracle_sql() -> dict[str, str]:
           FROM sizes GROUP BY 1
         """,
         "bm25_topk": search.bm25_sql(BM25_QUERIES, k=10, max_df_frac=1.0),
+        "bm25_index_topk": search.bm25_sql(BM25_QUERIES, k=10, max_df_frac=1.0),
         "soft_dedup_weights": f"""
           WITH comp AS ({_dedup_components_sql()}),
           sizes AS (SELECT rep_id, count(*) AS cluster_size FROM comp GROUP BY rep_id)

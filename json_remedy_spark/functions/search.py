@@ -123,6 +123,119 @@ def bm25_topk(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def write_postings_table(
+    docs: DataFrame,
+    out_dir: str,
+    n_buckets: int = 64,
+    max_df_frac: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> int:
+    """Materialize the BM25 index AT REST — the searchable-corpus form
+    of ``bm25_topk``'s in-session postings, mirroring the LSH
+    signature table and the IVF cell layout: postings land
+    ``partitionBy(bucket)`` where ``bucket = xxhash64(term) % n``, so
+    a query's terms map to PARTITION PRUNING at the scan (a q-term
+    query touches at most q of n buckets).  Corpus stats (N, avgdl)
+    and the df table land beside them; df-capped terms are dropped at
+    WRITE time so the stopword skew never reaches disk.  Returns the
+    bucket-directory count."""
+    import os
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(_tokens(F.col(text_col))).alias("term")
+    )
+    postings = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("dl", F.sum("tf").over(Window.partitionBy("doc_id")))
+        .persist()
+    )
+    stats = (
+        postings.select("doc_id", "dl").distinct()
+        .agg(F.count("*").alias("n"), F.avg("dl").alias("avgdl")).first()
+    )
+    spark = docs.sparkSession
+    spark.createDataFrame(
+        [(int(stats["n"]), float(stats["avgdl"]))], "n long, avgdl double"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "stats"))
+
+    df_tbl = postings.groupBy("term").agg(F.count("*").alias("df")).where(
+        F.col("df") <= F.lit(float(max_df_frac)) * F.lit(float(stats["n"]))
+    )
+    df_tbl.withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "df"))
+
+    kept = postings.join(df_tbl.select("term"), "term", "left_semi").withColumn(
+        "bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int")
+    )
+    kept.repartition(F.col("bucket")).write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(os.path.join(out_dir, "postings"))
+    postings.unpersist()
+    return sum(
+        1
+        for d in os.listdir(os.path.join(out_dir, "postings"))
+        if d.startswith("bucket=")
+    )
+
+
+def bm25_topk_from_postings(
+    spark,
+    out_dir: str,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_buckets: int = 64,
+    q_id_col: str = "q_id",
+    q_text_col: str = "query",
+) -> DataFrame:
+    """Query the AT-REST postings table: query terms hash to their
+    buckets driver-side (a tiny collect — |distinct query terms|
+    values), the postings scan prunes to those bucket partitions, and
+    the scoring math is byte-identical to ``bm25_topk`` over the same
+    corpus and parameters (pytest-pinned)."""
+    import os
+
+    n_docs, avgdl = spark.read.parquet(os.path.join(out_dir, "stats")).first()
+
+    q_terms = queries.select(
+        F.col(q_id_col).alias("q_id"),
+        F.explode(F.array_distinct(_tokens(F.col(q_text_col)))).alias("term"),
+    ).withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(n_buckets)).cast("int"))
+    probed = sorted({r["bucket"] for r in q_terms.select("bucket").distinct().collect()})
+
+    df_tbl = spark.read.parquet(os.path.join(out_dir, "df")).where(
+        F.col("bucket").isin(probed)
+    )
+    q_idf = F.broadcast(q_terms.select("q_id", "term")).join(df_tbl, "term").withColumn(
+        "idf", F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    )
+
+    postings = spark.read.parquet(os.path.join(out_dir, "postings")).where(
+        F.col("bucket").isin(probed)  # -> PartitionFilters at the scan
+    )
+    hits = postings.join(
+        F.broadcast(q_idf.select("q_id", "term", "idf")), "term"
+    )
+    contrib = hits.withColumn(
+        "s",
+        F.col("idf")
+        * (F.col("tf") * (1.0 + float(k1)))
+        / (
+            F.col("tf")
+            + float(k1) * (1.0 - float(b) + float(b) * F.col("dl") / F.lit(float(avgdl)))
+        ),
+    )
+    scored = contrib.groupBy("q_id", "doc_id").agg(
+        F.round(F.sum("s"), 6).alias("score")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def bm25_sql(
     query_rows: list[tuple],
     k: int = 10,

@@ -625,6 +625,35 @@ def test_bm25_topk_ranking_and_stopword_cap(spark):
     assert bm25_topk(docs, the_q, k=4, max_df_frac=0.9).count() == 0
 
 
+def test_bm25_postings_table_matches_in_session(spark, tmp_path):
+    """The at-rest postings table (term-bucketed partitions + stats +
+    df sidecars) returns byte-identical top-k to the in-session
+    bm25_topk, and the postings scan prunes to the query-term
+    buckets."""
+    from json_remedy_spark.functions.search import (
+        bm25_topk,
+        bm25_topk_from_postings,
+        write_postings_table,
+    )
+    from json_remedy_spark.plans.explain import executed_plan
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    q = spark.createDataFrame(
+        [(0, "hash join merge"), (1, "slow vector scan")], ["q_id", "query"]
+    )
+    idx = str(tmp_path / "postings")
+    n = write_postings_table(d, idx, n_buckets=16, max_df_frac=1.0)
+    assert 2 <= n <= 16
+
+    mem = sorted(map(tuple, bm25_topk(d, q, k=5, max_df_frac=1.0).collect()))
+    stored_df = bm25_topk_from_postings(spark, idx, q, k=5, n_buckets=16)
+    stored = sorted(map(tuple, stored_df.collect()))
+    assert stored == mem and stored
+
+    plan = executed_plan(stored_df)
+    assert "PartitionFilters" in plan and "bucket" in plan.split("PartitionFilters", 1)[1][:200]
+
+
 def test_soft_dedup_weights_cluster_mass(spark):
     """SoftDeDup contract: at exponent=1 every cluster's total weight
     is exactly the hard-dedup mass (1.0), singletons keep weight 1.0,
