@@ -763,22 +763,25 @@ def soft_dedup_weights(
     exponents interpolate toward no dedup.
 
     Returns (doc_id, rep_id, cluster_size, weight).  Plan shape: the
-    component labels' shuffle plus ONE extra exchange — cluster sizes
-    come from a window count over rep_id, not a collected map, so no
-    driver state and no broadcast of an O(N)-cluster table."""
-    from pyspark.sql.window import Window
-
+    component labels' shuffle plus a rep_id-keyed size agg and
+    join-back.  Deliberately an AGG + JOIN rather than a window count:
+    the agg partially combines map-side (a 10M-doc boilerplate family
+    contributes ~one row per map partition) and AQE's skew-join can
+    split the join-back's hot rep_id — a window over rep_id would pin
+    the whole family into one task with no runtime remedy.  No driver
+    state, no broadcast of the O(#clusters) size table."""
     comp = near_dup_components(
         docs, threshold, id_col, text_col, handles=handles,
         algorithm=algorithm, hub_cap=hub_cap, n_hubs=n_hubs,
     )
-    w = Window.partitionBy("rep_id")
-    size = F.count("*").over(w).cast("long")
-    return comp.select(
+    sizes = comp.groupBy("rep_id").agg(F.count("*").cast("long").alias("cluster_size"))
+    return comp.join(sizes, "rep_id").select(
         "doc_id",
         "rep_id",
-        size.alias("cluster_size"),
-        F.round(F.pow(size.cast("double"), F.lit(-float(exponent))), 6).alias("weight"),
+        "cluster_size",
+        F.round(
+            F.pow(F.col("cluster_size").cast("double"), F.lit(-float(exponent))), 6
+        ).alias("weight"),
     )
 
 
