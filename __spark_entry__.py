@@ -274,6 +274,19 @@ def q_bm25_index_topk(spark, sf_dir):
     )
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Fixed-token training windows (the context-window primitive
+    between corpus construction and the loader): 64-token chunks at
+    stride 48 (overlapping), trailing partials kept."""
+    d = _t(spark, sf_dir, "documents")
+    return corpus.chunk_documents(d, 64, stride=48).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "chunk_id",
+        "n_tokens",
+        "text",
+    )
+
+
 def q_soft_dedup_weights(spark, sf_dir):
     """SoftDeDup (He et al. 2024): reweight instead of drop — every
     doc kept, sampling weight = 1/cluster_size over the fuzzy near-dup
@@ -2155,6 +2168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_sq8_topk": q_ivf_sq8_topk,
         "bm25_topk": q_bm25_topk,
         "bm25_index_topk": q_bm25_index_topk,
+        "chunk_documents": q_chunk_documents,
         "perplexity": q_perplexity,
         "ppl_histogram": q_ppl_histogram,
         "ppl_buckets": q_ppl_buckets,
@@ -3709,6 +3723,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bm25_topk": search.bm25_sql(BM25_QUERIES, k=10, max_df_frac=1.0),
         "bm25_index_topk": search.bm25_sql(BM25_QUERIES, k=10, max_df_frac=1.0),
+        "chunk_documents": corpus.chunk_documents_sql(64, 48),
         "soft_dedup_weights": f"""
           WITH comp AS ({_dedup_components_sql()}),
           sizes AS (SELECT rep_id, count(*) AS cluster_size FROM comp GROUP BY rep_id)

@@ -223,6 +223,77 @@ def shard_by_tokens(
     )
 
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int,
+    stride: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cut long documents into fixed-token training windows — the
+    context-window primitive between corpus construction and the
+    loader: (doc_id, chunk_id, n_tokens, text) with whitespace-token
+    windows of ``chunk_tokens``, advancing ``stride`` tokens per chunk
+    (default = chunk_tokens, disjoint; smaller = overlapping windows).
+    The trailing partial window is kept — training loaders pad or
+    pack it; dropping silently would bias against document endings.
+
+    Map-only and JVM-side end to end: one split per doc, then an
+    explode over the chunk-start sequence with slice/array_join
+    projections (builtin exprs, codegen'd — no interpreted
+    higher-order functions, no Python).  Chunk text joins with single
+    spaces, i.e. internal whitespace normalizes — same convention as
+    the shingle/token kernels.  Empty/NULL docs yield no chunks."""
+    if stride is None:
+        stride = chunk_tokens
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), words.alias("_w")
+    ).withColumn("_n", F.size("_w")).where(
+        (F.col("_n") > 0) & (F.element_at("_w", 1) != "")
+    )
+    # chunk k covers tokens [k*stride, k*stride + chunk_tokens); k runs
+    # while k*stride < n — i.e. k in [0, ceil(n/stride) - 1]
+    last = (F.ceil(F.col("_n") / F.lit(stride)) - 1).cast("int")
+    ks = base.select(
+        "doc_id", "_w", "_n",
+        F.explode(F.sequence(F.lit(0), last)).alias("chunk_id"),
+    )
+    piece = F.slice(F.col("_w"), F.col("chunk_id") * stride + 1, chunk_tokens)
+    return ks.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(piece).cast("long").alias("n_tokens"),
+        F.array_join(piece, " ").alias("text"),
+    )
+
+
+def chunk_documents_sql(chunk_tokens: int, stride: int | None = None) -> str:
+    """DuckDB replay of ``chunk_documents`` over the ``documents``
+    view: same whitespace split, window arithmetic and single-space
+    join."""
+    if stride is None:
+        stride = chunk_tokens
+    return f"""
+      WITH w AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+        FROM documents
+        WHERE text IS NOT NULL AND trim(text) != ''
+      ),
+      ks AS (
+        SELECT doc_id, ws, unnest(range(0, cast(ceil(len(ws) / {stride}.0) AS BIGINT))) AS chunk_id
+        FROM w
+      )
+      SELECT doc_id,
+             chunk_id::BIGINT AS chunk_id,
+             len(ws[chunk_id * {stride} + 1 : chunk_id * {stride} + {chunk_tokens}])::BIGINT AS n_tokens,
+             array_to_string(ws[chunk_id * {stride} + 1 : chunk_id * {stride} + {chunk_tokens}], ' ') AS text
+      FROM ks
+    """
+
+
 def write_token_shards(
     docs: DataFrame,
     out_dir: str,

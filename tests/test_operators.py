@@ -594,6 +594,32 @@ def test_ivf_sq8_quantized_index(spark, tmp_path):
     assert "codes" in after.schema.fieldNames() and after.count() == 2 * n_before
 
 
+def test_chunk_documents_windows(spark):
+    """Fixed-token windows: disjoint + overlapping strides, trailing
+    partial kept, empty/NULL docs yield nothing, reassembly covers
+    every token exactly once at stride == chunk."""
+    from json_remedy_spark.functions.corpus import chunk_documents
+
+    d = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x"), (3, None), (4, "   ")],
+        ["doc_id", "text"],
+    )
+    got = sorted(map(tuple, chunk_documents(d, 3).collect()))
+    assert got == [
+        (1, 0, 3, "a b c"), (1, 1, 3, "d e f"), (1, 2, 1, "g"), (2, 0, 1, "x"),
+    ]
+    # disjoint chunks reassemble the doc exactly
+    joined = " ".join(t for (_, _, _, t) in got[:3])
+    assert joined == "a b c d e f g"
+    # overlapping: stride 2 windows share a token with their neighbor
+    ov = sorted(map(tuple, chunk_documents(d, 3, stride=2).where("doc_id = 1").collect()))
+    assert [t for (_, _, _, t) in ov] == ["a b c", "c d e", "e f g", "g"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(d, 0)
+
+
 def test_bm25_topk_ranking_and_stopword_cap(spark):
     """Known ordering: more query-term hits rank higher, rare terms
     out-pull common ones, and terms above the df cap (stopword-grade)
