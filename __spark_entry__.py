@@ -287,6 +287,20 @@ def q_chunk_documents(spark, sf_dir):
     )
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Exact sequence packing (GPT-style loader step): the corpus
+    token stream cut into 128-token sequences, docs splitting across
+    boundaries where they fall."""
+    d = _t(spark, sf_dir, "documents")
+    return corpus.pack_sequences(d, 128).select(
+        "seq_id",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "pos_in_seq",
+        "n_tokens",
+        "text",
+    )
+
+
 def q_soft_dedup_weights(spark, sf_dir):
     """SoftDeDup (He et al. 2024): reweight instead of drop — every
     doc kept, sampling weight = 1/cluster_size over the fuzzy near-dup
@@ -2169,6 +2183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bm25_index_topk": q_bm25_index_topk,
         "chunk_documents": q_chunk_documents,
+        "pack_sequences": q_pack_sequences,
         "perplexity": q_perplexity,
         "ppl_histogram": q_ppl_histogram,
         "ppl_buckets": q_ppl_buckets,
@@ -3724,6 +3739,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": search.bm25_sql(BM25_QUERIES, k=10, max_df_frac=1.0),
         "bm25_index_topk": search.bm25_sql(BM25_QUERIES, k=10, max_df_frac=1.0),
         "chunk_documents": corpus.chunk_documents_sql(64, 48),
+        "pack_sequences": corpus.pack_sequences_sql(128),
         "soft_dedup_weights": f"""
           WITH comp AS ({_dedup_components_sql()}),
           sizes AS (SELECT rep_id, count(*) AS cluster_size FROM comp GROUP BY rep_id)

@@ -294,6 +294,110 @@ def chunk_documents_sql(chunk_tokens: int, stride: int | None = None) -> str:
     """
 
 
+def pack_sequences(
+    docs: DataFrame,
+    seq_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_width: int = 1 << 20,
+) -> DataFrame:
+    """Exact sequence packing — the loader-side step after corpus
+    construction: the corpus's token stream (docs concatenated in
+    doc_id order) is cut into sequences of EXACTLY ``seq_tokens``
+    whitespace tokens, documents splitting across boundaries where
+    they fall (GPT-style packing; the loader inserts its own
+    separator/EOS when concatenating a sequence's pieces).
+
+    Returns (seq_id, doc_id, pos_in_seq, n_tokens, text): every
+    sequence's pieces, ordered by ``pos_in_seq``, reassemble to
+    exactly ``seq_tokens`` tokens (the final sequence may be short).
+
+    Plan: the same two-phase bucketed prefix sum as
+    ``shard_by_tokens`` (no global sort task), then each doc explodes
+    into only the sequences it SPANS (ceil(n/seq)+1 pieces worst
+    case) with slice/array_join projections — map-only after the
+    prefix sum, no Python."""
+    if seq_tokens <= 0:
+        raise ValueError("seq_tokens must be positive")
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"), words.alias("_w")
+    ).withColumn("_n", F.size("_w").cast("long")).where(
+        (F.col("_n") > 0) & (F.element_at("_w", 1) != "")
+    ).withColumn("bucket", (F.col("doc_id") / bucket_width).cast("long"))
+
+    within = base.withColumn(
+        "_cum",
+        F.sum("_n").over(Window.partitionBy("bucket").orderBy("doc_id")),
+    )
+    bucket_sums = base.groupBy("bucket").agg(F.sum("_n").alias("_bt"))
+    offsets = bucket_sums.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_bt").over(
+                Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    ).select("bucket", "_off")
+    placed = (
+        within.join(F.broadcast(offsets), "bucket")
+        .withColumn("_start", F.col("_off") + F.col("_cum") - F.col("_n"))
+    )
+    seq = F.lit(int(seq_tokens))
+    spanned = placed.select(
+        "doc_id", "_w", "_n", "_start",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("_start") / seq),
+                F.floor((F.col("_start") + F.col("_n") - 1) / seq),
+            )
+        ).alias("seq_id"),
+    )
+    a = F.greatest(F.col("seq_id") * seq, F.col("_start")) - F.col("_start")
+    b = F.least((F.col("seq_id") + 1) * seq, F.col("_start") + F.col("_n")) - F.col("_start")
+    piece = F.slice(F.col("_w"), (a + 1).cast("int"), (b - a).cast("int"))
+    return spanned.select(
+        F.col("seq_id").cast("long").alias("seq_id"),
+        "doc_id",
+        (F.greatest(F.col("seq_id") * seq, F.col("_start")) - F.col("seq_id") * seq)
+        .cast("long").alias("pos_in_seq"),
+        (b - a).cast("long").alias("n_tokens"),
+        F.array_join(piece, " ").alias("text"),
+    )
+
+
+def pack_sequences_sql(seq_tokens: int) -> str:
+    """DuckDB replay of ``pack_sequences`` over the ``documents``
+    view: a single window prefix sum stands in for the engine's
+    two-phase bucketed form (same values by construction), then the
+    same span/slice arithmetic."""
+    s = int(seq_tokens)
+    return f"""
+      WITH w AS (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+        FROM documents
+        WHERE text IS NOT NULL AND trim(text) != ''
+      ),
+      placed AS (
+        SELECT doc_id, ws, len(ws)::BIGINT AS n,
+               (sum(len(ws)) OVER (ORDER BY doc_id) - len(ws))::BIGINT AS start
+        FROM w
+      ),
+      spanned AS (
+        SELECT doc_id, ws, n, start,
+               unnest(range(start // {s}, (start + n - 1) // {s} + 1)) AS seq_id
+        FROM placed
+      )
+      SELECT seq_id::BIGINT AS seq_id, doc_id,
+             (greatest(seq_id * {s}, start) - seq_id * {s})::BIGINT AS pos_in_seq,
+             (least((seq_id + 1) * {s}, start + n) - greatest(seq_id * {s}, start))::BIGINT AS n_tokens,
+             array_to_string(ws[(greatest(seq_id * {s}, start) - start + 1) :
+                               (least((seq_id + 1) * {s}, start + n) - start)], ' ') AS text
+      FROM spanned
+    """
+
+
 def write_token_shards(
     docs: DataFrame,
     out_dir: str,

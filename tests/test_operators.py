@@ -620,6 +620,44 @@ def test_chunk_documents_windows(spark):
         chunk_documents(d, 0)
 
 
+def test_pack_sequences_exact_boundaries(spark):
+    """Sequence packing: every sequence except possibly the last has
+    exactly seq_tokens tokens, docs split across boundaries, pieces
+    per doc reassemble the doc, empty/NULL docs contribute nothing."""
+    from collections import defaultdict
+
+    from json_remedy_spark.functions.corpus import pack_sequences
+
+    d = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "f g"), (3, None), (4, "h i j k l m n o"), (5, "p")],
+        ["doc_id", "text"],
+    )
+    got = sorted(map(tuple, pack_sequences(d, 4).collect()))
+    totals = defaultdict(int)
+    for sid, _, _, n, _ in got:
+        totals[sid] += n
+    sids = sorted(totals)
+    assert all(totals[s] == 4 for s in sids[:-1]) and totals[sids[-1]] <= 4
+    # doc 4 spans three sequences and reassembles in (seq, pos) order
+    d4 = [t for t in got if t[1] == 4]
+    assert len(d4) == 3
+    assert " ".join(x[4] for x in sorted(d4)) == "h i j k l m n o"
+    # pos_in_seq is consistent: pieces within a sequence tile it
+    by_seq = defaultdict(list)
+    for sid, _, pos, n, _ in got:
+        by_seq[sid].append((pos, n))
+    for sid, pieces in by_seq.items():
+        pieces.sort()
+        cur = 0
+        for pos, n in pieces:
+            assert pos == cur
+            cur += n
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pack_sequences(d, 0)
+
+
 def test_bm25_topk_ranking_and_stopword_cap(spark):
     """Known ordering: more query-term hits rank higher, rare terms
     out-pull common ones, and terms above the df cap (stopword-grade)
