@@ -205,6 +205,16 @@ def build_parser() -> argparse.ArgumentParser:
         help="write the output as contiguous ~N-token parquet shards "
         "(partitionBy shard) instead of one flat table",
     )
+    ap.add_argument(
+        "--pack-sequences",
+        type=int,
+        default=0,
+        metavar="N",
+        help="write the output as exact N-token packed sequences "
+        "(pack_sequences: the token stream cut at exact boundaries, "
+        "docs splitting across sequences; rows ordered by (seq_id, "
+        "pos_in_seq)) instead of one flat table",
+    )
     return ap
 
 
@@ -541,6 +551,13 @@ def run(spark, args) -> str:
         from json_remedy_spark.functions.corpus import write_token_shards
 
         write_token_shards(out_cols, args.output, args.shard_tokens)
+    elif args.pack_sequences:
+        # loader export 2: exact fixed-length packed sequences
+        from json_remedy_spark.functions.corpus import pack_sequences
+
+        pack_sequences(out_cols, args.pack_sequences).sortWithinPartitions(
+            "seq_id", "pos_in_seq"
+        ).write.mode("overwrite").parquet(args.output)
     else:
         write_table(out_cols.drop("doc_id"), args.output, mode="overwrite")
     # side artifact: train the next crawl's perplexity model on the
