@@ -658,6 +658,63 @@ def test_pack_sequences_exact_boundaries(spark):
         pack_sequences(d, 0)
 
 
+def test_chunk_pack_randomized_invariants(spark):
+    """Seeded random corpus, structural invariants for the loader
+    primitives across parameter combos:
+      - chunking at stride==chunk conserves and reassembles tokens;
+      - overlapping chunks each start stride tokens apart;
+      - packing conserves total tokens, tiles every sequence, and
+        reassembles every doc."""
+    import random
+
+    from json_remedy_spark.functions.corpus import chunk_documents, pack_sequences
+
+    rng = random.Random(7)
+    rows = [
+        (i, " ".join(f"w{rng.randrange(50)}" for _ in range(rng.randrange(1, 40))))
+        for i in range(30)
+    ] + [(98, None), (99, "")]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    n_tokens = {i: len(t.split()) for i, t in rows[:30]}
+
+    for chunk, stride in [(5, 5), (7, 3), (1, 1), (64, 64)]:
+        got = chunk_documents(d, chunk, stride=stride).collect()
+        per_doc = {}
+        for r in got:
+            per_doc.setdefault(r["doc_id"], []).append(r)
+        assert set(per_doc) == set(n_tokens)
+        for did, chunks in per_doc.items():
+            chunks.sort(key=lambda r: r["chunk_id"])
+            n = n_tokens[did]
+            assert len(chunks) == -(-n // stride)  # ceil
+            for j, c in enumerate(chunks):
+                start = j * stride
+                assert c["n_tokens"] == min(chunk, n - start)
+                assert c["n_tokens"] == len(c["text"].split())
+            if stride == chunk:  # disjoint: exact reassembly
+                joined = " ".join(c["text"] for c in chunks)
+                assert joined == dict(rows[:30])[did]
+
+    for seq in (4, 17, 1000):
+        got = pack_sequences(d, seq).collect()
+        assert sum(r["n_tokens"] for r in got) == sum(n_tokens.values())
+        by_seq = {}
+        for r in got:
+            by_seq.setdefault(r["seq_id"], []).append((r["pos_in_seq"], r["n_tokens"]))
+        sids = sorted(by_seq)
+        for sid in sids:
+            cur = 0
+            for pos, n in sorted(by_seq[sid]):
+                assert pos == cur
+                cur += n
+            assert cur == seq or sid == sids[-1]
+        per_doc = {}
+        for r in got:
+            per_doc.setdefault(r["doc_id"], []).append((r["seq_id"], r["pos_in_seq"], r["text"]))
+        for did, pieces in per_doc.items():
+            assert " ".join(t for (_, _, t) in sorted(pieces)) == dict(rows[:30])[did]
+
+
 def test_bm25_topk_ranking_and_stopword_cap(spark):
     """Known ordering: more query-term hits rank higher, rare terms
     out-pull common ones, and terms above the df cap (stopword-grade)
