@@ -301,6 +301,78 @@ def q_pack_sequences(spark, sf_dir):
     )
 
 
+_QC_TRAINED_MODEL = os.path.join(tempfile.gettempdir(), "jrs_qc_trained.parquet")
+
+
+def _qc_teacher_labeled(spark, sf_dir):
+    """Teacher labels for classifier distillation: the SQL-expressible
+    keep rule (en + heuristic quality) plays the expensive teacher,
+    the hashed-bigram head is the fast student — the DCLM bootstrap."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        F.col("doc_id"),
+        F.when(
+            (langid.detect_language(t) == "en") & quality.passes_quality(t), "hi"
+        ).otherwise("lo").alias("label"),
+        t.alias("text"),
+    )
+
+
+def q_qc_train(spark, sf_dir):
+    """IN-ENGINE quality-classifier training (third model family after
+    the trigram LM and BPE: the full train -> export -> score loop
+    lives in the engine): smoothed per-class NB log-prob weights over
+    the scorer's own hashed char bigrams, integer-quantized into the
+    export_ft_model format.  One vocabulary-bounded aggregation —
+    the corpus never shuffles.  Closed-form oracle: DuckDB recomputes
+    teacher labels, bigram bucket counts, smoothing, log and rounding."""
+    from json_remedy_spark.functions.classifier import train_quality_classifier
+
+    labeled = _qc_teacher_labeled(spark, sf_dir)
+    return train_quality_classifier(labeled).select(
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("lang"),
+        F.col("weight"),
+    )
+
+
+def q_qc_trained_scores(spark, sf_dir):
+    """The trained head scoring the corpus it was distilled on — the
+    complete loop as ONE driver query: train (q_qc_train's math),
+    export the integer weight table, ship it via SparkFiles, score
+    with the production ``quality_classifier`` path.  Fully
+    closed-form oracle: DuckDB re-derives the weights AND the scores."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from json_remedy_spark.functions.classifier import (
+        quality_classifier,
+        train_quality_classifier,
+    )
+
+    labeled = _qc_teacher_labeled(spark, sf_dir)
+    rows = train_quality_classifier(labeled).collect()  # classes x 256
+    pq.write_table(
+        pa.table(
+            {
+                "bucket": [r["bucket"] for r in rows],
+                "lang": [r["lang"] for r in rows],
+                "weight": [r["weight"] for r in rows],
+            }
+        ),
+        _QC_TRAINED_MODEL,
+    )
+    d = _t(spark, sf_dir, "documents")
+    return quality_classifier(d, model_path=_QC_TRAINED_MODEL).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "s_hi",
+        "s_lo",
+        "margin",
+        "quality_label",
+    )
+
+
 def q_soft_dedup_weights(spark, sf_dir):
     """SoftDeDup (He et al. 2024): reweight instead of drop — every
     doc kept, sampling weight = 1/cluster_size over the fuzzy near-dup
@@ -2184,6 +2256,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_index_topk": q_bm25_index_topk,
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
+        "qc_train": q_qc_train,
+        "qc_trained_scores": q_qc_trained_scores,
         "perplexity": q_perplexity,
         "ppl_histogram": q_ppl_histogram,
         "ppl_buckets": q_ppl_buckets,
@@ -2515,6 +2589,43 @@ def _ivf_sq8_export_sql(path: str) -> str:
       SELECT q_id::BIGINT AS q_id, vec_id::BIGINT AS vec_id, cos::DOUBLE AS cos,
              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id)::BIGINT AS rank
       FROM scored
+    """
+
+
+def _qc_train_ctes(lang_expr: str, passes: str) -> str:
+    """Shared CTE block re-deriving the trained classifier weights
+    from scratch: teacher labels (the keep rule), bigram bucket
+    counts, NB smoothing (alpha=1), log and integer quantization —
+    the exact math of ``classifier.train_quality_classifier``."""
+    from json_remedy_spark.functions.langid import FT_BUCKETS as _B
+
+    bucket = _hex_to_int("md5(bigram)", 1, 8)
+    return f"""
+      labels AS (
+        SELECT doc_id,
+               CASE WHEN ({lang_expr}) = 'en' AND {passes} THEN 'hi' ELSE 'lo' END AS y
+        FROM documents
+      ),
+      lt AS (SELECT doc_id, lower(text) AS t FROM documents),
+      bg AS (
+        SELECT doc_id, substr(t, x.i, 2) AS bigram
+        FROM lt, LATERAL (SELECT unnest(range(1, len(t))) AS i) x
+      ),
+      bb AS (SELECT doc_id, ({bucket} % {_B}) AS bucket FROM bg),
+      cnt AS (
+        SELECT l.y, bb.bucket, count(*) AS c
+        FROM bb JOIN labels l USING (doc_id) GROUP BY 1, 2
+      ),
+      tot AS (SELECT y, sum(c) AS t FROM cnt GROUP BY y),
+      grid AS (
+        SELECT tot.y, tot.t, g.bucket
+        FROM tot CROSS JOIN (SELECT unnest(range({_B})) AS bucket) g
+      ),
+      w AS (
+        SELECT grid.y, grid.bucket,
+               round(1000.0 * ln((coalesce(cnt.c, 0) + 1.0) / (grid.t + {_B}.0)))::BIGINT AS weight
+        FROM grid LEFT JOIN cnt ON cnt.y = grid.y AND cnt.bucket = grid.bucket
+      )
     """
 
 
@@ -3739,6 +3850,27 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": search.bm25_sql(BM25_QUERIES, k=10, max_df_frac=1.0),
         "bm25_index_topk": search.bm25_sql(BM25_QUERIES, k=10, max_df_frac=1.0),
         "chunk_documents": corpus.chunk_documents_sql(64, 48),
+        "qc_train": f"""
+          WITH {_qc_train_ctes(lang_expr, qsql['passes'])}
+          SELECT bucket::BIGINT AS bucket, y AS lang, weight FROM w
+        """,
+        "qc_trained_scores": f"""
+          WITH {_qc_train_ctes(lang_expr, qsql['passes'])},
+          s AS (
+            SELECT bb.doc_id,
+                   sum(CASE WHEN w.y = 'hi' THEN w.weight ELSE 0 END) AS s_hi,
+                   sum(CASE WHEN w.y = 'lo' THEN w.weight ELSE 0 END) AS s_lo
+            FROM bb JOIN w ON w.bucket = bb.bucket
+            GROUP BY bb.doc_id
+          )
+          SELECT d.doc_id::BIGINT AS doc_id,
+                 coalesce(s.s_hi, 0)::BIGINT AS s_hi,
+                 coalesce(s.s_lo, 0)::BIGINT AS s_lo,
+                 (coalesce(s.s_hi, 0) - coalesce(s.s_lo, 0))::BIGINT AS margin,
+                 CASE WHEN coalesce(s.s_hi, 0) - coalesce(s.s_lo, 0) > 0
+                      THEN 'high' ELSE 'low' END AS quality_label
+          FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id
+        """,
         "pack_sequences": corpus.pack_sequences_sql(128),
         "soft_dedup_weights": f"""
           WITH comp AS ({_dedup_components_sql()}),

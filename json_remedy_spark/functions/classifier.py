@@ -81,6 +81,83 @@ def qc_weights_values_sql() -> str:
     return ", ".join(f"({b}, {ws[0]}, {ws[1]})" for b, ws in rows)
 
 
+def train_quality_classifier(
+    labeled: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    alpha: float = 1.0,
+    scale: float = 1000.0,
+) -> DataFrame:
+    """Train the quality head IN-ENGINE — the DCLM bootstrap pattern
+    (cheap teacher labels a sample, the fast hashed-bigram student
+    scores the crawl): per-class smoothed naive-Bayes log-probability
+    weights over the SAME hashed char-bigram features the scorer uses,
+
+        w[b, c] = round(scale * ln((cnt[b,c] + alpha) /
+                                   (tot[c] + FT_BUCKETS * alpha)))
+
+    quantized to integers so the trained table drops STRAIGHT into the
+    existing bit-exact integer scorer (``quality_classifier`` via the
+    ``export_ft_model`` parquet format — (bucket, lang, weight) long
+    form; class margin = scale x the doc log-likelihood ratio, class
+    priors omitted as a constant shift a threshold sweep absorbs).
+
+    Scale shape (the trigram-LM story again): ONE vocabulary-bounded
+    aggregation — each Arrow batch emits per-class bucket-count
+    partials (<= classes x FT_BUCKETS rows), the corpus itself never
+    shuffles, and the driver sees nothing (the weight grid is a
+    classes x FT_BUCKETS DataFrame).  Counting reuses the scoring
+    kernel with an identity weight table, so train and score cannot
+    disagree on tokenization, hashing, or collisions."""
+    import numpy as np
+
+    src = labeled.select(
+        F.lower(F.col(text_col)).alias("t"), F.col(label_col).alias("y")
+    )
+
+    def gen(batches):
+        eye = np.eye(FT_BUCKETS, dtype=np.int64)
+        for pdf in batches:
+            texts = pdf["t"].fillna("").tolist()
+            counts = score_hashed_bigrams(texts, eye)  # (n_texts, B) occurrence counts
+            ys = pdf["y"].to_numpy()
+            out = {"y": [], "bucket": [], "cnt": []}
+            for cls in pd.unique(pdf["y"]):
+                m = counts[ys == cls].sum(axis=0)
+                nz = np.nonzero(m)[0]
+                out["y"].extend([cls] * len(nz))
+                out["bucket"].extend(nz.tolist())
+                out["cnt"].extend(m[nz].tolist())
+            yield pd.DataFrame(out)
+
+    partials = src.mapInPandas(gen, schema="y string, bucket int, cnt long")
+    counts = partials.groupBy("y", "bucket").agg(F.sum("cnt").alias("cnt"))
+    totals = counts.groupBy("y").agg(F.sum("cnt").alias("tot"))
+
+    spark = labeled.sparkSession
+    grid = spark.range(FT_BUCKETS).select(
+        F.col("id").cast("int").alias("bucket")
+    ).crossJoin(totals)  # classes x buckets, with tot attached
+    full = grid.join(counts, ["y", "bucket"], "left").select(
+        "y",
+        "bucket",
+        F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+        "tot",
+    )
+    return full.select(
+        F.col("bucket"),
+        F.col("y").alias("lang"),
+        F.round(
+            F.lit(float(scale))
+            * F.log(
+                (F.col("cnt") + F.lit(float(alpha)))
+                / (F.col("tot") + F.lit(float(alpha) * FT_BUCKETS))
+            ),
+            0,
+        ).cast("long").alias("weight"),
+    )
+
+
 def quality_classifier(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -594,6 +594,51 @@ def test_ivf_sq8_quantized_index(spark, tmp_path):
     assert "codes" in after.schema.fieldNames() and after.count() == 2 * n_before
 
 
+def test_train_quality_classifier_learns_separation(spark, tmp_path):
+    """In-engine NB training: weights trained on a labeled corpus make
+    the production scorer separate held-out docs of the same
+    distributions; the artifact round-trips through the ft_model
+    format; the weight grid is complete (classes x FT_BUCKETS)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from json_remedy_spark.functions.classifier import (
+        quality_classifier,
+        train_quality_classifier,
+    )
+    from json_remedy_spark.functions.langid import FT_BUCKETS
+
+    hi = "the study presents evidence and analysis of the method with results "
+    lo = "click here to buy cheap offer win free bonus deal subscribe now "
+    rows = [(i, "hi", hi * 3 + f"topic{i} ") for i in range(12)] + [
+        (100 + i, "lo", lo * 3 + f"promo{i} ") for i in range(12)
+    ]
+    labeled = spark.createDataFrame(rows, ["doc_id", "label", "text"])
+    w = train_quality_classifier(labeled)
+    got = w.collect()
+    assert len(got) == 2 * FT_BUCKETS
+    assert all(r["weight"] < 0 for r in got)  # log-probs, quantized
+
+    model = str(tmp_path / "qc.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "bucket": [r["bucket"] for r in got],
+                "lang": [r["lang"] for r in got],
+                "weight": [r["weight"] for r in got],
+            }
+        ),
+        model,
+    )
+    held = spark.createDataFrame(
+        [(1, hi + "fresh words about the research method"), (2, lo + "grab the deal now")],
+        ["doc_id", "text"],
+    )
+    scored = {r["doc_id"]: r for r in quality_classifier(held, model_path=model).collect()}
+    assert scored[1]["quality_label"] == "high" and scored[1]["margin"] > 0
+    assert scored[2]["quality_label"] == "low" and scored[2]["margin"] < 0
+
+
 def test_chunk_documents_windows(spark):
     """Fixed-token windows: disjoint + overlapping strides, trailing
     partial kept, empty/NULL docs yield nothing, reassembly covers
