@@ -191,6 +191,17 @@ def build_parser() -> argparse.ArgumentParser:
     )
     ap.add_argument("--bpe-merges", type=int, default=200)
     ap.add_argument(
+        "--train-qc-out",
+        default=None,
+        help="after the final corpus is fixed, distill the heuristic "
+        "keep rule into the hashed-bigram quality classifier "
+        "(in-engine NB training over the SURVIVING corpus as 'hi' vs "
+        "the docs the rules dropped as 'lo') and export the integer "
+        "weight table — directly loadable by "
+        "quality_classifier(model_path=...) to score the next crawl "
+        "(the DCLM bootstrap loop)",
+    )
+    ap.add_argument(
         "--mixture",
         default=None,
         help="source-mixture resampling before packing: "
@@ -585,6 +596,20 @@ def run(spark, args) -> str:
             [(i, a, b) for i, (a, b) in enumerate(merges)],
             "rank long, a string, b string",
         ).write.mode("overwrite").parquet(args.train_bpe_out)
+    # side artifact: distill the rule chain into the fast hashed-bigram
+    # classifier (DCLM bootstrap: survivors are the positive class, the
+    # docs this very run dropped are the negatives)
+    if args.train_qc_out:
+        from json_remedy_spark.functions.classifier import train_quality_classifier
+
+        raw = read_table(spark, args.input).select("url", "text")
+        dropped = raw.join(out_cols.select("url"), "url", "left_anti")
+        labeled = out_cols.select(F.lit("hi").alias("label"), "text").unionByName(
+            dropped.select(F.lit("lo").alias("label"), "text")
+        )
+        train_quality_classifier(labeled).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(args.train_qc_out)
     n_out = out_cols.count()
     for h in job_handles:
         h.unpersist()
