@@ -607,7 +607,7 @@ def run(spark, args) -> str:
         labeled = out_cols.select(F.lit("hi").alias("label"), "text").unionByName(
             dropped.select(F.lit("lo").alias("label"), "text")
         )
-        train_quality_classifier(labeled).coalesce(1).write.mode(
+        train_quality_classifier(labeled, handles=job_handles).coalesce(1).write.mode(
             "overwrite"
         ).parquet(args.train_qc_out)
     n_out = out_cols.count()

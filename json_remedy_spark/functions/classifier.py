@@ -87,6 +87,7 @@ def train_quality_classifier(
     text_col: str = "text",
     alpha: float = 1.0,
     scale: float = 1000.0,
+    handles: list | None = None,
 ) -> DataFrame:
     """Train the quality head IN-ENGINE — the DCLM bootstrap pattern
     (cheap teacher labels a sample, the fast hashed-bigram student
@@ -131,7 +132,11 @@ def train_quality_classifier(
             yield pd.DataFrame(out)
 
     partials = src.mapInPandas(gen, schema="y string, bucket int, cnt long")
-    counts = partials.groupBy("y", "bucket").agg(F.sum("cnt").alias("cnt"))
+    # persist the (<= classes x 256)-row aggregate: totals AND the grid
+    # join both read it — without this the corpus is counted twice
+    counts = partials.groupBy("y", "bucket").agg(F.sum("cnt").alias("cnt")).persist()
+    if handles is not None:
+        handles.append(counts)
     totals = counts.groupBy("y").agg(F.sum("cnt").alias("tot"))
 
     spark = labeled.sparkSession
