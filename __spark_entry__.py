@@ -373,6 +373,27 @@ def q_qc_trained_scores(spark, sf_dir):
     )
 
 
+def q_bpe_encode(spark, sf_dir):
+    """Tokenizer APPLICATION (learn -> encode -> pack now closes on
+    ids): every document encoded to (doc_id, pos, token_id) with the
+    in-engine-learned merges and the deterministic train-time vocab
+    (sorted alphabet, then merge products by rank; unk=0).  Oracle:
+    DuckDB re-derives the vocabulary AND replays the greedy merges per
+    word via the double-space replace CTE, then re-enumerates tokens."""
+    from json_remedy_spark.functions.bpe import (
+        bpe_encode,
+        bpe_vocab,
+        corpus_alphabet,
+    )
+
+    merges, _ = _bpe_learned(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    vocab = bpe_vocab(merges, corpus_alphabet(d))
+    return bpe_encode(d, merges, vocab).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "pos", "token_id"
+    )
+
+
 def q_soft_dedup_weights(spark, sf_dir):
     """SoftDeDup (He et al. 2024): reweight instead of drop — every
     doc kept, sampling weight = 1/cluster_size over the fuzzy near-dup
@@ -2258,6 +2279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "qc_train": q_qc_train,
         "qc_trained_scores": q_qc_trained_scores,
+        "bpe_encode": q_bpe_encode,
         "perplexity": q_perplexity,
         "ppl_histogram": q_ppl_histogram,
         "ppl_buckets": q_ppl_buckets,
@@ -2925,6 +2947,52 @@ def _bpe_merges_sql() -> str:
         SELECT r, a, b,
                row_number() OVER (PARTITION BY r ORDER BY cnt DESC, a, b) AS rn
         FROM counts) WHERE rn = 1 ORDER BY rank
+    """
+
+
+def _bpe_encode_sql() -> str:
+    """Full encode replay: the seg CTE's final segmentation per word,
+    the deterministic vocab (sorted alphabet then merge products by
+    rank, duplicates keep the first id), then per-doc token
+    re-enumeration in (word, token) order."""
+    return f"""
+      WITH RECURSIVE {_BPE_WF}, {_BPE_SEG},
+      fin AS (SELECT word, string_split(trim(s), '  ') AS toks
+              FROM seg WHERE r = (SELECT count(*) FROM m)),
+      chars AS (
+        SELECT DISTINCT word[x.i] AS tok
+        FROM wf, LATERAL (SELECT unnest(range(1, len(word) + 1)) AS i) x
+      ),
+      cand AS (
+        SELECT tok, 0 AS cls, tok AS k1, 0::BIGINT AS k2 FROM chars
+        UNION ALL
+        SELECT a || b, 1, '', rank FROM m
+      ),
+      dd AS (
+        SELECT tok, cls, k1, k2,
+               row_number() OVER (PARTITION BY tok ORDER BY cls, k2) AS rn
+        FROM cand
+      ),
+      vocab AS (
+        SELECT tok, row_number() OVER (ORDER BY cls, k1, k2) AS id
+        FROM dd WHERE rn = 1
+      ),
+      dwords AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word,
+               unnest(range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) + 1)) AS w_ord
+        FROM documents
+      ),
+      tok_rows AS (
+        SELECT d.doc_id, d.w_ord, y.i AS t_ord, f.toks[y.i] AS tok
+        FROM dwords d
+        JOIN fin f ON f.word = d.word,
+             LATERAL (SELECT unnest(range(1, len(f.toks) + 1)) AS i) y
+      )
+      SELECT t.doc_id,
+             (row_number() OVER (PARTITION BY t.doc_id ORDER BY t.w_ord, t.t_ord) - 1)::BIGINT AS pos,
+             v.id::BIGINT AS token_id
+      FROM tok_rows t JOIN vocab v ON v.tok = t.tok
     """
 
 
@@ -3887,6 +3955,7 @@ def oracle_sql() -> dict[str, str]:
         "bpe_pair_counts": _bpe_pair_counts_sql(),
         "bpe_merges": _bpe_merges_sql(),
         "bpe_tokens": _bpe_tokens_sql(),
+        "bpe_encode": _bpe_encode_sql(),
         "contamination_overlap": f"""
           WITH sh AS ({_SHINGLES}),
           ev AS (SELECT doc_id FROM documents WHERE source = 'src0'),

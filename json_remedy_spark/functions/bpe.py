@@ -143,6 +143,83 @@ def pair_counts(
     return part.groupBy("a", "b").agg(F.sum("freq").alias("cnt"))
 
 
+def bpe_vocab(merges: list[tuple[str, str]], alphabet) -> dict[str, int]:
+    """Deterministic token-id table for a learned merge set: ids 1..K
+    for the sorted base alphabet, then merge products in rank order
+    (duplicates keep their first id — two merge paths can produce the
+    same string).  Id 0 is reserved for unknown tokens (characters
+    outside the training alphabet at encode time)."""
+    vocab: dict[str, int] = {}
+    for ch in sorted(alphabet):
+        vocab.setdefault(ch, len(vocab) + 1)
+    for a, b in merges:
+        vocab.setdefault(a + b, len(vocab) + 1)
+    return vocab
+
+
+def corpus_alphabet(docs: DataFrame, text_col: str = "text") -> list[str]:
+    """Distinct characters of the word stream — the base-token
+    alphabet captured at train time.  Bounded driver collect: the word
+    regex class admits at most 36 symbols."""
+    rows = (
+        docs.select(
+            F.explode(
+                F.expr(f"regexp_extract_all(lower({text_col}), '{_WORD_RE}', 0)")
+            ).alias("w")
+        )
+        .select(F.explode(F.expr("split(w, '')")).alias("c"))
+        .where("c != ''")
+        .distinct()
+        .collect()
+    )
+    return sorted(r["c"] for r in rows)
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer APPLICATION — the loader-facing step that completes
+    the learn -> encode -> pack loop: ``(doc_id, pos, token_id)`` with
+    ``pos`` the doc-level token index and ids from ``bpe_vocab``
+    (unknown base characters map to 0).  Zero-shuffle Arrow kernel
+    with the encoder's per-batch word memo; at 100 TB this is the
+    map-only pass whose output feeds ``pack_sequences`` on ids."""
+    import pandas as pd
+
+    ms = list(merges)
+    vb = dict(vocab)
+    src = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("t"))
+    id_type = src.schema["doc_id"].dataType.simpleString()
+
+    def gen(batches):
+        memo: dict[str, list] = {}
+
+        def ids(w: str) -> list:
+            if w not in memo:
+                memo[w] = [vb.get(tok, 0) for tok in apply_merges(w, ms)]
+            return memo[w]
+
+        for pdf in batches:
+            d_out, p_out, t_out = [], [], []
+            for did, t in zip(pdf["doc_id"], pdf["t"].fillna("")):
+                pos = 0
+                for w in _WORD_CRE.findall(t.lower()):
+                    for tid in ids(w):
+                        d_out.append(did)
+                        p_out.append(pos)
+                        t_out.append(tid)
+                        pos += 1
+            yield pd.DataFrame({"doc_id": d_out, "pos": p_out, "token_id": t_out})
+
+    return src.mapInPandas(
+        gen, schema=f"doc_id {id_type}, pos long, token_id long"
+    )
+
+
 def bpe_token_counts(
     docs: DataFrame,
     merges: list[tuple[str, str]],
