@@ -394,6 +394,29 @@ def q_bpe_encode(spark, sf_dir):
     )
 
 
+def q_pack_token_ids(spark, sf_dir):
+    """The loader loop end to end ON IDS: in-engine-learned merges ->
+    corpus encode -> exact 128-id sequence packing.  Oracle composes
+    the bpe_encode replay as a CTE with the prefix-sum placement."""
+    from json_remedy_spark.functions.bpe import (
+        bpe_encode,
+        bpe_vocab,
+        corpus_alphabet,
+    )
+    from json_remedy_spark.functions.corpus import pack_token_ids
+
+    merges, _ = _bpe_learned(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    vocab = bpe_vocab(merges, corpus_alphabet(d))
+    enc = bpe_encode(d, merges, vocab)
+    return pack_token_ids(enc, 128).select(
+        "seq_id",
+        "pos_in_seq",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "token_id",
+    )
+
+
 def q_soft_dedup_weights(spark, sf_dir):
     """SoftDeDup (He et al. 2024): reweight instead of drop — every
     doc kept, sampling weight = 1/cluster_size over the fuzzy near-dup
@@ -2280,6 +2303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qc_train": q_qc_train,
         "qc_trained_scores": q_qc_trained_scores,
         "bpe_encode": q_bpe_encode,
+        "pack_token_ids": q_pack_token_ids,
         "perplexity": q_perplexity,
         "ppl_histogram": q_ppl_histogram,
         "ppl_buckets": q_ppl_buckets,
@@ -3956,6 +3980,10 @@ def oracle_sql() -> dict[str, str]:
         "bpe_merges": _bpe_merges_sql(),
         "bpe_tokens": _bpe_tokens_sql(),
         "bpe_encode": _bpe_encode_sql(),
+        "pack_token_ids": f"""
+          WITH enc AS ({_bpe_encode_sql()}),
+          {corpus.pack_token_ids_sql("enc", 128)}
+        """,
         "contamination_overlap": f"""
           WITH sh AS ({_SHINGLES}),
           ev AS (SELECT doc_id FROM documents WHERE source = 'src0'),

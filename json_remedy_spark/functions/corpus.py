@@ -398,6 +398,74 @@ def pack_sequences_sql(seq_tokens: int) -> str:
     """
 
 
+def pack_token_ids(
+    encoded: DataFrame,
+    seq_tokens: int,
+    bucket_width: int = 1 << 20,
+) -> DataFrame:
+    """``pack_sequences`` for an ALREADY-ENCODED corpus: input is the
+    ``bpe_encode`` long form (doc_id, pos, token_id); output assigns
+    every token to its training sequence — (seq_id, pos_in_seq,
+    doc_id, token_id), sequences of exactly ``seq_tokens`` ids in
+    (doc_id, pos) stream order.  The per-doc counts ride the same
+    two-phase bucketed prefix sum (no global sort task); the token
+    rows themselves then map to (start + pos) div/mod N — pure
+    projection, the heavy table never shuffles beyond its join back
+    to the broadcast per-bucket offsets."""
+    if seq_tokens <= 0:
+        raise ValueError("seq_tokens must be positive")
+    counts = encoded.groupBy("doc_id").agg(F.count("*").alias("_n")).withColumn(
+        "bucket", (F.col("doc_id") / bucket_width).cast("long")
+    )
+    within = counts.withColumn(
+        "_cum", F.sum("_n").over(Window.partitionBy("bucket").orderBy("doc_id"))
+    )
+    offsets = (
+        counts.groupBy("bucket").agg(F.sum("_n").alias("_bt"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_bt").over(
+                    Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bucket", "_off")
+    )
+    starts = within.join(F.broadcast(offsets), "bucket").select(
+        "doc_id", (F.col("_off") + F.col("_cum") - F.col("_n")).alias("_start")
+    )
+    seq = F.lit(int(seq_tokens))
+    g = F.col("_start") + F.col("pos")
+    return encoded.join(starts, "doc_id").select(
+        F.floor(g / seq).cast("long").alias("seq_id"),
+        F.pmod(g, seq).cast("long").alias("pos_in_seq"),
+        "doc_id",
+        "token_id",
+    )
+
+
+def pack_token_ids_sql(encoded_cte: str, seq_tokens: int) -> str:
+    """DuckDB replay over a CTE named ``encoded_cte`` with columns
+    (doc_id, pos, token_id): single-window prefix sum + the same
+    div/mod placement."""
+    s = int(seq_tokens)
+    return f"""
+      counts AS (
+        SELECT doc_id, count(*)::BIGINT AS n FROM {encoded_cte} GROUP BY doc_id
+      ),
+      starts AS (
+        SELECT doc_id, (sum(n) OVER (ORDER BY doc_id) - n)::BIGINT AS start
+        FROM counts
+      )
+      SELECT ((e.pos + st.start) // {s})::BIGINT AS seq_id,
+             ((e.pos + st.start) % {s})::BIGINT AS pos_in_seq,
+             e.doc_id, e.token_id
+      FROM {encoded_cte} e JOIN starts st ON st.doc_id = e.doc_id
+    """
+
+
 def write_token_shards(
     docs: DataFrame,
     out_dir: str,

@@ -760,6 +760,31 @@ def test_chunk_pack_randomized_invariants(spark):
             assert " ".join(t for (_, _, t) in sorted(pieces)) == dict(rows[:30])[did]
 
 
+def test_pack_token_ids_placement(spark):
+    """Packing an encoded stream: every sequence except the last holds
+    exactly seq_tokens ids, stream order follows (doc_id, pos), and
+    ids survive placement unchanged."""
+    from json_remedy_spark.functions.corpus import pack_token_ids
+
+    rows = [(d, p, d * 100 + p) for d, n in [(1, 5), (2, 2), (4, 9)] for p in range(n)]
+    enc = spark.createDataFrame(rows, ["doc_id", "pos", "token_id"])
+    got = sorted(
+        map(tuple, pack_token_ids(enc, 4).collect())
+    )  # (seq_id, pos_in_seq, doc_id, token_id)
+    assert len(got) == 16
+    stream = [t[3] for t in sorted(got, key=lambda t: (t[0], t[1]))]
+    want = [r[2] for r in sorted(rows)]
+    assert stream == want
+    from collections import Counter
+
+    sizes = Counter(t[0] for t in got)
+    assert sizes == {0: 4, 1: 4, 2: 4, 3: 4}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pack_token_ids(enc, 0)
+
+
 def test_bm25_topk_ranking_and_stopword_cap(spark):
     """Known ordering: more query-term hits rank higher, rare terms
     out-pull common ones, and terms above the df cap (stopword-grade)
