@@ -600,6 +600,9 @@ def run(spark, args) -> str:
     # classifier (DCLM bootstrap: survivors are the positive class, the
     # docs this very run dropped are the negatives)
     if args.train_qc_out:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
         from json_remedy_spark.functions.classifier import train_quality_classifier
 
         raw = read_table(spark, args.input).select("url", "text")
@@ -607,9 +610,21 @@ def run(spark, args) -> str:
         labeled = out_cols.select(F.lit("hi").alias("label"), "text").unionByName(
             dropped.select(F.lit("lo").alias("label"), "text")
         )
-        train_quality_classifier(labeled, handles=job_handles).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(args.train_qc_out)
+        # SINGLE parquet FILE (classes x 256 rows collected — bounded),
+        # not a Spark directory: quality_classifier(model_path=) ships
+        # the artifact via sparkContext.addFile, which rejects dirs —
+        # same convention as langid.export_ft_model
+        rows = train_quality_classifier(labeled, handles=job_handles).collect()
+        pq.write_table(
+            pa.table(
+                {
+                    "bucket": [r["bucket"] for r in rows],
+                    "lang": [r["lang"] for r in rows],
+                    "weight": [r["weight"] for r in rows],
+                }
+            ),
+            args.train_qc_out,
+        )
     n_out = out_cols.count()
     for h in job_handles:
         h.unpersist()

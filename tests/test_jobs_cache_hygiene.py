@@ -459,3 +459,37 @@ def test_corpus_pipeline_soft_dedup(spark, tmp_path):
     mass = soft.agg({"weight": "sum"}).first()[0]
     assert abs(mass - hard_n) < 1e-3
     assert soft.count() == hard_n + (cluster - 1)  # the non-canonical dups
+
+
+def test_corpus_pipeline_qc_bootstrap_loop(spark, pages_parquet, tmp_path):
+    """The DCLM bootstrap composes across runs: crawl N exports the
+    distilled classifier as a SINGLE parquet file (addFile rejects
+    directories), crawl N+1's --quality-model gate ships and applies
+    it; the cache drains both times."""
+    from jobs.run_corpus_pipeline import build_parser, run
+    from json_remedy_spark.functions.langid import load_ft_model
+
+    spark.catalog.clearCache()
+    model = str(tmp_path / "qc_model.parquet")
+    run(spark, build_parser().parse_args(
+        ["--input", pages_parquet, "--output", str(tmp_path / "n"),
+         "--train-qc-out", model]
+    ))
+    assert _sql_cache_empty(spark), "qc training leaked persists"
+    import os
+
+    assert os.path.isfile(model)  # a FILE — the addFile-shippable form
+    dense, classes = load_ft_model(model)
+    assert classes == ["hi", "lo"] and (dense != 0).sum() == 512
+
+    msg = run(spark, build_parser().parse_args(
+        ["--input", pages_parquet, "--output", str(tmp_path / "n1"),
+         "--quality-model", model]
+    ))
+    assert " in -> " in msg
+    assert _sql_cache_empty(spark)
+    # the gate is downstream of the teacher rules, so the distilled
+    # model must keep (nearly) everything the rules kept
+    n_plain = spark.read.parquet(str(tmp_path / "n")).count()
+    n_gated = spark.read.parquet(str(tmp_path / "n1")).count()
+    assert n_gated >= 0.9 * n_plain
