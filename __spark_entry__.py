@@ -417,6 +417,34 @@ def q_pack_token_ids(spark, sf_dir):
     )
 
 
+def q_url_features(spark, sf_dir):
+    """URL-level quality/spam signals (FineWeb/DCLM gate on these
+    before touching page bytes): depth, lengths, query params, digit
+    fractions, subdomains, port, tilde-user — pure JVM projection over
+    constructed urls (same orders-derived construction on both sides)."""
+    from json_remedy_spark.functions import webgraph
+
+    o = _t(spark, sf_dir, "orders")
+    k, c = F.col("o_orderkey"), F.col("o_custkey")
+    url = F.concat(
+        F.lit("https://sub"), (c % 3).cast("string"),
+        F.lit(".site"), (k % 5).cast("string"), F.lit(".com"),
+        F.when(k % 11 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.when(k % 13 == 0, F.lit("")).otherwise(
+            F.concat(
+                F.when(k % 17 == 0, F.lit("/~u")).otherwise(F.lit("/cat")),
+                (k % 4).cast("string"),
+                F.lit("/item"), (k % 1000).cast("string"),
+            )
+        ),
+        F.when(k % 3 == 0, F.concat(F.lit("?a=1&b="), (k % 9).cast("string"))).otherwise(
+            F.lit("")
+        ),
+    )
+    pages = o.select(k.alias("page_id"), url.alias("url"))
+    return webgraph.url_features(pages, id_col="page_id")
+
+
 def q_soft_dedup_weights(spark, sf_dir):
     """SoftDeDup (He et al. 2024): reweight instead of drop — every
     doc kept, sampling weight = 1/cluster_size over the fuzzy near-dup
@@ -2304,6 +2332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "qc_trained_scores": q_qc_trained_scores,
         "bpe_encode": q_bpe_encode,
         "pack_token_ids": q_pack_token_ids,
+        "url_features": q_url_features,
         "perplexity": q_perplexity,
         "ppl_histogram": q_ppl_histogram,
         "ppl_buckets": q_ppl_buckets,
@@ -2635,6 +2664,25 @@ def _ivf_sq8_export_sql(path: str) -> str:
       SELECT q_id::BIGINT AS q_id, vec_id::BIGINT AS vec_id, cos::DOUBLE AS cos,
              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id)::BIGINT AS rank
       FROM scored
+    """
+
+
+def _url_features_oracle_sql() -> str:
+    from json_remedy_spark.functions import webgraph
+
+    return f"""
+      WITH p AS (
+        SELECT o_orderkey AS page_id,
+               'https://sub' || (o_custkey % 3) || '.site' || (o_orderkey % 5) || '.com'
+               || CASE WHEN o_orderkey % 11 = 0 THEN ':8080' ELSE '' END
+               || CASE WHEN o_orderkey % 13 = 0 THEN '' ELSE
+                    (CASE WHEN o_orderkey % 17 = 0 THEN '/~u' ELSE '/cat' END)
+                    || (o_orderkey % 4) || '/item' || (o_orderkey % 1000) END
+               || CASE WHEN o_orderkey % 3 = 0 THEN '?a=1&b=' || (o_orderkey % 9) ELSE '' END
+               AS url
+        FROM orders
+      )
+      {webgraph.url_features_sql('url', 'page_id', 'p')}
     """
 
 
@@ -3984,6 +4032,7 @@ def oracle_sql() -> dict[str, str]:
           WITH enc AS ({_bpe_encode_sql()}),
           {corpus.pack_token_ids_sql("enc", 128)}
         """,
+        "url_features": _url_features_oracle_sql(),
         "contamination_overlap": f"""
           WITH sh AS ({_SHINGLES}),
           ev AS (SELECT doc_id FROM documents WHERE source = 'src0'),

@@ -98,12 +98,86 @@ def extract_anchors(
 # everything after the authority (path + query + fragment); robots
 # Disallow prefixes match against this per RFC 9309 §2.2.2
 _URL_PATH_PATTERN = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/]*(/.*)?$"
+# path only — query/fragment excluded (url_features)
+_URL_PATH_ONLY_PATTERN = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*(/[^?#]*)?"
+_URL_PORT_PATTERN = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*:([0-9]+)"
 
 
 def url_path(url: Column) -> Column:
     """Path component of a URL ('/' when the authority ends the URL)."""
     p = F.regexp_extract(url, _URL_PATH_PATTERN, 1)
     return F.when(p == "", F.lit("/")).otherwise(p)
+
+
+def url_features(
+    pages: DataFrame, id_col: str = "doc_id", url_col: str = "url"
+) -> DataFrame:
+    """URL-level quality/spam signals — the cheapest filter in the
+    stack (FineWeb/DCLM gate on these before touching page bytes):
+    (doc_id, host, path_depth, path_len, n_query_params, digit_frac,
+    host_digit_frac, n_subdomains, has_port, tilde_user).  All JVM
+    regexp/length expressions over the url column — pure projection,
+    scans only the url bytes of the table."""
+    host = url_host(F.col(url_col))
+    # path WITHOUT query/fragment (url_path keeps them; digit_frac and
+    # path_len must not be polluted by '?a=1' payloads)
+    p = F.regexp_extract(F.col(url_col), _URL_PATH_ONLY_PATTERN, 1)
+    path = F.when(p == "", F.lit("/")).otherwise(p)
+    q = F.regexp_extract(F.col(url_col), r"\?([^#]*)", 1)
+    has_port = F.regexp_extract(F.col(url_col), _URL_PORT_PATTERN, 1) != ""
+    return pages.select(
+        F.col(id_col).alias("doc_id"),
+        host.alias("host"),
+        # '/a/b/' and '/a/b' both have depth 2: count non-empty segments
+        F.size(F.filter(F.split(path, "/"), lambda s: s != "")).cast("long").alias(
+            "path_depth"
+        ),
+        F.length(path).cast("long").alias("path_len"),
+        F.when(q == "", F.lit(0)).otherwise(
+            F.size(F.split(q, "&"))
+        ).cast("long").alias("n_query_params"),
+        F.round(
+            F.length(F.regexp_replace(path, r"[^0-9]", ""))
+            / F.greatest(F.length(path), F.lit(1)),
+            6,
+        ).alias("digit_frac"),
+        F.round(
+            F.length(F.regexp_replace(host, r"[^0-9]", ""))
+            / F.greatest(F.length(host), F.lit(1)),
+            6,
+        ).alias("host_digit_frac"),
+        (F.size(F.split(host, r"\.")) - 1).cast("long").alias("n_subdomains"),
+        has_port.alias("has_port"),
+        path.startswith("/~").alias("tilde_user"),
+    )
+
+
+def url_features_sql(
+    url_col: str = "url", id_col: str = "doc_id", source: str = "documents"
+) -> str:
+    """DuckDB replay over a ``source`` relation with (id, url) —
+    same regexes as the column form."""
+    host = f"lower(regexp_extract({url_col}, '{HOST_PATTERN}', 1))"
+    path = (
+        f"CASE WHEN regexp_extract({url_col}, '{_URL_PATH_ONLY_PATTERN}', 1) = '' THEN '/' "
+        f"ELSE regexp_extract({url_col}, '{_URL_PATH_ONLY_PATTERN}', 1) END"
+    )
+    q = f"regexp_extract({url_col}, '\\?([^#]*)', 1)"
+    return f"""
+      SELECT {id_col} AS doc_id,
+             {host} AS host,
+             len(list_filter(string_split({path}, '/'), s -> s != ''))::BIGINT AS path_depth,
+             length({path})::BIGINT AS path_len,
+             (CASE WHEN {q} = '' THEN 0 ELSE len(string_split({q}, '&')) END)::BIGINT AS n_query_params,
+             round(length(regexp_replace({path}, '[^0-9]', '', 'g')) * 1.0
+                   / greatest(length({path}), 1), 6)::DOUBLE AS digit_frac,
+             round(length(regexp_replace({host}, '[^0-9]', '', 'g')) * 1.0
+                   / greatest(length({host}), 1), 6)::DOUBLE AS host_digit_frac,
+             (len(string_split({host}, '.')) - 1)::BIGINT AS n_subdomains,
+             regexp_extract({url_col}, '{_URL_PORT_PATTERN}', 1) != '' AS has_port,
+             starts_with({path}, '/~') AS tilde_user
+      FROM {source}
+    """
 
 
 def robots_disallow_rules(

@@ -785,6 +785,29 @@ def test_pack_token_ids_placement(spark):
         pack_token_ids(enc, 0)
 
 
+def test_url_features_known_values(spark):
+    """Handcrafted urls with known feature values (ports, tilde-user
+    homepages, query strings, digit-heavy spam paths)."""
+    from json_remedy_spark.functions.webgraph import url_features
+
+    rows = [
+        (1, "https://www.example.com/"),
+        (2, "https://a.b.c.example.com:8080/~joe/page?x=1&y=2&z=3"),
+        (3, "http://spam123.biz/91/82/73abc"),
+        (4, "https://example.com"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "url"])
+    got = {r["doc_id"]: r.asDict() for r in url_features(d).collect()}
+    assert got[1]["path_depth"] == 0 and got[1]["host"] == "www.example.com"
+    assert not got[1]["has_port"] and got[1]["n_query_params"] == 0
+    r2 = got[2]
+    assert r2["has_port"] and r2["tilde_user"] and r2["n_query_params"] == 3
+    assert r2["path_depth"] == 2 and r2["n_subdomains"] == 4
+    r3 = got[3]
+    assert r3["host_digit_frac"] > 0.2 and r3["digit_frac"] >= 0.5  # '/91/82/73abc' = 6 digits / 12 chars
+    assert got[4]["path_depth"] == 0 and got[4]["path_len"] == 1  # bare authority -> '/'
+
+
 def test_bm25_topk_ranking_and_stopword_cap(spark):
     """Known ordering: more query-term hits rank higher, rare terms
     out-pull common ones, and terms above the df cap (stopword-grade)
