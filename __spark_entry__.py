@@ -2305,66 +2305,16 @@ def ensure_export_placeholders() -> list[str]:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Ordering is deliberate (VERDICT r4 #1): the driver's correctness
-    # artifact covers roughly the FIRST 50 entries in dict order, so
-    # queries that have never had a green driver row (every r4 oracle
-    # promotion: ann/export oracles, perplexity family, web-graph
-    # suite, media_*) come first; the 50 already witnessed green in
-    # CORRECTNESS_r04.json follow.  Every name then has at least one
-    # green row across r4+r5.
+    # Ordering is deliberate — a standing last-witnessed-round rotation
+    # (VERDICT r5 #1): the driver's correctness artifact covers roughly
+    # the FIRST 50 entries in dict order, so entries NEW this round lead,
+    # followed by the 43 whose last green driver row is CORRECTNESS_r04
+    # (their code changed in r5: hub-cap default, dedup refactors), then
+    # the 50 witnessed green in CORRECTNESS_r05.  Every name then has a
+    # green row at post-r5 code across r5∪r6.
     return {
-        # --- never driver-witnessed (r4 promotions) + new this round ---
-        "winnow_fingerprints": q_winnow_fingerprints,
-        "media_features": q_media_features,
-        "media_meta": q_media_meta,
-        "frame_sample": q_frame_sample,
-        "media_near_dup": q_media_near_dup,
-        "corpus_funnel": q_corpus_funnel,
-        "ivf_ann_topk": q_ivf_ann_topk,
-        "ivf_append_topk": q_ivf_append_topk,
-        "soft_dedup_weights": q_soft_dedup_weights,
-        "ivf_sq8_topk": q_ivf_sq8_topk,
-        "bm25_topk": q_bm25_topk,
-        "bm25_index_topk": q_bm25_index_topk,
-        "chunk_documents": q_chunk_documents,
-        "pack_sequences": q_pack_sequences,
-        "qc_train": q_qc_train,
-        "qc_trained_scores": q_qc_trained_scores,
-        "bpe_encode": q_bpe_encode,
-        "pack_token_ids": q_pack_token_ids,
-        "url_features": q_url_features,
-        "perplexity": q_perplexity,
-        "ppl_histogram": q_ppl_histogram,
-        "ppl_buckets": q_ppl_buckets,
-        "trigram_lm": q_trigram_lm,
-        "ppl_trained": q_ppl_trained,
-        "kn_perplexity": q_kn_perplexity,
-        "script_mix": q_script_mix,
-        "canonical_url": q_canonical_url,
-        "url_dedup": q_url_dedup,
-        "outlink_stats": q_outlink_stats,
-        "page_meta": q_page_meta,
-        "anchor_texts": q_anchor_texts,
-        "robots_filter": q_robots_filter,
-        "blocklist_filter": q_blocklist_filter,
-        "html_text": q_html_text,
-        "domain_rank": q_domain_rank,
-        "lsh_ann_topk": q_lsh_ann_topk,
-        "ann_recall": q_ann_recall,
-        "semantic_dedup": q_semantic_dedup,
-        "semantic_dedup_verified": q_semantic_dedup_verified,
-        "repair_metrics": q_repair_metrics,
-        "repair_debug": q_repair_debug,
-        "layer_hits": q_layer_hits,
-        "repair_documents": q_repair_documents,
-        # --- witnessed green in CORRECTNESS_r04.json ---
-        "exact_dedup": q_exact_dedup,
-        "incremental_dedup": q_incremental_dedup,
-        "minhash_signatures": q_minhash_signatures,
-        "lsh_candidate_pairs": q_lsh_candidate_pairs,
-        "jaccard_pairs": q_jaccard_pairs,
-        "lsh_recall": q_lsh_recall,
-        "filter_funnel": q_filter_funnel,
+        # --- new this round (r6) ---
+        # --- last witnessed in CORRECTNESS_r04.json (rotate to front) ---
         "pipeline_funnel": q_pipeline_funnel,
         "main_content": q_main_content,
         "simhash": q_simhash,
@@ -2408,6 +2358,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize": q_sessionize,
         "keep_drop": q_keep_drop,
         "repair_ok_fastpath": q_repair_ok_fastpath,
+        # --- witnessed green in CORRECTNESS_r05.json ---
+        "winnow_fingerprints": q_winnow_fingerprints,
+        "media_features": q_media_features,
+        "media_meta": q_media_meta,
+        "frame_sample": q_frame_sample,
+        "media_near_dup": q_media_near_dup,
+        "corpus_funnel": q_corpus_funnel,
+        "ivf_ann_topk": q_ivf_ann_topk,
+        "ivf_append_topk": q_ivf_append_topk,
+        "soft_dedup_weights": q_soft_dedup_weights,
+        "ivf_sq8_topk": q_ivf_sq8_topk,
+        "bm25_topk": q_bm25_topk,
+        "bm25_index_topk": q_bm25_index_topk,
+        "chunk_documents": q_chunk_documents,
+        "pack_sequences": q_pack_sequences,
+        "qc_train": q_qc_train,
+        "qc_trained_scores": q_qc_trained_scores,
+        "bpe_encode": q_bpe_encode,
+        "pack_token_ids": q_pack_token_ids,
+        "url_features": q_url_features,
+        "perplexity": q_perplexity,
+        "ppl_histogram": q_ppl_histogram,
+        "ppl_buckets": q_ppl_buckets,
+        "trigram_lm": q_trigram_lm,
+        "ppl_trained": q_ppl_trained,
+        "kn_perplexity": q_kn_perplexity,
+        "script_mix": q_script_mix,
+        "canonical_url": q_canonical_url,
+        "url_dedup": q_url_dedup,
+        "outlink_stats": q_outlink_stats,
+        "page_meta": q_page_meta,
+        "anchor_texts": q_anchor_texts,
+        "robots_filter": q_robots_filter,
+        "blocklist_filter": q_blocklist_filter,
+        "html_text": q_html_text,
+        "domain_rank": q_domain_rank,
+        "lsh_ann_topk": q_lsh_ann_topk,
+        "ann_recall": q_ann_recall,
+        "semantic_dedup": q_semantic_dedup,
+        "semantic_dedup_verified": q_semantic_dedup_verified,
+        "repair_metrics": q_repair_metrics,
+        "repair_debug": q_repair_debug,
+        "layer_hits": q_layer_hits,
+        "repair_documents": q_repair_documents,
+        "exact_dedup": q_exact_dedup,
+        "incremental_dedup": q_incremental_dedup,
+        "minhash_signatures": q_minhash_signatures,
+        "lsh_candidate_pairs": q_lsh_candidate_pairs,
+        "jaccard_pairs": q_jaccard_pairs,
+        "lsh_recall": q_lsh_recall,
+        "filter_funnel": q_filter_funnel,
     }
 
 
