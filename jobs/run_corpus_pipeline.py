@@ -105,7 +105,8 @@ def build_parser() -> argparse.ArgumentParser:
         "near-dups, keep EVERY doc and attach a sampling weight of "
         "cluster_size^-EXP over the same components (EXP=1 gives each "
         "cluster total mass 1.0); the weight column survives to the "
-        "output/shards for the training loader",
+        "output/shards for the training loader (with --pack-sequences "
+        "it lands as a (doc_id, weight) side table at <output>_weights)",
     )
     ap.add_argument("--max-per-domain", type=int, default=0)
     ap.add_argument("--no-line-dedup", action="store_true")
@@ -318,6 +319,14 @@ def run(spark, args) -> str:
 
     # 1. quality filter (keep only passing docs; scrubbed text onward)
     kept = quality_filter(pages, with_actions=False).where("keep")
+
+    # --train-qc-out label capture: snapshot the RULE gate's keep set
+    # here, BEFORE URL dedup / line dedup / fuzzy dedup / sampling
+    # mutate the survivor set — docs those stages drop are near-dup or
+    # sampled-out copies of GOOD documents, and labeling them 'lo'
+    # would hand the distilled classifier contradictory training
+    # labels for essentially identical features (ADVICE r5).
+    rule_kept_urls = kept.select("url") if args.train_qc_out else None
 
     # 2. URL-level dedup: when the input carries warc_ts (input_hint
     # shape) the LATEST crawl wins — a single window shuffle on
@@ -569,6 +578,14 @@ def run(spark, args) -> str:
         pack_sequences(out_cols, args.pack_sequences).sortWithinPartitions(
             "seq_id", "pos_in_seq"
         ).write.mode("overwrite").parquet(args.output)
+        if "weight" in out_cols.columns:
+            # --soft-dedup composes: pack_sequences has a fixed
+            # seq_id/doc_id/pos_in_seq schema, so the sampling weight
+            # lands as a (doc_id, weight) side table the loader joins
+            # on the packed output's doc_id (ADVICE r5)
+            out_cols.select("doc_id", "weight").write.mode("overwrite").parquet(
+                args.output.rstrip("/") + "_weights"
+            )
     else:
         write_table(out_cols.drop("doc_id"), args.output, mode="overwrite")
     # side artifact: train the next crawl's perplexity model on the
@@ -605,8 +622,13 @@ def run(spark, args) -> str:
 
         from json_remedy_spark.functions.classifier import train_quality_classifier
 
-        raw = read_table(spark, args.input).select("url", "text")
-        dropped = raw.join(out_cols.select("url"), "url", "left_anti")
+        # Negatives are the docs the RULE gate itself dropped
+        # (keep=false at the quality/langid filter) — NOT everything
+        # absent from the final output: near-dup copies of kept docs
+        # and sampled-out good docs share the positives' features and
+        # are excluded from both classes (ADVICE r5).
+        raw = pages.select("url", "text")
+        dropped = raw.join(rule_kept_urls, "url", "left_anti")
         labeled = out_cols.select(F.lit("hi").alias("label"), "text").unionByName(
             dropped.select(F.lit("lo").alias("label"), "text")
         )

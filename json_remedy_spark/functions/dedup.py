@@ -220,24 +220,41 @@ def candidate_pairs_from_banded(
             .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
             .distinct()
         )
-    from pyspark.sql.window import Window
-
-    ranked = banded.withColumn(
-        "_rn",
-        F.row_number().over(Window.partitionBy("band", "bucket").orderBy("doc_id")),
-    ).withColumn("_sz", F.max("_rn").over(Window.partitionBy("band", "bucket")))
-    small = ranked.where(F.col("_sz") <= hub_cap).drop("_rn", "_sz")
+    # Bucket sizes via agg + join-back, NOT a window count: a window
+    # partitioned by (band, bucket) would pin each mega-bucket — the
+    # exact case this guard exists for — into a single task, while the
+    # agg gets map-side combine and AQE skew-join can split the hot
+    # key on the join-back (ADVICE r5).
+    sizes = banded.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_sz"))
+    with_sz = banded.join(sizes, ["band", "bucket"])
+    small = with_sz.where(F.col("_sz") <= hub_cap).drop("_sz")
     exact = (
         small.alias("a")
         .join(small.alias("b"), ["band", "bucket"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
     )
-    big = ranked.where(F.col("_sz") > hub_cap)
-    hubs = big.where(F.col("_rn") <= n_hubs).drop("_rn", "_sz")
+    big = with_sz.where(F.col("_sz") > hub_cap).drop("_sz")
+    # n_hubs smallest doc_ids per mega-bucket via n_hubs rounds of a
+    # plain min() agg (bounded state, map-side combine) instead of
+    # ranking every member with a window.  n_hubs is a tiny constant
+    # (default 2) and mega-buckets are rare, so the extra passes scan
+    # almost nothing.
+    remaining = big
+    hub_frames = []
+    for _ in range(n_hubs):
+        h = remaining.groupBy("band", "bucket").agg(F.min("doc_id").alias("doc_id"))
+        hub_frames.append(h)
+        remaining = (
+            remaining.join(h.withColumnRenamed("doc_id", "_h"), ["band", "bucket"])
+            .where(F.col("doc_id") > F.col("_h"))
+            .drop("_h")
+        )
+    hubs = hub_frames[0]
+    for h in hub_frames[1:]:
+        hubs = hubs.unionByName(h)
     starred = (
-        big.drop("_rn", "_sz")
-        .alias("m")
+        big.alias("m")
         .join(hubs.alias("h"), ["band", "bucket"])
         .where(F.col("h.doc_id") < F.col("m.doc_id"))
         .select(F.col("h.doc_id").alias("doc_a"), F.col("m.doc_id").alias("doc_b"))

@@ -246,7 +246,9 @@ def bm25_sql(
     """The DuckDB replay of ``bm25_topk`` over the ``documents`` view:
     same tokenizer regex, same Lucene idf, same rounding and
     tie-break — an independent recomputation, not an export."""
-    qvals = ", ".join(f"({qid}, '{text}')" for qid, text in query_rows)
+    qvals = ", ".join(
+        f"({qid}, '{text.replace(chr(39), chr(39) * 2)}')" for qid, text in query_rows
+    )
     return f"""
       WITH q(q_id, query) AS (VALUES {qvals}),
       toks AS (

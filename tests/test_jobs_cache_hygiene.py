@@ -493,3 +493,100 @@ def test_corpus_pipeline_qc_bootstrap_loop(spark, pages_parquet, tmp_path):
     n_plain = spark.read.parquet(str(tmp_path / "n")).count()
     n_gated = spark.read.parquet(str(tmp_path / "n1")).count()
     assert n_gated >= 0.9 * n_plain
+
+
+def _near_dup_family_pages(spark, tmp_path, n_members=3):
+    """A base corpus plus a 3-way near-dup family the RULE gate keeps
+    (variation inside a long string value — see the soft-dedup test
+    for why), written as a pages parquet.  Returns (path, marker)."""
+    from json_remedy_spark.sources.webpages import synthesize_corpus
+
+    docs, _ = synthesize_corpus(spark, 120, partitions=4)
+    sentence = (
+        "the geological survey of the northern region describes how basalt "
+        "and granite formations near the wide river valley were shaped over "
+        "many thousands of years by slow cooling and steady erosion while "
+        "several field teams recorded the layers in careful detail and the "
+        "museum kept every sample for later study of the mineral record"
+    )
+    fam = [
+        (
+            f"https://rocks.example/{i}",
+            '{"title": "field notes", "desc": "' + sentence + f' site{i} marker{i}"' + "}",
+        )
+        for i in range(n_members)
+    ]
+    extra = spark.createDataFrame(
+        [(u, None, None, t, "en") for u, t in fam],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    path = str(tmp_path / "pages_fam")
+    docs.unionByName(extra).write.parquet(path)
+    return path, "basalt"
+
+
+def test_qc_training_excludes_dedup_dropped_docs(spark, tmp_path, monkeypatch):
+    """ADVICE r5 (medium): --train-qc-out negatives are the docs the
+    RULE gate dropped — near-dup copies of kept docs, which fuzzy
+    dedup (not the rules) removed, must NOT be labeled 'lo'."""
+    import jobs.run_corpus_pipeline as jobmod
+    from json_remedy_spark.functions import classifier as clf
+
+    captured = {}
+    real_train = clf.train_quality_classifier
+
+    def spy(labeled, **kw):
+        captured["lo_with_marker"] = labeled.where(
+            (labeled.label == "lo") & labeled.text.contains(marker)
+        ).count()
+        captured["hi_with_marker"] = labeled.where(
+            (labeled.label == "hi") & labeled.text.contains(marker)
+        ).count()
+        return real_train(labeled, **kw)
+
+    monkeypatch.setattr(clf, "train_quality_classifier", spy)
+
+    pages, marker = _near_dup_family_pages(spark, tmp_path)
+    out = str(tmp_path / "out")
+    spark.catalog.clearCache()
+    jobmod.run(spark, jobmod.build_parser().parse_args(
+        ["--input", pages, "--output", out, "--threshold", "0.5",
+         "--train-qc-out", str(tmp_path / "qc.parquet")]
+    ))
+    assert _sql_cache_empty(spark)
+
+    # fuzzy dedup kept exactly one family member...
+    final = spark.read.parquet(out)
+    kept_fam = final.where(final.text.contains(marker)).count()
+    assert kept_fam == 1
+    # ...and the dedup-dropped near-dup copies were excluded from the
+    # negative class (they'd share the canonical's bigram features)
+    assert captured["lo_with_marker"] == 0
+    assert captured["hi_with_marker"] == 1
+
+
+def test_soft_dedup_pack_sequences_weight_side_table(spark, tmp_path):
+    """ADVICE r5: --soft-dedup + --pack-sequences writes the sampling
+    weight as a (doc_id, weight) side table next to the packed output
+    (pack_sequences' fixed schema would otherwise discard it)."""
+    from jobs.run_corpus_pipeline import build_parser, run
+
+    pages, _ = _near_dup_family_pages(spark, tmp_path)
+    out = str(tmp_path / "packed")
+    spark.catalog.clearCache()
+    run(spark, build_parser().parse_args(
+        ["--input", pages, "--output", out, "--threshold", "0.5",
+         "--soft-dedup", "1.0", "--pack-sequences", "64"]
+    ))
+    assert _sql_cache_empty(spark)
+
+    packed = spark.read.parquet(out)
+    assert {"seq_id", "doc_id", "pos_in_seq", "n_tokens", "text"} <= set(packed.columns)
+    weights = spark.read.parquet(out + "_weights")
+    assert set(weights.columns) == {"doc_id", "weight"}
+    # every packed doc carries a weight, soft-dedup kept near-dups so
+    # at least one weight is fractional
+    pd_ids = {r["doc_id"] for r in packed.select("doc_id").distinct().collect()}
+    w_ids = {r["doc_id"] for r in weights.collect()}
+    assert pd_ids <= w_ids
+    assert weights.where(weights.weight < 0.999).count() >= 2
