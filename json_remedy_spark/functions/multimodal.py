@@ -55,11 +55,15 @@ def _fake_decode_image(payload: bytes) -> list:
     arithmetic before one IEEE division) so the DuckDB oracle — a hex
     low-nibble histogram — reproduces the doubles bit-exactly with no
     rounding-mode sensitivity."""
-    hist = [0] * N_FEATURES
-    for b in payload[:65536]:
-        hist[b % N_FEATURES] += 1
-    total = max(sum(hist), 1)
-    return [(h * 1_000_000 // total) / 1_000_000 for h in hist]
+    import numpy as np
+
+    arr = np.frombuffer(payload[:65536], dtype=np.uint8)
+    hist = np.bincount(arr % N_FEATURES, minlength=N_FEATURES)
+    total = max(int(hist.sum()), 1)
+    # the ppm quantization stays PYTHON integer arithmetic — the
+    # oracle replays it exactly; only the 64 KiB histogram pass is
+    # vectorized (was a per-byte Python loop, VERDICT r5 #2)
+    return [(int(h) * 1_000_000 // total) / 1_000_000 for h in hist]
 
 
 def dhash(payload: bytes) -> int:
@@ -75,17 +79,20 @@ def dhash(payload: bytes) -> int:
     DuckDB oracle reproduces it bit-exactly via hex-nibble byte
     extraction.  Identical payloads hash identically; near-identical
     payloads (a few changed bytes) differ in few bits."""
-    grid = [0] * DHASH_CELLS
-    for i, b in enumerate(payload[:65536]):
-        grid[i % DHASH_CELLS] += b
-    h = 0
-    bit = 0
-    for r in range(DHASH_ROWS):
-        base = r * DHASH_COLS
-        for c in range(DHASH_COLS - 1):
-            if grid[base + c] % 256 < grid[base + c + 1] % 256:
-                h |= 1 << bit
-            bit += 1
+    import numpy as np
+
+    arr = np.frombuffer(payload[:65536], dtype=np.uint8)
+    # vectorized "byte i -> cell i % DHASH_CELLS" accumulation: pad to
+    # a multiple of DHASH_CELLS and column-sum (zeros are additive
+    # identity) — exact integer math, ~60x the per-byte Python loop
+    # this replaced (VERDICT r5 #2); max sum 65536*255 << 2^63
+    pad = (-arr.size) % DHASH_CELLS
+    if pad:
+        arr = np.concatenate([arr, np.zeros(pad, dtype=np.uint8)])
+    cells = arr.reshape(-1, DHASH_CELLS).sum(axis=0, dtype=np.int64) % 256
+    rows = cells.reshape(DHASH_ROWS, DHASH_COLS)
+    bits = (rows[:, :-1] < rows[:, 1:]).ravel()  # row-major, 64 bits
+    h = int((bits.astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
     return h - (1 << 64) if h >= 1 << 63 else h
 
 
