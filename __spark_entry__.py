@@ -584,6 +584,77 @@ def q_bpe_tokens(spark, sf_dir):
     )
 
 
+# byte-level BPE (GPT-2 style) — same export-and-replay protocol as
+# the word-level family, over UTF-8 bytes of regex pre-tokens
+_BYTE_BPE_MERGES_EXPORT = os.path.join(
+    tempfile.gettempdir(), "jrs_byte_bpe_merges"
+)
+BYTE_BPE_N_MERGES = 32
+
+
+def _byte_bpe_learned(spark, sf_dir):
+    """Learn the byte-level merges and (re)write the export all three
+    byte-BPE oracles read — idempotent (deterministic merges)."""
+    from json_remedy_spark.functions.bpe import bpe_learn_bytes
+
+    d = _t(spark, sf_dir, "documents")
+    merges = bpe_learn_bytes(d, BYTE_BPE_N_MERGES)
+    df = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank long, a string, b string",
+    )
+    df.write.mode("overwrite").parquet(_BYTE_BPE_MERGES_EXPORT)
+    return merges, df
+
+
+def q_bpe_merges_bytes(spark, sf_dir):
+    """Byte-level BPE learning (Radford et al. 2019; functions/bpe.py
+    bpe_learn_bytes): GPT-2-style regex pre-tokens -> UTF-8 bytes ->
+    weighted pair merges.  The oracle re-derives pre-token frequencies
+    from raw documents with the SAME pattern in RE2, replays every
+    round's segmentation over hex byte pairs via the double-space
+    replace CTE, and recomputes each round's (count desc, pair asc)
+    argmax independently — a wrong merge at any round mismatches."""
+    _, df = _byte_bpe_learned(spark, sf_dir)
+    return df
+
+
+def q_bpe_encode_bytes(spark, sf_dir):
+    """Byte-level tokenizer application (functions/bpe.py
+    bpe_encode_bytes): every document encoded to (doc_id, pos,
+    token_id) — ids 1..256 are raw bytes, 257+ merge products in rank
+    order.  Pre-tokenization is JVM-side (the pre-token array rides
+    into the Arrow kernel, Python runs no regex); the oracle replays
+    pre-tokens, per-round merges, the deterministic vocab and per-doc
+    token enumeration from raw documents."""
+    from json_remedy_spark.functions.bpe import bpe_encode_bytes, byte_vocab
+
+    merges, _ = _byte_bpe_learned(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    return bpe_encode_bytes(d, merges, byte_vocab(merges)).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "pos", "token_id"
+    )
+
+
+def q_pack_byte_token_ids(spark, sf_dir):
+    """The REAL loader loop end to end: byte-level learn -> corpus
+    encode to ids -> exact 256-id sequence packing (pack_token_ids
+    unchanged on top — VERDICT r5 #2 closed).  Oracle composes the
+    byte-encode replay as a CTE with the prefix-sum placement."""
+    from json_remedy_spark.functions.bpe import bpe_encode_bytes, byte_vocab
+    from json_remedy_spark.functions.corpus import pack_token_ids
+
+    merges, _ = _byte_bpe_learned(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    enc = bpe_encode_bytes(d, merges, byte_vocab(merges))
+    return pack_token_ids(enc, 256).select(
+        "seq_id",
+        "pos_in_seq",
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "token_id",
+    )
+
+
 # driver mixture: drop src0, halve src1, quarter src2, 2.5x src3,
 # everything else 1.0 — exercises drop / downsample / upsample /
 # default in one query
@@ -2314,6 +2385,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # green row at post-r5 code across r5∪r6.
     return {
         # --- new this round (r6) ---
+        "bpe_merges_bytes": q_bpe_merges_bytes,
+        "bpe_encode_bytes": q_bpe_encode_bytes,
+        "pack_byte_token_ids": q_pack_byte_token_ids,
         # --- last witnessed in CORRECTNESS_r04.json (rotate to front) ---
         "pipeline_funnel": q_pipeline_funnel,
         "main_content": q_main_content,
@@ -3063,6 +3137,106 @@ def _bpe_encode_sql() -> str:
              LATERAL (SELECT unnest(range(1, len(f.toks) + 1)) AS i) y
       )
       SELECT t.doc_id,
+             (row_number() OVER (PARTITION BY t.doc_id ORDER BY t.w_ord, t.t_ord) - 1)::BIGINT AS pos,
+             v.id::BIGINT AS token_id
+      FROM tok_rows t JOIN vocab v ON v.tok = t.tok
+    """
+
+
+# ---- byte-level BPE replay --------------------------------------------
+# The pattern value contains regex braces, so it is substituted as a
+# variable (f-string re-parse never sees them); single quotes doubled
+# for the SQL literal.
+from json_remedy_spark.functions.bpe import BYTE_PRETOKEN_PATTERN as _BYTE_PAT
+
+_BYTE_PAT_SQL = _BYTE_PAT.replace("'", "''")
+
+
+def _byte_ptf(limit: int | None = None) -> str:
+    """Pre-token frequency CTE (RE2 side of the Java/RE2-only regex
+    contract); ``limit`` mirrors bpe_learn_bytes' deterministic
+    max_vocab_words cut for the learning oracle."""
+    cut = (
+        f" QUALIFY row_number() OVER (ORDER BY freq DESC, pt) <= {limit}"
+        if limit
+        else ""
+    )
+    return f"""
+      ptoks AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(text, '{_BYTE_PAT_SQL}')) AS pt,
+               unnest(range(1, len(regexp_extract_all(text, '{_BYTE_PAT_SQL}')) + 1)) AS w_ord
+        FROM documents),
+      ptf AS (SELECT pt, count(*) AS freq FROM ptoks GROUP BY pt{cut})
+    """
+
+
+# round-r segmentation of every pre-token over HEX BYTE PAIRS: the
+# utf-8 bytes come from hex(encode(pt)) (blob slicing is unsupported;
+# round-4 note), split into 2-char cells, then the same double-space
+# replace trick as the word-level seg CTE
+_BYTE_SEG = f"""
+  m AS (SELECT rank, a, b FROM read_parquet('{_BYTE_BPE_MERGES_EXPORT}/*.parquet')),
+  seg AS (
+    SELECT 0 AS r, pt, freq,
+           ' ' || array_to_string(
+             list_transform(range(1, len(hx) // 2 + 1),
+                            i -> substr(hx, 2 * i - 1, 2)), '  ') || ' ' AS s
+    FROM (SELECT pt, freq, lower(hex(encode(pt))) AS hx FROM ptf)
+    UNION ALL
+    SELECT seg.r + 1, seg.pt, seg.freq,
+           replace(seg.s, ' ' || m.a || '  ' || m.b || ' ',
+                          ' ' || m.a || m.b || ' ')
+    FROM seg JOIN m ON m.rank = seg.r
+  )
+"""
+
+
+def _byte_bpe_merges_sql() -> str:
+    from json_remedy_spark.functions.bpe import MAX_VOCAB_WORDS
+
+    return f"""
+      WITH RECURSIVE {_byte_ptf(MAX_VOCAB_WORDS)}, {_BYTE_SEG},
+      counts AS (
+        SELECT seg.r, t.a, t.b, sum(seg.freq) AS cnt
+        FROM seg,
+             LATERAL (
+               SELECT toks[i] AS a, toks[i + 1] AS b
+               FROM (SELECT string_split(trim(seg.s), '  ') AS toks) z,
+                    LATERAL (SELECT unnest(range(1, len(toks))) AS i) y
+             ) t
+        WHERE seg.r < (SELECT count(*) FROM m)
+        GROUP BY seg.r, t.a, t.b
+      )
+      SELECT r::BIGINT AS rank, a, b FROM (
+        SELECT r, a, b,
+               row_number() OVER (PARTITION BY r ORDER BY cnt DESC, a, b) AS rn
+        FROM counts) WHERE rn = 1 ORDER BY rank
+    """
+
+
+def _byte_bpe_encode_sql() -> str:
+    """Full byte-level encode replay: final segmentation per
+    pre-token, the deterministic vocab (all 256 bytes as ids 1..256 in
+    byte order, then merge products by first rank — duplicates keep
+    their first id and consume no slot), per-doc re-enumeration in
+    (pre-token, token) order."""
+    return f"""
+      WITH RECURSIVE {_byte_ptf()}, {_BYTE_SEG},
+      fin AS (SELECT pt, string_split(trim(s), '  ') AS toks
+              FROM seg WHERE r = (SELECT count(*) FROM m)),
+      base AS (SELECT printf('%02x', i) AS tok, (i + 1)::BIGINT AS id
+               FROM range(0, 256) t(i)),
+      mprod AS (SELECT a || b AS tok, min(rank) AS mr FROM m GROUP BY 1),
+      mv AS (SELECT tok, (256 + row_number() OVER (ORDER BY mr))::BIGINT AS id
+             FROM mprod),
+      vocab AS (SELECT tok, id FROM base UNION ALL SELECT tok, id FROM mv),
+      tok_rows AS (
+        SELECT p.doc_id, p.w_ord, y.i AS t_ord, f.toks[y.i] AS tok
+        FROM ptoks p JOIN fin f ON f.pt = p.pt,
+             LATERAL (SELECT unnest(range(1, len(f.toks) + 1)) AS i) y
+      )
+      SELECT t.doc_id::BIGINT AS doc_id,
              (row_number() OVER (PARTITION BY t.doc_id ORDER BY t.w_ord, t.t_ord) - 1)::BIGINT AS pos,
              v.id::BIGINT AS token_id
       FROM tok_rows t JOIN vocab v ON v.tok = t.tok
@@ -4032,6 +4206,12 @@ def oracle_sql() -> dict[str, str]:
         "pack_token_ids": f"""
           WITH enc AS ({_bpe_encode_sql()}),
           {corpus.pack_token_ids_sql("enc", 128)}
+        """,
+        "bpe_merges_bytes": _byte_bpe_merges_sql(),
+        "bpe_encode_bytes": _byte_bpe_encode_sql(),
+        "pack_byte_token_ids": f"""
+          WITH enc AS ({_byte_bpe_encode_sql()}),
+          {corpus.pack_token_ids_sql("enc", 256)}
         """,
         "url_features": _url_features_oracle_sql(),
         "contamination_overlap": f"""

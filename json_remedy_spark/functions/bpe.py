@@ -63,13 +63,16 @@ def _merge_once(tokens: tuple, a: str, b: str) -> tuple:
 
 
 def learn_bpe_from_freqs(
-    word_freq_rows: list[tuple[str, int]], n_merges: int
+    word_freq_rows: list[tuple[str, int]],
+    n_merges: int,
+    to_tokens=tuple,
 ) -> list[tuple[str, str]]:
     """The classic BPE loop over an in-memory (word, freq) table.
     Deterministic argmax: highest weighted pair count, ties to the
     lexicographically smallest (a, b).  Stops early when no pair
-    remains."""
-    seg = {w: tuple(w) for w, _ in word_freq_rows}
+    remains.  ``to_tokens`` maps a vocabulary entry to its base-token
+    tuple (characters by default; hex byte pairs in byte mode)."""
+    seg = {w: to_tokens(w) for w, _ in word_freq_rows}
     freq = dict(word_freq_rows)
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
@@ -108,13 +111,18 @@ def bpe_learn(
     return learn_bpe_from_freqs([(r["word"], r["freq"]) for r in rows], n_merges)
 
 
-def apply_merges(word: str, merges: list[tuple[str, str]]) -> tuple:
-    """Segment one word under a learned merge table (rank order)."""
-    toks = tuple(word)
+def apply_merges_tokens(toks: tuple, merges: list[tuple[str, str]]) -> tuple:
+    """Segment one base-token sequence under a learned merge table
+    (rank order)."""
     for a, b in merges:
         if a in toks and b in toks:
             toks = _merge_once(toks, a, b)
     return toks
+
+
+def apply_merges(word: str, merges: list[tuple[str, str]]) -> tuple:
+    """Segment one word under a learned merge table (rank order)."""
+    return apply_merges_tokens(tuple(word), merges)
 
 
 def pair_counts(
@@ -251,3 +259,151 @@ def bpe_token_counts(
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "n_tokens": outs})
 
     return src.mapInPandas(gen, schema=f"doc_id {id_type}, n_tokens long")
+
+
+# --------------------------------------------------------------------------
+# Byte-level BPE (GPT-2 style: Radford et al. 2019) — what a real LLM
+# loader consumes.  Pre-tokenize with an ordered-alternation regex,
+# UTF-8 the pre-tokens, learn/apply merges over BYTE sequences.
+#
+# Base tokens are 2-char lowercase hex pairs ('41', '20', ...), not
+# raw bytes: hex survives string machinery in Spark, Arrow AND the
+# DuckDB oracle identically (round-4 note: blob slicing is unsupported
+# there; hex(encode(s)) + substr is the exact byte path), and merge
+# products concatenate into unambiguous even-length hex strings.
+#
+# The pre-tokenizer is GPT-2's pattern MINUS its `\s+(?!\S)` lookahead
+# branch: RE2 (the DuckDB oracle engine) has no lookahead.  Documented
+# delta: a whitespace run preceding a token stays one whitespace token
+# instead of donating its last space to the next token — segmentation
+# differs only on >=2-space runs (GPT-2: "a  b" -> ["a"," "," b"];
+# here: ["a","  ","b"]).  Everything else — contraction suffixes,
+# space-prefixed letter/number/punct runs — is GPT-2's.  Java
+# (Spark's JVM regex) and RE2 were cross-checked on unicode classes,
+# supplementary-plane chars and whitespace dialects; Python never
+# runs the regex at all (the JVM-extracted pre-token ARRAY rides into
+# the Arrow kernel).
+# --------------------------------------------------------------------------
+
+BYTE_PRETOKEN_PATTERN = (
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+)
+
+# every possible byte is a base token, ids 1..256 in byte order
+# (zero-padded lowercase hex sorts identically to the byte value);
+# no unk id is needed — byte-level BPE cannot see an OOV base symbol
+BYTE_BASE_VOCAB = 256
+
+
+def _hex_tokens(s: str) -> tuple:
+    """UTF-8 bytes of ``s`` as a tuple of 2-char lowercase hex pairs."""
+    h = s.encode("utf-8").hex()
+    return tuple(h[i : i + 2] for i in range(0, len(h), 2))
+
+
+def pretoken_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(pt, freq) over GPT-2-style pre-tokens — the ONE corpus-sized
+    pass of byte-level training, a JVM regex explode + hash agg with
+    map-side combine (web text repeats pre-tokens heavily: hot rows
+    collapse to ~one per map partition).  Case-preserving: byte-level
+    BPE never lowercases."""
+    pts = docs.select(
+        F.explode(
+            F.regexp_extract_all(
+                F.col(text_col), F.lit(BYTE_PRETOKEN_PATTERN), F.lit(0)
+            )
+        ).alias("pt")
+    )
+    return pts.groupBy("pt").agg(F.count(F.lit(1)).alias("freq"))
+
+
+def bpe_learn_bytes(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    max_vocab_words: int = MAX_VOCAB_WORDS,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` byte-level merges: distributed pre-token
+    counting, then the driver-side loop on the bounded vocabulary
+    (same TakeOrderedAndProject cut as ``bpe_learn`` — freq desc,
+    pre-token asc; Spark's binary-UTF8 string order equals DuckDB's,
+    so the oracle replays the cut exactly).  Merge table entries are
+    hex-pair strings."""
+    wf = pretoken_freqs(docs, text_col)
+    rows = (
+        wf.orderBy(F.desc("freq"), F.asc("pt")).limit(max_vocab_words).collect()
+    )
+    return learn_bpe_from_freqs(
+        [(r["pt"], r["freq"]) for r in rows], n_merges, to_tokens=_hex_tokens
+    )
+
+
+def byte_vocab(merges: list[tuple[str, str]]) -> dict[str, int]:
+    """Deterministic id table: ids 1..256 for the 256 byte hex pairs,
+    then merge products in rank order (duplicates keep their first
+    id — two merge paths can produce the same byte string).  A merge
+    product is >=2 bytes so it can never collide with a base token."""
+    vocab = {f"{i:02x}": i + 1 for i in range(BYTE_BASE_VOCAB)}
+    for a, b in merges:
+        vocab.setdefault(a + b, len(vocab) + 1)
+    return vocab
+
+
+def byte_vocab_decode(vocab: dict[str, int]) -> dict[int, bytes]:
+    """id -> raw bytes, for loader-side detokenization (and the
+    round-trip test: concatenating a doc's decoded tokens re-yields
+    its exact UTF-8 bytes — the pre-tokenizer is lossless)."""
+    return {i: bytes.fromhex(tok) for tok, i in vocab.items()}
+
+
+def bpe_encode_bytes(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    vocab: dict[str, int],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Byte-level tokenizer APPLICATION: ``(doc_id, pos, token_id)``
+    with doc-level positions.  Pre-tokenization happens JVM-side and
+    the pre-token ARRAY rides into the Arrow kernel, so the only two
+    regex engines in the system are Java (here) and RE2 (the oracle);
+    the kernel segments each DISTINCT pre-token once per batch (memo)
+    and emits ids.  Zero shuffle; at 100 TB this is the map-only pass
+    feeding ``pack_token_ids``."""
+    import pandas as pd
+
+    ms = list(merges)
+    vb = dict(vocab)
+    src = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.regexp_extract_all(
+            F.col(text_col), F.lit(BYTE_PRETOKEN_PATTERN), F.lit(0)
+        ).alias("pts"),
+    )
+    id_type = src.schema["doc_id"].dataType.simpleString()
+
+    def gen(batches):
+        memo: dict[str, list] = {}
+
+        def ids(pt: str) -> list:
+            if pt not in memo:
+                memo[pt] = [
+                    vb[tok] for tok in apply_merges_tokens(_hex_tokens(pt), ms)
+                ]
+            return memo[pt]
+
+        for pdf in batches:
+            d_out, p_out, t_out = [], [], []
+            for did, pts in zip(pdf["doc_id"], pdf["pts"]):
+                pos = 0
+                for pt in pts if pts is not None else []:
+                    for tid in ids(pt):
+                        d_out.append(did)
+                        p_out.append(pos)
+                        t_out.append(tid)
+                        pos += 1
+            yield pd.DataFrame({"doc_id": d_out, "pos": p_out, "token_id": t_out})
+
+    return src.mapInPandas(
+        gen, schema=f"doc_id {id_type}, pos long, token_id long"
+    )

@@ -149,3 +149,110 @@ def test_oracle_replay_matches_greedy_on_doubled_pairs():
         ).fetchall()
     ]
     assert got == merges
+
+
+# ---------------------------------------------------------------------------
+# byte-level BPE (GPT-2 style)
+# ---------------------------------------------------------------------------
+
+
+def test_byte_pretoken_pattern_is_lossless_and_gpt2_shaped(spark):
+    """The pre-tokenizer covers every char (concatenation re-yields
+    the text) and keeps GPT-2's signature shapes: contraction
+    suffixes, space-prefixed words; documented delta: multi-space runs
+    stay one token."""
+    from pyspark.sql import functions as F
+
+    from json_remedy_spark.functions.bpe import BYTE_PRETOKEN_PATTERN
+
+    samples = [
+        "Hello, world! it's 2026.",
+        "don't we'll I'm you're",
+        "naïve café ΣΦ 北京 ¡hola! e=mc²",
+        "a  b\tc\nd",
+        "  leading and trailing  ",
+        "emoji 😀🎉 mix",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "t string")
+    rows = df.select(
+        "t",
+        F.regexp_extract_all("t", F.lit(BYTE_PRETOKEN_PATTERN), F.lit(0)).alias("p"),
+    ).collect()
+    by_text = {r["t"]: r["p"] for r in rows}
+    for s in samples:
+        assert "".join(by_text[s]) == s  # lossless
+    assert by_text["Hello, world! it's 2026."] == [
+        "Hello", ",", " world", "!", " it", "'s", " 2026", ".",
+    ]
+    assert by_text["a  b\tc\nd"] == ["a", "  ", "b", "\t", "c", "\n", "d"]
+
+
+def test_byte_vocab_ids_and_decode():
+    from json_remedy_spark.functions.bpe import byte_vocab, byte_vocab_decode
+
+    merges = [("74", "68"), ("7468", "65"), ("74", "68")]  # dup keeps first id
+    v = byte_vocab(merges)
+    assert v["00"] == 1 and v["ff"] == 256 and v["61"] == 0x61 + 1
+    assert v["7468"] == 257 and v["746865"] == 258
+    assert len(v) == 258  # the duplicate consumed no slot
+    dec = byte_vocab_decode(v)
+    assert dec[257] == b"th" and dec[258] == b"the" and dec[2] == b"\x01"
+
+
+def test_byte_bpe_learn_encode_decode_roundtrip(spark):
+    """learn -> encode -> decode re-yields every document's exact
+    UTF-8 bytes (the pre-tokenizer is lossless and every byte is in
+    the base vocab — no unk)."""
+    from json_remedy_spark.functions.bpe import (
+        bpe_encode_bytes,
+        bpe_learn_bytes,
+        byte_vocab,
+        byte_vocab_decode,
+    )
+
+    texts = {
+        1: "the cat sat on the mat, the cat sat!",
+        2: "Thé cät — naïve 北京 text with don't and we'll",
+        3: "numbers 123 456 123 and spaces  double",
+        4: "",
+    }
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()] + [(5, None)],
+        "doc_id long, text string",
+    )
+    merges = bpe_learn_bytes(docs, 12)
+    assert merges and all(
+        len(a) % 2 == 0 and len(b) % 2 == 0 and set(a + b) <= set("0123456789abcdef")
+        for a, b in merges
+    )
+    vocab = byte_vocab(merges)
+    dec = byte_vocab_decode(vocab)
+    enc = bpe_encode_bytes(docs, merges, vocab).collect()
+    by_doc: dict[int, list] = {}
+    for r in enc:
+        by_doc.setdefault(r["doc_id"], []).append((r["pos"], r["token_id"]))
+    for did, text in texts.items():
+        toks = [t for _, t in sorted(by_doc.get(did, []))]
+        assert b"".join(dec[t] for t in toks) == text.encode("utf-8")
+        # positions are dense 0..n-1
+        assert [p for p, _ in sorted(by_doc.get(did, []))] == list(range(len(toks)))
+    assert 5 not in by_doc  # null text encodes to nothing
+    # merges actually compress: fewer tokens than bytes for doc 1
+    n_bytes = len(texts[1].encode())
+    assert 0 < len(by_doc[1]) < n_bytes
+
+
+def test_byte_bpe_learning_weights_by_frequency():
+    """' the' (space-prefixed, GPT-2 shape) dominates a corpus of
+    'the'-heavy text: the first merges assemble its bytes."""
+    from json_remedy_spark.functions.bpe import _hex_tokens, learn_bpe_from_freqs
+
+    wf = [("the", 2), (" the", 10), (" cat", 3)]
+    merges = learn_bpe_from_freqs(wf, 3, to_tokens=_hex_tokens)
+    # ' t' = 20+74 appears 10x, 't h' 12x, 'h e' 12x -> first merge is
+    # (68,65) or (74,68) by tie-break; ' the' assembles within 3 merges
+    seg = _hex_tokens(" the")
+    from json_remedy_spark.functions.bpe import apply_merges_tokens
+
+    final = apply_merges_tokens(seg, merges)
+    assert len(final) <= 2  # 4 bytes collapsed to <=2 tokens
