@@ -2098,6 +2098,51 @@ def q_ivf_sq8_topk(spark, sf_dir):
     return out
 
 
+_IVF_PQ_INDEX = os.path.join(tempfile.gettempdir(), "jrs_ivf_pq_index")
+_IVF_PQ_EXPORT = os.path.join(tempfile.gettempdir(), "jrs_ivf_pq_export")
+
+
+def q_ivf_pq_topk(spark, sf_dir):
+    """Product-quantized at-rest IVF (Jégou et al. 2011): the index
+    stores PQ_M one-byte codes per vector (64-dim float64: 512 B ->
+    8 B, 64x fewer bytes per probed cell — the deepest bytes-scanned
+    lever; sq8 is 8x) plus per-subspace integer codebooks, and scoring
+    is exact-integer ADC (one m x ksub lookup table per query).
+    Export-verified: DuckDB REPLAYS THE WHOLE LOSSY PATH from the
+    source floats + the stored codebooks — max-abs fixed-point
+    quantization, per-subspace integer-L2 argmin assignment (ties to
+    the smallest code on both engines), ADC dot, and the exact-integer
+    cosine normalizers (reconstruction norm^2 + quantized-query
+    norm^2), all BIGINT-exact so the final double is bit-identical.
+    This is the pure-ADC path so the oracle is total; production
+    recall is recovered with ``rerank_from=`` (exact re-score of the
+    tiny shortlist; pytest pins the recall floors — see
+    test_ivf_pq_quantized_index)."""
+    import shutil
+
+    from json_remedy_spark.functions.similarity import (
+        ivf_topk_from_index,
+        write_ivf_index,
+    )
+
+    e = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    shutil.rmtree(_IVF_PQ_INDEX, ignore_errors=True)
+    write_ivf_index(e, _IVF_PQ_INDEX, cells=8, quantize="pq")
+    queries = e.where(F.col("vec_id") < 5).select(F.col("vec_id").alias("q_id"), "embedding")
+    out = ivf_topk_from_index(
+        spark, _IVF_PQ_INDEX, queries, k=5, probes=_IVF_PROBES
+    ).select(
+        F.col("q_id").cast("long").alias("q_id"),
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("cos").cast("double").alias("cos"),
+        F.col("rank").cast("long").alias("rank"),
+    ).persist()  # the export write materializes it; the caller's collect reuses
+    out.select("q_id", "vec_id").write.mode("overwrite").parquet(_IVF_PQ_EXPORT)
+    return out
+
+
 def q_ivf_append_topk(spark, sf_dir):
     """Incremental IVF maintenance: build the at-rest index on the
     even vec_ids, grow it with the odd half via ``append_to_ivf_index``
@@ -2388,6 +2433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges_bytes": q_bpe_merges_bytes,
         "bpe_encode_bytes": q_bpe_encode_bytes,
         "pack_byte_token_ids": q_pack_byte_token_ids,
+        "ivf_pq_topk": q_ivf_pq_topk,
         # --- last witnessed in CORRECTNESS_r04.json (rotate to front) ---
         "pipeline_funnel": q_pipeline_funnel,
         "main_content": q_main_content,
@@ -2735,6 +2781,88 @@ def _ivf_sq8_export_sql(path: str) -> str:
         FROM cand c
         JOIN vu a ON a.vec_id = c.vec_id
         JOIN qu b ON b.vec_id = c.q_id
+      )
+      SELECT q_id::BIGINT AS q_id, vec_id::BIGINT AS vec_id, cos::DOUBLE AS cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id)::BIGINT AS rank
+      FROM scored
+    """
+
+
+def _ivf_pq_export_sql(export: str, index: str) -> str:
+    """Replay product quantization end-to-end from the source floats
+    plus the STORED codebooks (the export-oracle pattern: the query
+    writes the index before the driver runs this SQL).  Every stage is
+    integer-exact — max-abs fixed-point grid (no float summation
+    inside the boundary), per-subspace integer-L2 argmin with the
+    ties-to-smallest-code tie-break, BIGINT ADC dot and norm^2s — so
+    the final ``dot / greatest(sqrt(r2)*sqrt(q2), 1e-30)`` is the same
+    fixed sequence of correctly-rounded IEEE ops as the Arrow kernel's
+    (`similarity._make_pq_adc_udf`)."""
+    from json_remedy_spark.functions.similarity import PQ_FIXED_POINT
+
+    return f"""
+      WITH cand AS (
+        SELECT DISTINCT q_id, vec_id FROM read_parquet('{export}/*.parquet')
+      ),
+      books AS (
+        SELECT sub, code, pos, val FROM read_parquet('{index}/codebooks/*.parquet')
+      ),
+      dims AS (SELECT (max(sub) + 1) * (max(pos) + 1) AS d, max(pos) + 1 AS dsub FROM books),
+      src AS (
+        SELECT vec_id, embedding::DOUBLE[] AS x,
+               greatest(list_max(list_transform(embedding::DOUBLE[], v -> abs(v))), 1e-30) AS s
+        FROM embeddings
+      ),
+      -- element-wise fixed-point quantization (0-based pos)
+      qx AS (
+        SELECT vec_id AS q_id, u.i - 1 AS pos,
+               CAST(floor(x[u.i] / s * {PQ_FIXED_POINT}.0 + 0.5) AS BIGINT) AS v
+        FROM src, LATERAL (SELECT unnest(range(1, len(x) + 1)) AS i) u
+        WHERE vec_id IN (SELECT DISTINCT q_id FROM cand)
+      ),
+      xe AS (
+        SELECT vec_id, u.i - 1 AS pos,
+               CAST(floor(x[u.i] / s * {PQ_FIXED_POINT}.0 + 0.5) AS BIGINT) AS v
+        FROM src, LATERAL (SELECT unnest(range(1, len(x) + 1)) AS i) u
+        WHERE vec_id IN (SELECT DISTINCT vec_id FROM cand)
+      ),
+      -- per-subspace integer-L2 distances and argmin assignment
+      dist AS (
+        SELECT xe.vec_id, b.sub, b.code, sum((xe.v - b.val) * (xe.v - b.val)) AS d
+        FROM xe
+        JOIN dims ON TRUE
+        JOIN books b ON b.sub = xe.pos // dims.dsub AND b.pos = xe.pos % dims.dsub
+        GROUP BY 1, 2, 3
+      ),
+      codes AS (
+        SELECT vec_id, sub, code FROM (
+          SELECT vec_id, sub, code,
+                 row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn
+          FROM dist
+        ) WHERE rn = 1
+      ),
+      adc AS (
+        SELECT c.vec_id, q.q_id, sum(b.val * q.v) AS dot
+        FROM codes c
+        JOIN books b USING (sub, code)
+        JOIN dims ON TRUE
+        JOIN qx q ON q.pos = c.sub * dims.dsub + b.pos
+        GROUP BY 1, 2
+      ),
+      rnorm AS (
+        SELECT c.vec_id, sum(b.val * b.val) AS r2
+        FROM codes c JOIN books b USING (sub, code)
+        GROUP BY 1
+      ),
+      qnorm AS (SELECT q_id, sum(v * v) AS q2 FROM qx GROUP BY 1),
+      scored AS (
+        SELECT cand.q_id, cand.vec_id,
+               round(a.dot::DOUBLE /
+                     greatest(sqrt(r.r2::DOUBLE) * sqrt(n.q2::DOUBLE), 1e-30), 6) AS cos
+        FROM cand
+        JOIN adc a ON a.q_id = cand.q_id AND a.vec_id = cand.vec_id
+        JOIN rnorm r ON r.vec_id = cand.vec_id
+        JOIN qnorm n ON n.q_id = cand.q_id
       )
       SELECT q_id::BIGINT AS q_id, vec_id::BIGINT AS vec_id, cos::DOUBLE AS cos,
              row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id)::BIGINT AS rank
@@ -4304,6 +4432,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_ann_topk": _ann_topk_export_sql(_IVF_TOPK_EXPORT),
         "ivf_append_topk": _ann_topk_export_sql(_IVF_APPEND_EXPORT),
         "ivf_sq8_topk": _ivf_sq8_export_sql(_IVF_SQ8_EXPORT),
+        "ivf_pq_topk": _ivf_pq_export_sql(_IVF_PQ_EXPORT, _IVF_PQ_INDEX),
         "semantic_dedup_verified": f"""
           WITH exp AS (
             SELECT vec_id, cell, keep

@@ -428,6 +428,170 @@ def _make_sq8_udfs():
     return quant_udf, dequant_unit_udf
 
 
+# --------------------------------------------------------------------------
+# Product quantization (Jégou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search") — the next bytes-scanned lever after SQ8:
+# dims doubles -> PQ_M one-byte codes per vector (64-dim float64 =
+# 512 B -> 8 B, 64x; vs float32 = 32x; sq8 got 8x).
+#
+# Everything is INTEGER fixed-point so the DuckDB oracle replays the
+# whole lossy path exactly — and, unlike a unit-norm boundary, with NO
+# float summation anywhere inside it: the per-vector scale is max|x|
+# (order-free, exact — the sq8 recipe), each element quantizes via the
+# same IEEE divide/multiply/add/floor on both engines, subspace
+# assignment is an integer-L2 argmin (ties to the smallest code —
+# numpy argmin's first-minimum IS that tie-break), and the cosine is
+# computed purely from exact BIGINT quantities: ADC dot, the
+# reconstruction norm^2 (subspaces are disjoint coordinate blocks, so
+# it's just the sum of the chosen centroids' norms — all < 2^53), and
+# the quantized-query norm^2.  cos = dot / max(sqrt(r2)*sqrt(q2),
+# 1e-30) is then a fixed sequence of correctly-rounded IEEE ops —
+# bit-identical in numpy and DuckDB.  (A unit-norm boundary would put
+# a float SUM inside floor(unit*1e6+.5): numpy's pairwise summation
+# vs the SQL engine's sequential sum can differ in the last ulp and
+# flip a grid point.  max-abs has no such term; scale cancels in the
+# cosine anyway.)
+# --------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces (must divide dims)
+PQ_KSUB = 256  # codebook entries per subspace (codes fill one byte)
+PQ_FIXED_POINT = 1_000_000
+
+
+def _int_quantize(mat: np.ndarray) -> np.ndarray:
+    """Rows -> max-abs scale -> fixed-point BIGINT grid in
+    [-1e6, 1e6] (the cross-engine exactness boundary; round-5 notes:
+    integer quantization at the boundary keeps oracles exact).  Op
+    order mirrors the oracle's ``floor(x / s * 1000000.0 + 0.5)``."""
+    s = np.maximum(np.abs(mat).max(axis=1), 1e-30)
+    return np.floor(mat / s[:, None] * PQ_FIXED_POINT + 0.5).astype(np.int64)
+
+
+def train_pq_codebooks(
+    vectors: DataFrame,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    col: str = "embedding",
+    sample: int = 4096,
+    refine: int = 2,
+) -> np.ndarray:
+    """Deterministic per-subspace k-means on a bounded sample —
+    (m, ksub, dsub) INTEGER centroids.  Seeds are the ``ksub``
+    sample rows with the smallest md5(vec_id) (the ``_ivf_centroids``
+    recipe); Lloyd means re-quantize to the integer grid each
+    iteration, so the codebook is integer end-to-end.  FAISS trains PQ
+    on a sample too — the collect is bounded by ``sample``, never
+    corpus-sized; encode stays fully distributed."""
+    rows = (
+        vectors.select(
+            F.col(col).alias("v"), F.md5(F.col("vec_id").cast("string")).alias("h")
+        )
+        .orderBy("h")
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    Q = _int_quantize(X)
+    dims = Q.shape[1]
+    if dims % m:
+        raise ValueError(f"PQ m={m} must divide dims={dims}")
+    dsub = dims // m
+    books = np.zeros((m, ksub, dsub), dtype=np.int64)
+    for s in range(m):
+        sub = Q[:, s * dsub : (s + 1) * dsub]
+        cen = sub[: min(ksub, len(sub))].copy()
+        if len(cen) < ksub:  # degenerate tiny sample: repeat last seed
+            cen = np.vstack([cen, np.repeat(cen[-1:], ksub - len(cen), axis=0)])
+        for _ in range(refine):
+            d = ((sub[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d, axis=1)
+            for c in range(ksub):
+                mem = sub[assign == c]
+                if len(mem):
+                    cen[c] = np.floor(mem.mean(axis=0) + 0.5).astype(np.int64)
+        books[s] = cen
+    return books
+
+
+def _make_pq_encode_udf(books: np.ndarray):
+    """binary PQ codes (one byte per subspace) from the embedding —
+    integer-L2 argmin per subspace against the codebook."""
+    bk = np.asarray(books, dtype=np.int64)
+    m, _, dsub = bk.shape
+
+    @pandas_udf("binary")
+    def encode_udf(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        Q = _int_quantize(np.array(vecs.tolist(), dtype=np.float64))
+        codes = np.empty((len(Q), m), dtype=np.uint8)
+        for s in range(m):
+            sub = Q[:, s * dsub : (s + 1) * dsub]
+            d = ((sub[:, None, :] - bk[s][None, :, :]) ** 2).sum(axis=2)
+            codes[:, s] = np.argmin(d, axis=1)  # first min = smallest code
+        return pd.Series([c.tobytes() for c in codes])
+
+    return encode_udf
+
+
+def _make_pq_adc_udf(books: np.ndarray):
+    """Exact-integer ADC cosine: per distinct query in the batch, one
+    (m x ksub) BIGINT dot lookup table (codebook . query-subvector),
+    then every candidate row is m table lookups — no per-dimension
+    work on the corpus side at query time, the PQ payoff.  The cosine
+    normalizers are exact integers too: r2 (reconstruction norm^2,
+    sum of the chosen centroids' norms — subspaces are disjoint
+    coordinate blocks) via a second ksub-sized lookup, q2 from the
+    quantized query.  All < 2^53, so the final double expression is
+    bit-deterministic and the oracle replays it exactly."""
+    bk = np.asarray(books, dtype=np.int64)
+    m, _, dsub = bk.shape
+    cen_norm2 = (bk * bk).sum(axis=2)  # (m, ksub) exact ints
+
+    @pandas_udf("double")
+    def adc_udf(codes: pd.Series, q_ids: pd.Series, q_embs: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series([], dtype="float64")
+        cmat = np.stack(
+            [np.frombuffer(b, dtype=np.uint8) for b in codes]
+        ).astype(np.int64)
+        rows = np.arange(m)[None, :]
+        r2 = cen_norm2[rows, cmat].sum(axis=1)  # (n,) exact ints
+        dot = np.zeros(len(codes), dtype=np.int64)
+        q2 = np.zeros(len(codes), dtype=np.int64)
+        qarr = q_ids.to_numpy()
+        for qid in pd.unique(q_ids):
+            mask = qarr == qid
+            qe = np.array(q_embs[mask].iloc[0], dtype=np.float64)
+            qi = _int_quantize(qe[None, :])[0]
+            lut = np.stack(
+                [bk[s] @ qi[s * dsub : (s + 1) * dsub] for s in range(m)]
+            )  # (m, ksub)
+            dot[mask] = lut[rows, cmat[mask]].sum(axis=1)
+            q2[mask] = int(qi @ qi)
+        cos = dot / np.maximum(np.sqrt(r2.astype(np.float64)) * np.sqrt(q2.astype(np.float64)), 1e-30)
+        return pd.Series(cos)
+
+    return adc_udf
+
+
+def read_pq_codebooks(spark, out_dir: str) -> np.ndarray:
+    import os
+
+    rows = (
+        spark.read.parquet(os.path.join(out_dir, "codebooks"))
+        .orderBy("sub", "code", "pos")
+        .collect()
+    )
+    m = max(r["sub"] for r in rows) + 1
+    ksub = max(r["code"] for r in rows) + 1
+    dsub = max(r["pos"] for r in rows) + 1
+    books = np.zeros((m, ksub, dsub), dtype=np.int64)
+    for r in rows:
+        books[r["sub"], r["code"], r["pos"]] = r["val"]
+    return books
+
+
 def _write_assigned_cells(
     src: DataFrame,
     cen,
@@ -436,6 +600,7 @@ def _write_assigned_cells(
     mode: str,
     quantize: str | None = None,
     subdir: str = "vectors",
+    books=None,
 ) -> int:
     """Assign each vector to its nearest centroid and land it in that
     cell's partition directory.  Co-locate each cell before the
@@ -459,6 +624,11 @@ def _write_assigned_cells(
             F.col("q.scale").alias("scale"),
             "cell",
         )
+    elif quantize == "pq":
+        encode_udf = _make_pq_encode_udf(books)
+        assigned = assigned.select(
+            "vec_id", encode_udf(F.col("embedding")).alias("codes"), "cell"
+        )
     elif quantize is not None:
         raise ValueError(f"unknown quantize mode: {quantize!r}")
     assigned.repartition(F.col("cell")).write.mode(mode).partitionBy("cell").parquet(
@@ -478,6 +648,8 @@ def write_ivf_index(
     refine: int = 1,
     centroids=None,
     quantize: str | None = None,
+    pq_m: int = PQ_M,
+    pq_ksub: int = PQ_KSUB,
 ) -> int:
     """Materialize the IVF index AT REST — the 100 TB form of
     ``ivf_topk``'s in-session assignment, mirroring the LSH signature
@@ -503,7 +675,13 @@ def write_ivf_index(
     + one double scale per vector) instead of the float embedding —
     4x fewer bytes per probed cell than float32; queries dequantize
     in the Arrow scoring kernel.  Cell assignment always uses the
-    full-precision vectors."""
+    full-precision vectors.
+
+    ``quantize="pq"``: product quantization — ``pq_m`` one-byte codes
+    per vector (64-dim float64: 512 B -> 8 B, 64x fewer bytes per
+    probed cell; sq8 is 8x) against per-subspace integer codebooks
+    trained on a bounded deterministic sample and stored beside the
+    centroids; queries score with exact-integer ADC lookup tables."""
     import os
 
     _require_numeric_id(vectors, id_col)
@@ -518,7 +696,24 @@ def write_ivf_index(
         [(i, [float(x) for x in cen[i]]) for i in range(len(cen))],
         "cell int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "centroids"))
-    return _write_assigned_cells(src, cen, col, out_dir, "overwrite", quantize=quantize)
+    books = None
+    if quantize == "pq":
+        books = train_pq_codebooks(src, m=pq_m, ksub=pq_ksub, col=col)
+        m, ksub, dsub = books.shape
+        spark.createDataFrame(
+            [
+                (s, c, p, int(books[s, c, p]))
+                for s in range(m)
+                for c in range(ksub)
+                for p in range(dsub)
+            ],
+            "sub int, code int, pos int, val long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(out_dir, "codebooks")
+        )
+    return _write_assigned_cells(
+        src, cen, col, out_dir, "overwrite", quantize=quantize, books=books
+    )
 
 
 def append_to_ivf_index(
@@ -550,9 +745,19 @@ def append_to_ivf_index(
     _require_numeric_id(new_vectors, id_col)
     cen = read_ivf_centroids(spark, out_dir)
     stored = spark.read.parquet(os.path.join(out_dir, "vectors")).schema.fieldNames()
-    quantize = "sq8" if "codes" in stored else None
+    books = None
+    if "codes" not in stored:
+        quantize = None
+    elif "scale" in stored:
+        quantize = "sq8"
+    else:  # pq layout: codes without a per-vector scale; reuse the
+        # STORED codebooks so appended vectors encode identically
+        quantize = "pq"
+        books = read_pq_codebooks(spark, out_dir)
     src = new_vectors.select(F.col(id_col).alias("vec_id"), F.col(col).alias(col))
-    return _write_assigned_cells(src, cen, col, out_dir, "append", quantize=quantize)
+    return _write_assigned_cells(
+        src, cen, col, out_dir, "append", quantize=quantize, books=books
+    )
 
 
 def read_ivf_centroids(spark, out_dir: str) -> np.ndarray:
@@ -620,26 +825,83 @@ def ivf_topk_from_index(
     q_id_col: str = "q_id",
     col: str = "embedding",
     probes: int = N_IVF_PROBES,
+    rerank_from: DataFrame | None = None,
+    rerank_factor: int = 4,
 ) -> DataFrame:
     """Query the AT-REST IVF index: probe cells come from the stored
     centroids, and the corpus scan filters on the PARTITION column —
     only the probed cell directories are listed and read (static
     partition pruning; the probed set is at most ``probes x |Q|``
     values collected driver-side, never corpus-sized).  Byte-identical
-    results to ``ivf_topk`` over the same corpus and parameters."""
+    results to ``ivf_topk`` over the same corpus and parameters.
+
+    ``rerank_from`` (PQ layout only): the standard IVF-PQ recipe —
+    ADC shortlists ``rerank_factor * k`` candidates per query from the
+    8-byte codes, then ONLY the shortlist ids fetch their full-precision
+    vectors from the given source table for an exact cosine re-score
+    (the shortlist is |Q| x rerank_factor x k rows — a broadcast-able
+    point-lookup join, never corpus-sized).  Recovers near-full recall
+    while the corpus-wide scan still reads 64x fewer bytes."""
     import os
 
     cen = read_ivf_centroids(spark, out_dir)
     q = with_ivf_cell(with_unit_norm(queries, col), cen, col, n_probes=probes).select(
         F.col(q_id_col).alias("q_id"),
         F.col("unit").alias("q_unit"),
+        F.col(col).alias("q_emb"),
         F.explode("ivf_cells").alias("cell"),
     )
     probed = sorted(r["cell"] for r in q.select("cell").distinct().collect())
     # -> PartitionFilters at the scan (cell is a partition column in
     # the base layout AND the second level of every streamed delta)
     v = read_index_vectors(spark, out_dir).where(F.col("cell").isin(probed))
-    if "codes" in v.schema.fieldNames():  # sq8-quantized layout
+    fields = v.schema.fieldNames()
+    if "codes" in fields and "scale" not in fields:  # pq layout
+        books = read_pq_codebooks(spark, out_dir)
+        adc = _make_pq_adc_udf(books)
+        scored = (
+            v.select("vec_id", "codes", F.col("cell").cast("int").alias("cell"))
+            .join(F.broadcast(q), "cell")
+            .select(
+                "q_id",
+                "vec_id",
+                F.round(
+                    adc(F.col("codes"), F.col("q_id"), F.col("q_emb")), 6
+                ).alias("cos"),
+            )
+            .groupBy("q_id", "vec_id")
+            .agg(F.max("cos").alias("cos"))
+        )
+        w = Window.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+        short_k = k * rerank_factor if rerank_from is not None else k
+        shortlist = scored.withColumn("rank", F.row_number().over(w)).where(
+            F.col("rank") <= short_k
+        )
+        if rerank_from is None:
+            return shortlist
+        # exact re-score of the tiny shortlist: fetch full vectors for
+        # the shortlisted ids only, unit-cos against the query, rerank
+        src = with_unit_norm(
+            rerank_from.select(F.col("vec_id").cast("long").alias("vec_id"), col), col
+        ).select("vec_id", F.col("unit").alias("v_unit"))
+        qs = q.select("q_id", "q_unit").groupBy("q_id").agg(
+            F.first("q_unit").alias("q_unit")
+        )
+        dot = make_dot_udf()
+        rescored = (
+            shortlist.select("q_id", "vec_id")
+            .join(src, "vec_id")
+            .join(F.broadcast(qs), "q_id")
+            .select(
+                "q_id",
+                "vec_id",
+                F.round(dot(F.col("v_unit"), F.col("q_unit")), 6).alias("cos"),
+            )
+        )
+        return rescored.withColumn("rank", F.row_number().over(w)).where(
+            F.col("rank") <= k
+        )
+    if "codes" in fields:  # sq8-quantized layout
         _, dequant_unit = _make_sq8_udfs()
         v = v.select(
             "vec_id",

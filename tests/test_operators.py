@@ -594,6 +594,88 @@ def test_ivf_sq8_quantized_index(spark, tmp_path):
     assert "codes" in after.schema.fieldNames() and after.count() == 2 * n_before
 
 
+def test_ivf_pq_quantized_index(spark, tmp_path):
+    """PQ layout (Jégou et al. 2011): PQ_M one-byte codes per vector
+    (64-dim float64: 512 B -> 8 B at rest, 64x) + per-subspace integer
+    codebooks stored beside the centroids.  Checks: stored schema,
+    numpy replay of the whole lossy path (quantize -> assign -> ADC
+    cosine) matches the Spark scores bit-for-bit, ADC recall floor,
+    rerank recovers near-full recall, appends auto-detect the layout."""
+    import numpy as np
+
+    from json_remedy_spark.functions.similarity import (
+        PQ_FIXED_POINT,
+        PQ_M,
+        PQ_KSUB,
+        append_to_ivf_index,
+        ivf_topk_from_index,
+        read_pq_codebooks,
+        write_ivf_index,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = e.where(F.col("vec_id") < 4).select(F.col("vec_id").alias("q_id"), "embedding")
+
+    full, pq = str(tmp_path / "full"), str(tmp_path / "pq")
+    write_ivf_index(e, full, cells=8)
+    write_ivf_index(e, pq, cells=8, quantize="pq")
+
+    stored = spark.read.parquet(pq + "/vectors")
+    assert {f.name for f in stored.schema.fields} == {"vec_id", "codes", "cell"}
+    assert all(len(r["codes"]) == PQ_M for r in stored.limit(5).collect())
+    books = read_pq_codebooks(spark, pq)
+    dims = len(e.select("embedding").first()[0])
+    assert books.shape == (PQ_M, PQ_KSUB, dims // PQ_M)
+
+    got_df = ivf_topk_from_index(spark, pq, q, k=5, probes=3)
+    got_rows = got_df.collect()
+
+    # independent numpy replay of quantize -> assign -> ADC cosine:
+    # every returned cos must match the replay exactly (round 6)
+    src = {r["vec_id"]: np.array(r["embedding"]) for r in e.collect()}
+    dsub = dims // PQ_M
+
+    def quant(x):
+        s = max(np.abs(x).max(), 1e-30)
+        return np.floor(x / s * PQ_FIXED_POINT + 0.5).astype(np.int64)
+
+    def pq_cos(q_vec, v_vec):
+        qi, xi = quant(q_vec), quant(v_vec)
+        dot = r2 = 0
+        for s in range(PQ_M):
+            sub = xi[s * dsub : (s + 1) * dsub]
+            code = int(np.argmin(((books[s] - sub) ** 2).sum(axis=1)))
+            dot += int(books[s][code] @ qi[s * dsub : (s + 1) * dsub])
+            r2 += int(books[s][code] @ books[s][code])
+        q2 = int(qi @ qi)
+        return round(dot / max(np.sqrt(float(r2)) * np.sqrt(float(q2)), 1e-30), 6)
+
+    for r in got_rows:
+        assert r["cos"] == pq_cos(src[r["q_id"]], src[r["vec_id"]]), r
+
+    # recall floors: ADC-only is lossy but useful; rerank recovers it
+    want = {(r["q_id"], r["vec_id"]) for r in ivf_topk_from_index(spark, full, q, k=5, probes=3).collect()}
+    adc = {(r["q_id"], r["vec_id"]) for r in got_rows}
+    assert len(adc & want) / len(want) >= 0.5
+    reranked = {
+        (r["q_id"], r["vec_id"])
+        for r in ivf_topk_from_index(
+            spark, pq, q, k=5, probes=3, rerank_from=e, rerank_factor=8
+        ).collect()
+    }
+    assert len(reranked & want) / len(want) >= 0.9
+
+    # appends auto-detect the pq layout from the stored schema
+    n_before = stored.count()
+    extra = e.withColumn("vec_id", F.col("vec_id") + 1_000_000)
+    append_to_ivf_index(spark, pq, extra)
+    after = spark.read.parquet(pq + "/vectors")
+    assert {f.name for f in after.schema.fields} == {"vec_id", "codes", "cell"}
+    assert after.count() == 2 * n_before
+
+
 def test_train_quality_classifier_learns_separation(spark, tmp_path):
     """In-engine NB training: weights trained on a labeled corpus make
     the production scorer separate held-out docs of the same
