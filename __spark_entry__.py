@@ -222,6 +222,32 @@ def q_dedup_components(spark, sf_dir):
     )
 
 
+def q_incremental_fuzzy_dedup(spark, sf_dir):
+    """Dump-over-dump incremental fuzzy dedup (the CCNet/FineWeb
+    production cadence): docs with doc_id % 3 == 0 arrive as the NEW
+    dump; the rest are the accumulated corpus, which participates only
+    through its at-rest banded signatures, its candidate-matched text
+    rows, and its prior components' star edges — the minhash kernel
+    and the (seen x seen) pair join never re-run over it.  The oracle
+    is the ONE-SHOT UNION replay (the same recursive-CTE components
+    SQL as ``dedup_components``): a green row IS the driver-level
+    proof that the incremental path reproduces the one-shot labeling
+    exactly."""
+    d = _t(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism)
+    seen = d.where("doc_id % 3 <> 0")
+    new = d.where("doc_id % 3 = 0")
+    seen_banded = dedup.banded_signatures(dedup.minhash_signatures(seen))
+    seen_comp = dedup.near_dup_components(seen, threshold=0.5)
+    out = dedup.incremental_near_dup_components(
+        new, seen_banded, seen, seen_comp, threshold=0.5
+    )
+    return out.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("rep_id").cast("long").alias("rep_id"),
+        F.col("is_canonical").alias("is_canonical"),
+    )
+
+
 BM25_QUERIES = [(0, "hash join merge"), (1, "slow vector scan"), (2, "customer data batch filter")]
 
 
@@ -2434,6 +2460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_encode_bytes": q_bpe_encode_bytes,
         "pack_byte_token_ids": q_pack_byte_token_ids,
         "ivf_pq_topk": q_ivf_pq_topk,
+        "incremental_fuzzy_dedup": q_incremental_fuzzy_dedup,
         # --- last witnessed in CORRECTNESS_r04.json (rotate to front) ---
         "pipeline_funnel": q_pipeline_funnel,
         "main_content": q_main_content,
@@ -4283,6 +4310,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dup": _simhash_near_dup_sql(),
         "lsh_jaccard_verified": _lsh_verified_sql(),
         "dedup_components": _dedup_components_sql(),
+        # the incremental path must reproduce the ONE-SHOT union
+        # labeling — same replay, independent proof of the parity claim
+        "incremental_fuzzy_dedup": _dedup_components_sql(),
         "dedup_cluster_sizes": f"""
           WITH comp AS ({_dedup_components_sql()}),
           sizes AS (SELECT rep_id, count(*) AS cluster_size FROM comp GROUP BY rep_id)

@@ -61,6 +61,29 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--embeddings", action="store_true")
     ap.add_argument("--emb-col", default="embedding")
+    ap.add_argument(
+        "--seen-signatures", default=None,
+        help="at-rest signature table of ALL previously-processed dumps "
+        "(the --sig-dir of prior runs, or their union dir): switches to "
+        "dump-over-dump incremental mode — the minhash kernel runs over "
+        "--input (the NEW dump) only; (seen x seen) pairs are never "
+        "regenerated.  Requires --seen-docs and --seen-components.  Doc "
+        "ids must be globally unique across dumps, and --threshold must "
+        "match the prior runs'.",
+    )
+    ap.add_argument(
+        "--seen-docs", default=None,
+        help="prior dumps' (doc_id, text) table — read ONLY for docs "
+        "matched by a cross-dump candidate pair (semi-join before the "
+        "shingle explode), for the exact-jaccard verify stage",
+    )
+    ap.add_argument(
+        "--seen-components", default=None,
+        help="prior run's --output (doc_id, rep_id, is_canonical): its "
+        "star edges carry the already-verified clustering into the "
+        "incremental components, so the union labeling is reproduced "
+        "without recomputing it",
+    )
     return ap
 
 
@@ -80,6 +103,11 @@ def run(spark, args) -> str:
         write_signature_table,
     )
     from json_remedy_spark.sources.catalog import read_table, write_table
+
+    if args.seen_signatures and not (args.seen_docs and args.seen_components):
+        raise SystemExit(
+            "--seen-signatures requires --seen-docs and --seen-components"
+        )
 
     if args.embeddings:
         from json_remedy_spark.functions.similarity import embedding_near_dup
@@ -132,28 +160,88 @@ def run(spark, args) -> str:
     fmt = write_signature_table(
         docs, args.sig_dir, n_buckets=args.buckets, signatures=rep_sigs
     )
-    cand = lsh_candidate_pairs_from_table(
-        spark,
-        args.sig_dir,
-        hub_cap=args.max_bucket or None,
-        n_hubs=args.hubs,
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    sh = shingles(docs.join(rep_ids, "doc_id")).persist(StorageLevel.MEMORY_AND_DISK)
-    verified = jaccard_verify_candidates(sh, cand, threshold=args.threshold)
-    comp_rep = components_from_pairs(rep_ids, verified)
-    comp = (
-        sigs.select("doc_id", "set_hash")
-        .join(groups, "set_hash")
-        .join(
-            comp_rep.withColumnRenamed("doc_id", "grp_rep").drop("is_canonical"),
-            "grp_rep",
+    if args.seen_signatures:
+        # Dump-over-dump incremental mode (CCNet/FineWeb cadence):
+        # this dump's kernel output just landed in --sig-dir; the
+        # accumulated corpus participates only through its AT-REST
+        # signatures, its candidate-matched text rows, and its prior
+        # components' star edges.  Provably reproduces the one-shot
+        # union labeling (see incremental_near_dup_components;
+        # parity-tested in test_jobs_cache_hygiene).
+        from json_remedy_spark.functions.dedup import (
+            cross_dump_candidate_pairs,
+            read_signature_table,
         )
-        .select(
-            "doc_id",
-            "rep_id",
-            (F.col("doc_id") == F.col("rep_id")).alias("is_canonical"),
+
+        new_banded = read_signature_table(spark, args.sig_dir)
+        seen_banded = read_signature_table(spark, args.seen_signatures)
+        cand = cross_dump_candidate_pairs(
+            new_banded, seen_banded,
+            hub_cap=args.max_bucket or None, n_hubs=args.hubs,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        cand_ids = (
+            cand.select(F.col("doc_a").alias("doc_id"))
+            .union(cand.select(F.col("doc_b").alias("doc_id")))
+            .distinct()
         )
-    )
+        old = read_table(spark, args.seen_docs).select(
+            F.col(args.id_col).alias("doc_id"), F.col(args.text_col).alias("text")
+        )
+        # semi-join the DOC rows before the shingle explode: prior
+        # dumps are never re-shingled wholesale
+        old_matched = old.join(cand_ids, "doc_id", "left_semi")
+        sh = shingles(
+            docs.join(rep_ids, "doc_id").unionByName(old_matched)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        verified = jaccard_verify_candidates(sh, cand, threshold=args.threshold)
+        prior = read_table(spark, args.seen_components).select("doc_id", "rep_id")
+        prior_edges = prior.where(F.col("doc_id") != F.col("rep_id")).select(
+            F.col("rep_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
+        )
+        comp_rep = components_from_pairs(
+            prior.select("doc_id").unionByName(rep_ids),
+            verified.select("doc_a", "doc_b").unionByName(prior_edges),
+        )
+        comp_new = (
+            sigs.select("doc_id", "set_hash")
+            .join(groups, "set_hash")
+            .join(
+                comp_rep.withColumnRenamed("doc_id", "grp_rep").drop("is_canonical"),
+                "grp_rep",
+            )
+            .select(
+                "doc_id",
+                "rep_id",
+                (F.col("doc_id") == F.col("rep_id")).alias("is_canonical"),
+            )
+        )
+        # prior docs pass through with their (possibly merged) labels
+        comp = comp_rep.join(
+            prior.select("doc_id"), "doc_id", "left_semi"
+        ).unionByName(comp_new)
+    else:
+        cand = lsh_candidate_pairs_from_table(
+            spark,
+            args.sig_dir,
+            hub_cap=args.max_bucket or None,
+            n_hubs=args.hubs,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        sh = shingles(docs.join(rep_ids, "doc_id")).persist(StorageLevel.MEMORY_AND_DISK)
+        verified = jaccard_verify_candidates(sh, cand, threshold=args.threshold)
+        comp_rep = components_from_pairs(rep_ids, verified)
+        comp = (
+            sigs.select("doc_id", "set_hash")
+            .join(groups, "set_hash")
+            .join(
+                comp_rep.withColumnRenamed("doc_id", "grp_rep").drop("is_canonical"),
+                "grp_rep",
+            )
+            .select(
+                "doc_id",
+                "rep_id",
+                (F.col("doc_id") == F.col("rep_id")).alias("is_canonical"),
+            )
+        )
     write_table(comp, args.output, mode="overwrite")
     n_docs = comp.count()
     n_kept = comp.where("is_canonical").count()

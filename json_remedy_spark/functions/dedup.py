@@ -341,6 +341,140 @@ def lsh_candidate_pairs_from_table(
     )
 
 
+def _bucket_hubs(banded: DataFrame, n_hubs: int) -> DataFrame:
+    """``n_hubs`` smallest doc_ids per (band, bucket) via n_hubs rounds
+    of a plain min() agg — bounded state, map-side combine, no window
+    (a window would pin each mega-bucket into one task; ADVICE r5)."""
+    remaining = banded
+    hub_frames = []
+    for _ in range(n_hubs):
+        h = remaining.groupBy("band", "bucket").agg(F.min("doc_id").alias("doc_id"))
+        hub_frames.append(h)
+        remaining = (
+            remaining.join(h.withColumnRenamed("doc_id", "_h"), ["band", "bucket"])
+            .where(F.col("doc_id") > F.col("_h"))
+            .drop("_h")
+        )
+    hubs = hub_frames[0]
+    for h in hub_frames[1:]:
+        hubs = hubs.unionByName(h)
+    return hubs
+
+
+def cross_dump_candidate_pairs(
+    new_banded: DataFrame,
+    seen_banded: DataFrame,
+    hub_cap: int | None = None,
+    n_hubs: int = 2,
+) -> DataFrame:
+    """Candidate pairs for DUMP-OVER-DUMP incremental fuzzy dedup
+    (the CCNet/FineWeb production cadence): within-new pairs PLUS the
+    (new x seen) bipartite band join — (seen x seen) pairs are NEVER
+    generated, because prior runs already verified them and their
+    clustering arrives through the prior components' star edges
+    (``incremental_near_dup_components``).  Ids must be globally
+    unique across dumps (caller contract).
+
+    Scale shape: the seen side is the AT-REST signature table
+    (``read_signature_table``) — the expensive shingle+minhash kernel
+    re-runs over the NEW dump only, never over the accumulated corpus.
+    ``hub_cap`` extends the quadratic-blowup guard to the bipartite
+    side: a seen bucket larger than the cap (a known boilerplate
+    family) is represented by its ``n_hubs`` smallest members, so
+    cross candidates stay <= |new| * bands * max(hub_cap, n_hubs) —
+    LINEAR in the new dump no matter how large the at-rest corpus
+    grows."""
+    within = candidate_pairs_from_banded(new_banded, hub_cap=hub_cap, n_hubs=n_hubs)
+    seen = seen_banded
+    if hub_cap is not None:
+        sizes = seen.groupBy("band", "bucket").agg(F.count(F.lit(1)).alias("_sz"))
+        with_sz = seen.join(sizes, ["band", "bucket"])
+        small = with_sz.where(F.col("_sz") <= hub_cap).drop("_sz")
+        big = with_sz.where(F.col("_sz") > hub_cap).drop("_sz")
+        seen = small.unionByName(_bucket_hubs(big, n_hubs).select("doc_id", "band", "bucket"))
+    cross = (
+        new_banded.alias("n")
+        .join(seen.alias("s"), ["band", "bucket"])
+        .where(F.col("n.doc_id") != F.col("s.doc_id"))
+        .select(
+            F.least("n.doc_id", "s.doc_id").alias("doc_a"),
+            F.greatest("n.doc_id", "s.doc_id").alias("doc_b"),
+        )
+    )
+    return within.unionByName(cross).distinct()
+
+
+def incremental_near_dup_components(
+    new_docs: DataFrame,
+    seen_banded: DataFrame,
+    seen_docs: DataFrame,
+    seen_components: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hub_cap: int | None = None,
+    n_hubs: int = 2,
+    algorithm: str = "min_label",
+    handles: list | None = None,
+) -> DataFrame:
+    """Incremental fuzzy dedup of a NEW dump against the accumulated
+    corpus — provably equal (parity-tested; exact when ``hub_cap`` is
+    None) to ``near_dup_components`` over the union, while:
+
+    - the minhash kernel runs over the NEW dump only (``seen_banded``
+      is the at-rest signature table of everything processed so far);
+    - (seen x seen) candidate pairs are never generated — the prior
+      clustering enters as (rep_id -> doc_id) star edges from
+      ``seen_components``, whose transitive closure equals the prior
+      verified-pair graph's, so components over (prior stars) union
+      (new-touching verified pairs) reproduce the one-shot labeling
+      (connected components depend only on connectivity; min-id rep
+      selection is then identical).  Merges THROUGH a new bridge doc
+      (old cluster A — new doc — old cluster B) fall out for free;
+    - ``seen_docs`` text is touched only for docs matched by a
+      candidate pair: the semi-join happens BEFORE the shingle explode
+      so the old corpus is never re-shingled wholesale.
+
+    ``threshold`` must match the one the prior components were built
+    with (caller contract, like the ids-globally-unique contract)."""
+    from pyspark import StorageLevel
+
+    new = new_docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    old = seen_docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    new_banded = banded_signatures(minhash_signatures(new)).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    cand = cross_dump_candidate_pairs(
+        new_banded, seen_banded, hub_cap=hub_cap, n_hubs=n_hubs
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cand_ids = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    # semi-join the DOC rows (not the exploded shingles) so only
+    # candidate-matched old docs ever reach the shingle kernel
+    old_matched = old.join(cand_ids, "doc_id", "left_semi")
+    sh = shingles(new.unionByName(old_matched)).persist(StorageLevel.MEMORY_AND_DISK)
+    verified = jaccard_verify_candidates(sh, cand, threshold=threshold)
+    prior = seen_components.select("doc_id", "rep_id")
+    prior_edges = prior.where(F.col("doc_id") != F.col("rep_id")).select(
+        F.col("rep_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
+    )
+    ids = prior.select("doc_id").unionByName(new.select("doc_id"))
+    comp = components_from_pairs(
+        ids,
+        verified.select("doc_a", "doc_b").unionByName(prior_edges),
+        algorithm=algorithm,
+    )
+    if handles is not None:
+        handles.extend([new_banded, cand, sh])
+    else:
+        for h in (new_banded, cand, sh):
+            h.unpersist()
+    return comp
+
+
 def jaccard_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -396,6 +396,71 @@ def test_dedup_job_exact_collapse_parity(spark, tmp_path):
     assert reps[40] == (40, True) and reps[41] == (40, False)
 
 
+def test_dedup_job_incremental_cross_dump_parity(spark, tmp_path):
+    """--seen-signatures mode (dump-over-dump, the production cadence):
+    processing dump B against dump A's at-rest signature table + prior
+    components reproduces the ONE-SHOT union labeling byte-for-byte,
+    while dump A's signature table is never rewritten (the minhash
+    kernel runs over B only)."""
+    import os
+
+    from jobs.run_dedup import build_parser, run
+
+    spark.catalog.clearCache()
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src_a, src_b, src_u = (str(tmp_path / d) for d in ("a", "b", "u"))
+    docs.where("doc_id % 3 <> 0").write.parquet(src_a)
+    docs.where("doc_id % 3 = 0").write.parquet(src_b)
+    docs.write.parquet(src_u)
+
+    sig_a, out_a = str(tmp_path / "sigA"), str(tmp_path / "outA")
+    run(spark, build_parser().parse_args(
+        ["--input", src_a, "--sig-dir", sig_a, "--output", out_a,
+         "--buckets", "4", "--threshold", "0.5"]
+    ))
+    snap = {
+        p: os.path.getmtime(os.path.join(r, p))
+        for r, _, fs in os.walk(sig_a) for p in fs
+    }
+
+    out_b = str(tmp_path / "outB")
+    msg = run(spark, build_parser().parse_args(
+        ["--input", src_b, "--sig-dir", str(tmp_path / "sigB"),
+         "--output", out_b, "--buckets", "4", "--threshold", "0.5",
+         "--seen-signatures", sig_a, "--seen-docs", src_a,
+         "--seen-components", out_a]
+    ))
+    assert "docs=" in msg
+    assert _sql_cache_empty(spark), "incremental dedup leaked persists"
+
+    out_u = str(tmp_path / "outU")
+    run(spark, build_parser().parse_args(
+        ["--input", src_u, "--sig-dir", str(tmp_path / "sigU"),
+         "--output", out_u, "--buckets", "4", "--threshold", "0.5"]
+    ))
+
+    got = sorted(tuple(r) for r in spark.read.parquet(out_b).collect())
+    want = sorted(tuple(r) for r in spark.read.parquet(out_u).collect())
+    assert got == want and len(got) == docs.count()
+
+    # dump A's at-rest signatures were read, never rewritten
+    after = {
+        p: os.path.getmtime(os.path.join(r, p))
+        for r, _, fs in os.walk(sig_a) for p in fs
+    }
+    assert after == snap
+
+    # missing companion inputs fail loudly, not silently non-incremental
+    import pytest
+
+    with pytest.raises(SystemExit):
+        run(spark, build_parser().parse_args(
+            ["--input", src_b, "--sig-dir", str(tmp_path / "sigX"),
+             "--output", str(tmp_path / "outX"),
+             "--seen-signatures", sig_a]
+        ))
+
+
 def test_corpus_pipeline_soft_dedup(spark, tmp_path):
     """--soft-dedup keeps EVERY fuzzy near-dup with a weight column:
     total mass equals the hard-dedup keep count (exponent 1), weights

@@ -1253,6 +1253,57 @@ def test_near_dup_components_hub_cap_threaded(spark):
     assert all(capped[i] == 0 for i in range(8)) and capped[100] == 100
 
 
+def test_incremental_near_dup_components_parity_and_bridge(spark):
+    """Dump-over-dump fuzzy dedup equals the one-shot union labeling,
+    including the hard case: a NEW doc bridging TWO previously-separate
+    old clusters (the merge must happen without re-verifying any
+    (seen x seen) pair — connectivity flows through the prior star
+    edges).  Also pins the kernel-cost contract: old docs without a
+    candidate pair never reach the shingle stage."""
+    from json_remedy_spark.functions.dedup import (
+        banded_signatures,
+        incremental_near_dup_components,
+        minhash_signatures,
+        near_dup_components,
+    )
+
+    base = (
+        "shared boilerplate sentence about data pipelines and spark "
+        "execution that makes up most of every document body here"
+    )
+    old_rows = [
+        (0, base + " alpha variant"),
+        (1, base + " alpha variant"),          # cluster {0,1}
+        (10, base + " omega variant"),
+        (11, base + " omega variant"),         # cluster {10,11}
+        (20, "totally unrelated text on parquet footers and row groups"),
+    ]
+    new_rows = [
+        (30, base),                             # bridges both clusters
+        (31, "fresh unique document about watermarks and state stores"),
+        (32, base + " alpha variant"),          # joins cluster {0,1}
+    ]
+    old = spark.createDataFrame(old_rows, ["doc_id", "text"])
+    new = spark.createDataFrame(new_rows, ["doc_id", "text"])
+
+    seen_banded = banded_signatures(minhash_signatures(old))
+    seen_comp = near_dup_components(old, threshold=0.5)
+    got = {
+        r["doc_id"]: (r["rep_id"], r["is_canonical"])
+        for r in incremental_near_dup_components(
+            new, seen_banded, old, seen_comp, threshold=0.5
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: (r["rep_id"], r["is_canonical"])
+        for r in near_dup_components(old.unionByName(new), threshold=0.5).collect()
+    }
+    assert got == want
+    # the bridge merged {0,1}, {10,11}, 30 and 32 into one rep-0 cluster
+    assert {got[i][0] for i in (0, 1, 10, 11, 30, 32)} == {0}
+    assert got[20] == (20, True) and got[31] == (31, True)
+
+
 def test_stateful_stream_lsh_near_dup(spark, tmp_path):
     """Streaming minhash-LSH: band-bucket state emits candidate pairs
     against the bucket representative, across micro-batches and a
