@@ -1892,10 +1892,14 @@ def q_corpus_funnel(spark, sf_dir):
         .otherwise(F.concat(F.lit("/p/"), gs))
     )
     variant = F.pmod(F.col("doc_id"), 3)
+    # every 7th page group serves from a nonstandard port — the URL
+    # quality gate (stage 1, the cheapest filter, FineWeb ordering)
+    # drops those before any page byte is read
+    port = F.when(F.pmod(g, 7) == 0, F.lit(":8080")).otherwise(F.lit(""))
     url = (
-        F.when(variant == 0, F.concat(F.lit("HTTP://Shop"), h, F.lit(".Example.COM"), path))
-        .when(variant == 1, F.concat(F.lit("http://shop"), h, F.lit(".example.com"), path, F.lit("?utm_source=feed")))
-        .otherwise(F.concat(F.lit("http://shop"), h, F.lit(".example.com"), path, F.lit("#top")))
+        F.when(variant == 0, F.concat(F.lit("HTTP://Shop"), h, F.lit(".Example.COM"), port, path))
+        .when(variant == 1, F.concat(F.lit("http://shop"), h, F.lit(".example.com"), port, path, F.lit("?utm_source=feed")))
+        .otherwise(F.concat(F.lit("http://shop"), h, F.lit(".example.com"), port, path, F.lit("#top")))
     )
     # the per-doc ' marker N' suffix keeps duplicated source texts as
     # DISTINCT lines (so global line dedup can't erase the near-dup
@@ -1911,7 +1915,15 @@ def q_corpus_funnel(spark, sf_dir):
         F.col("doc_id").cast("long").alias("doc_id"), url.alias("url"), text.alias("text")
     ).persist()
 
-    # stage 1: robots gate (same rule synthesis as q_robots_filter)
+    # stage 1: URL quality gate — url bytes only, before everything
+    s0 = (
+        webgraph.url_quality_gate(pages)
+        .where(F.col("url_ok"))
+        .select("doc_id", "url", "text")
+        .persist()
+    )
+
+    # stage 2: robots gate (same rule synthesis as q_robots_filter)
     n_tbl = _t(spark, sf_dir, "nation")
     n = F.col("n_nationkey")
     body = F.concat(
@@ -1932,13 +1944,13 @@ def q_corpus_funnel(spark, sf_dir):
     )
     rules = webgraph.robots_disallow_rules(robots)
     s1 = (
-        webgraph.robots_filter(pages, rules)
+        webgraph.robots_filter(s0, rules)
         .where(~F.col("robots_disallowed"))
         .select("doc_id", "url", "text")
         .persist()
     )
 
-    # stage 2: URL dedup — canonical collapse, min-url representative
+    # stage 3: URL dedup — canonical collapse, min-url representative
     # (the job's no-warc_ts fallback path)
     keyed = s1.withColumn("canon_url", canonical_url(F.col("url")))
     rep = keyed.groupBy("canon_url").agg(F.min("url").alias("rep_url"))
@@ -1949,7 +1961,7 @@ def q_corpus_funnel(spark, sf_dir):
         .persist()
     )
 
-    # stage 3: global line dedup; docs emptied by it drop out
+    # stage 4: global line dedup; docs emptied by it drop out
     s3 = (
         line_dedup(s2)
         .where(F.length(F.trim("text")) > 0)
@@ -1957,13 +1969,13 @@ def q_corpus_funnel(spark, sf_dir):
         .persist()
     )
 
-    # stage 4: fuzzy near-dup components — canonical reps survive
+    # stage 5: fuzzy near-dup components — canonical reps survive
     comp = dedup.near_dup_components(s3, threshold=0.5)
     s4 = s3.join(
         comp.where(F.col("is_canonical")).select("doc_id"), "doc_id"
     ).persist()
 
-    # stage 5: benchmark decontamination vs the src0 eval split
+    # stage 6: benchmark decontamination vs the src0 eval split
     s5 = decontaminate(s4, ev).where(~F.col("contaminated")).select("doc_id")
 
     def cnt(df, name):
@@ -1971,6 +1983,7 @@ def q_corpus_funnel(spark, sf_dir):
 
     return (
         cnt(pages, "n_input")
+        .crossJoin(cnt(s0, "n_post_url_gate"))
         .crossJoin(cnt(s1, "n_post_robots"))
         .crossJoin(cnt(s2, "n_post_url_dedup"))
         .crossJoin(cnt(s3, "n_post_line_dedup"))
@@ -2461,6 +2474,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_byte_token_ids": q_pack_byte_token_ids,
         "ivf_pq_topk": q_ivf_pq_topk,
         "incremental_fuzzy_dedup": q_incremental_fuzzy_dedup,
+        # changed this round (url-gate stage added) -> re-witness now
+        "corpus_funnel": q_corpus_funnel,
         # --- last witnessed in CORRECTNESS_r04.json (rotate to front) ---
         "pipeline_funnel": q_pipeline_funnel,
         "main_content": q_main_content,
@@ -2511,7 +2526,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": q_media_meta,
         "frame_sample": q_frame_sample,
         "media_near_dup": q_media_near_dup,
-        "corpus_funnel": q_corpus_funnel,
         "ivf_ann_topk": q_ivf_ann_topk,
         "ivf_append_topk": q_ivf_append_topk,
         "soft_dedup_weights": q_soft_dedup_weights,
@@ -3820,6 +3834,8 @@ def _corpus_funnel_sql() -> str:
     (SELECT ... FROM s_k)` re-binds the builders' table references to
     the chained survivors; base-table reads are `main.`-qualified so
     the shadow never recurses)."""
+    from json_remedy_spark.functions import webgraph
+
     canon = corpus.canonical_url_sql("url")
     return f"""
       WITH corp AS (
@@ -3830,13 +3846,13 @@ def _corpus_funnel_sql() -> str:
                CASE
                  WHEN doc_id % 3 = 0 THEN
                    'HTTP://Shop' || ((doc_id // 3) % 10)::VARCHAR || '.Example.COM'
-                   || path
+                   || port || path
                  WHEN doc_id % 3 = 1 THEN
                    'http://shop' || ((doc_id // 3) % 10)::VARCHAR || '.example.com'
-                   || path || '?utm_source=feed'
+                   || port || path || '?utm_source=feed'
                  ELSE
                    'http://shop' || ((doc_id // 3) % 10)::VARCHAR || '.example.com'
-                   || path || '#top'
+                   || port || path || '#top'
                END AS url,
                'Please enable cookies to continue' || chr(10)
                  || 'section ' || ((doc_id // 3) % 10)::VARCHAR || ' navigation menu' || chr(10)
@@ -3848,15 +3864,22 @@ def _corpus_funnel_sql() -> str:
                       WHEN 1 THEN '/products/' || (doc_id // 3)::VARCHAR
                       WHEN 2 THEN '/tmp/cache/' || (doc_id // 3)::VARCHAR
                       ELSE '/p/' || (doc_id // 3)::VARCHAR
-                    END AS path
+                    END AS path,
+                 CASE WHEN (doc_id // 3) % 7 = 0 THEN ':8080' ELSE '' END AS port
           FROM corp
         )
       ),
-      -- robots gate, closed form by construction: hosts shop{0,3,6,9}
+      -- URL quality gate: the REAL gate expression replayed over the
+      -- synthesized urls (not the closed-form g%7 — the regexes must
+      -- independently rediscover the nonstandard-port pages)
+      s0 AS (
+        SELECT * FROM pages WHERE {webgraph.url_quality_gate_expr_sql("url")}
+      ),
+      -- robots gate, closed form by construction: hosts shop{{0,3,6,9}}
       -- carry *-agent Disallow /admin + /tmp/; paths g%4 in (0,2)
       -- start with those prefixes
       s1 AS (
-        SELECT * FROM pages
+        SELECT * FROM s0
         WHERE NOT ((g % 10) % 3 = 0 AND (g % 4) IN (0, 2))
       ),
       s2 AS (
@@ -3912,6 +3935,7 @@ def _corpus_funnel_sql() -> str:
         )
       )
       SELECT (SELECT count(*) FROM pages)::BIGINT AS n_input,
+             (SELECT count(*) FROM s0)::BIGINT AS n_post_url_gate,
              (SELECT count(*) FROM s1)::BIGINT AS n_post_robots,
              (SELECT count(*) FROM s2)::BIGINT AS n_post_url_dedup,
              (SELECT count(*) FROM s3)::BIGINT AS n_post_line_dedup,

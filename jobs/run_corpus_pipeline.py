@@ -12,7 +12,9 @@
       [--token-budget N] [--threshold 0.8] [--max-per-domain K]
       [--no-line-dedup] [--dup-span-window W] [--seen-input <store>]
       [--shard-tokens N]   output as contiguous ~N-token shards
-      [--robots-input <host,robots_txt table>]  politeness gate first
+      [--url-gate]  URL-only spam heuristics, cheapest gate, runs first
+      [--rank-input <src,dst links> --rank-drop-pct P]  domain-rank floor
+      [--robots-input <host,robots_txt table>]  politeness gate next
       [--boilerplate-frac F]  per-host template removal pre line-dedup
       [--dsir-target <docs> --dsir-n N]  DSIR importance resampling
       [--dsir-ratio <parquet> | --dsir-ratio-out <parquet>]  at-rest ratio
@@ -119,6 +121,24 @@ def build_parser() -> argparse.ArgumentParser:
         "and drop disallowed pages map-side (broadcast rule join) "
         "before any downstream spend",
     )
+    ap.add_argument(
+        "--url-gate", action="store_true",
+        help="URL-only spam/quality gate (digit-heavy hosts/paths, "
+        "parameter blowups, deep/long paths, subdomain stuffing, "
+        "nonstandard ports — webgraph.URL_GATE thresholds).  Runs "
+        "FIRST: it reads zero page bytes, so every downstream stage "
+        "sees fewer rows for free (FineWeb/DCLM ordering)",
+    )
+    ap.add_argument(
+        "--rank-input", default=None,
+        help="(src, dst) host-level link table: 5-round PageRank over "
+        "it, pages whose host falls in the bottom --rank-drop-pct "
+        "percent of RANKED hosts are dropped (hosts absent from the "
+        "graph are kept — unknown, not penalized).  Host-level "
+        "metadata only: the page table never shuffles, the low-rank "
+        "host set broadcasts",
+    )
+    ap.add_argument("--rank-drop-pct", type=float, default=10.0)
     ap.add_argument(
         "--blocklist-input",
         default=None,
@@ -278,6 +298,15 @@ def run(spark, args) -> str:
     else:
         pages = read_table(spark, args.input)
 
+    # 0a. optional URL quality gate — the CHEAPEST filter in the stack
+    # runs first (FineWeb/DCLM ordering): pure projection over the url
+    # column, zero page bytes read, no join at all
+    if args.url_gate:
+        from json_remedy_spark.functions.webgraph import url_quality_gate
+
+        pages = url_quality_gate(pages, url_col="url").where(
+            F.col("url_ok")
+        ).drop("url_ok")
     # 0. optional robots.txt politeness gate — the first thing a crawl
     # pipeline does: disallowed pages are dropped in the scan stage
     # (broadcast rule join), before a single downstream byte is spent
@@ -301,6 +330,25 @@ def run(spark, args) -> str:
             blocklist_filter(pages, bl, id_col="url")
             .where(~F.col("blocked"))
             .drop("blocked", "block_category")
+        )
+    # 0c. optional domain-rank gate: PageRank over a host link graph
+    # (WebGraph/CommonCrawl host-level ranks are ~10^8 rows — a side
+    # table, never corpus-sized); the bottom percentile of RANKED
+    # hosts drops via a broadcast anti-join on the url's host
+    if args.rank_input:
+        from json_remedy_spark.functions.webgraph import pagerank, url_host
+
+        ranks = pagerank(read_table(spark, args.rank_input), iters=5, damping=0.85)
+        thr = ranks.agg(
+            F.expr(f"percentile(rank, {args.rank_drop_pct / 100.0})").alias("t")
+        ).collect()[0]["t"]
+        low = ranks.where(F.col("rank") <= F.lit(thr)).select(
+            F.col("node").alias("_host")
+        )
+        pages = (
+            pages.withColumn("_host", url_host(F.col("url")))
+            .join(F.broadcast(low), "_host", "left_anti")
+            .drop("_host")
         )
     n_in = pages.count()
     stager = StageCheckpointer(spark, args.checkpoint_root) if args.checkpoint_root else None

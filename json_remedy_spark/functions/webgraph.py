@@ -180,6 +180,80 @@ def url_features_sql(
     """
 
 
+# URL-gate thresholds — the published heuristics' shape (digit-heavy
+# hosts/paths = auto-generated spam farms; parameter blowups =
+# calendars/session ids; subdomain stuffing; nonstandard ports).
+# One definition, shared by the column gate and its SQL mirror.
+URL_GATE = {
+    "max_path_digit_frac": 0.5,
+    "max_host_digit_frac": 0.2,
+    "max_query_params": 4,
+    "max_path_len": 128,
+    "max_path_depth": 8,
+    "max_subdomains": 3,
+}
+
+
+def url_quality_gate(
+    pages: DataFrame, url_col: str = "url", **overrides
+) -> DataFrame:
+    """``url_ok`` boolean from URL-ONLY spam/quality heuristics — the
+    cheapest gate in the stack, which is why FineWeb/DCLM run it
+    first: it reads zero page bytes.  Pure projection over the url
+    column (same JVM regexes as ``url_features``); Catalyst prunes
+    every other column until the filter, so at 100 TB the gate's scan
+    cost is the url bytes alone.  Thresholds come from ``URL_GATE``
+    (override per call); nonstandard ports always fail."""
+    t = dict(URL_GATE, **overrides)
+    host = url_host(F.col(url_col))
+    p = F.regexp_extract(F.col(url_col), _URL_PATH_ONLY_PATTERN, 1)
+    path = F.when(p == "", F.lit("/")).otherwise(p)
+    q = F.regexp_extract(F.col(url_col), r"\?([^#]*)", 1)
+    n_params = F.when(q == "", F.lit(0)).otherwise(F.size(F.split(q, "&")))
+    digit_frac = F.length(F.regexp_replace(path, r"[^0-9]", "")) / F.greatest(
+        F.length(path), F.lit(1)
+    )
+    host_digit_frac = F.length(F.regexp_replace(host, r"[^0-9]", "")) / F.greatest(
+        F.length(host), F.lit(1)
+    )
+    ok = (
+        (F.regexp_extract(F.col(url_col), _URL_PORT_PATTERN, 1) == "")
+        & (digit_frac <= t["max_path_digit_frac"])
+        & (host_digit_frac <= t["max_host_digit_frac"])
+        & (n_params <= t["max_query_params"])
+        & (F.length(path) <= t["max_path_len"])
+        & (
+            F.size(F.filter(F.split(path, "/"), lambda s: s != ""))
+            <= t["max_path_depth"]
+        )
+        & (F.size(F.split(host, r"\.")) - 1 <= t["max_subdomains"])
+    )
+    return pages.withColumn("url_ok", ok)
+
+
+def url_quality_gate_expr_sql(url_col: str = "url", **overrides) -> str:
+    """DuckDB boolean mirror of ``url_quality_gate`` — same regexes,
+    same ``URL_GATE`` thresholds, for chained funnel oracles."""
+    t = dict(URL_GATE, **overrides)
+    host = f"lower(regexp_extract({url_col}, '{HOST_PATTERN}', 1))"
+    path = (
+        f"CASE WHEN regexp_extract({url_col}, '{_URL_PATH_ONLY_PATTERN}', 1) = '' THEN '/' "
+        f"ELSE regexp_extract({url_col}, '{_URL_PATH_ONLY_PATTERN}', 1) END"
+    )
+    q = f"regexp_extract({url_col}, '\\?([^#]*)', 1)"
+    return f"""(
+      regexp_extract({url_col}, '{_URL_PORT_PATTERN}', 1) = ''
+      AND length(regexp_replace({path}, '[^0-9]', '', 'g')) * 1.0
+          / greatest(length({path}), 1) <= {t["max_path_digit_frac"]}
+      AND length(regexp_replace({host}, '[^0-9]', '', 'g')) * 1.0
+          / greatest(length({host}), 1) <= {t["max_host_digit_frac"]}
+      AND (CASE WHEN {q} = '' THEN 0 ELSE len(string_split({q}, '&')) END) <= {t["max_query_params"]}
+      AND length({path}) <= {t["max_path_len"]}
+      AND len(list_filter(string_split({path}, '/'), s -> s != '')) <= {t["max_path_depth"]}
+      AND len(string_split({host}, '.')) - 1 <= {t["max_subdomains"]}
+    )"""
+
+
 def robots_disallow_rules(
     robots: DataFrame, host_col: str = "host", text_col: str = "robots_txt"
 ) -> DataFrame:

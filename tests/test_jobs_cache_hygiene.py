@@ -396,6 +396,66 @@ def test_dedup_job_exact_collapse_parity(spark, tmp_path):
     assert reps[40] == (40, True) and reps[41] == (40, False)
 
 
+def test_corpus_pipeline_url_gate(spark, tmp_path):
+    """--url-gate drops spam-signal URLs (nonstandard port, digit-heavy
+    host, parameter blowup) BEFORE any page byte is read, keeps clean
+    ones, and leaves the SQL cache empty.  The gate thresholds are the
+    shared webgraph.URL_GATE definition — the same ones the
+    corpus_funnel oracle replays."""
+    from pyspark.sql import functions as F
+
+    from jobs.run_corpus_pipeline import build_parser, run
+
+    spark.catalog.clearCache()
+    from json_remedy_spark.sources.webpages import make_row
+
+    # generator rows that the quality filter keeps (JSON-bearing, en),
+    # re-addressed onto the urls under test — each body is DISTINCT so
+    # fuzzy dedup leaves them alone
+    def body(i):
+        return make_row(i)["text"]
+
+    seeds = [4, 5, 6, 8, 9, 10, 11, 12]
+    rows = [
+        (f"http://site{i}.example.com/articles/post{i}", body(s), "en")
+        for i, s in enumerate(seeds)
+    ] + [
+        ("http://dev.example.com:8080/staging/post", body(13), "en"),
+        ("http://4455667788.example.com/x", body(14), "en"),
+        ("http://a.example.com/p?a=1&b=2&c=3&d=4&e=5", body(16), "en"),
+        ("http://spamfarm.example.com/landing", body(17), "en"),
+    ]
+    pages = spark.createDataFrame(rows, ["url", "text", "lang"])
+    src = str(tmp_path / "pages")
+    pages.write.parquet(src)
+
+    # host link graph: the 8 clean sites form a cycle (rank ~1.0 each);
+    # spamfarm only points outward, so its rank stays at the 0.15
+    # no-in-links floor — the bottom-10% cut drops exactly it
+    links = [
+        (f"site{i}.example.com", f"site{(i + 1) % 8}.example.com") for i in range(8)
+    ] + [("spamfarm.example.com", "site0.example.com")]
+    links_src = str(tmp_path / "links")
+    spark.createDataFrame(links, ["src", "dst"]).write.parquet(links_src)
+
+    out = str(tmp_path / "out")
+    msg = run(spark, build_parser().parse_args(
+        ["--input", src, "--output", out, "--url-gate",
+         "--rank-input", links_src]
+    ))
+    assert msg.startswith("corpus: 8 in")  # 3 URL-gate + 1 rank drop never count
+    kept = spark.read.parquet(out)
+    assert kept.where(F.col("url").contains(":8080")).count() == 0
+    assert kept.where(F.col("url").contains("4455667788")).count() == 0
+    assert kept.where(F.col("url").contains("?a=1")).count() == 0
+    assert kept.where(F.col("url").contains("spamfarm")).count() == 0
+    # the shared-body site pages fuzzy-dedup to one canonical survivor,
+    # and every survivor is a clean ranked host
+    assert kept.count() >= 1
+    assert kept.where(~F.col("url").startswith("http://site")).count() == 0
+    assert _sql_cache_empty(spark), "url-gate/rank path leaked persists"
+
+
 def test_dedup_job_incremental_cross_dump_parity(spark, tmp_path):
     """--seen-signatures mode (dump-over-dump, the production cadence):
     processing dump B against dump A's at-rest signature table + prior
