@@ -716,6 +716,23 @@ def write_ivf_index(
     )
 
 
+def detect_index_quantize(spark, out_dir: str):
+    """(quantize, books) from the STORED vectors schema — the single
+    layout detector batch appends and streamed deltas share, so a new
+    quantization mode cannot silently drift between them: float has no
+    ``codes``, sq8 has ``codes`` + a per-vector ``scale``, pq has
+    ``codes`` alone (its codebooks are re-read so new vectors encode
+    against the exact trained tables)."""
+    import os
+
+    stored = spark.read.parquet(os.path.join(out_dir, "vectors")).schema.fieldNames()
+    if "codes" not in stored:
+        return None, None
+    if "scale" in stored:
+        return "sq8", None
+    return "pq", read_pq_codebooks(spark, out_dir)
+
+
 def append_to_ivf_index(
     spark,
     out_dir: str,
@@ -744,16 +761,7 @@ def append_to_ivf_index(
 
     _require_numeric_id(new_vectors, id_col)
     cen = read_ivf_centroids(spark, out_dir)
-    stored = spark.read.parquet(os.path.join(out_dir, "vectors")).schema.fieldNames()
-    books = None
-    if "codes" not in stored:
-        quantize = None
-    elif "scale" in stored:
-        quantize = "sq8"
-    else:  # pq layout: codes without a per-vector scale; reuse the
-        # STORED codebooks so appended vectors encode identically
-        quantize = "pq"
-        books = read_pq_codebooks(spark, out_dir)
+    quantize, books = detect_index_quantize(spark, out_dir)
     src = new_vectors.select(F.col(id_col).alias("vec_id"), F.col(col).alias(col))
     return _write_assigned_cells(
         src, cen, col, out_dir, "append", quantize=quantize, books=books

@@ -50,18 +50,21 @@ def run_ivf_ingest_stream(
     centroids define the cells a streamed vector can land in."""
     from json_remedy_spark.functions.similarity import (
         _write_assigned_cells,
+        detect_index_quantize,
         read_ivf_centroids,
     )
 
     cen = read_ivf_centroids(spark, index_dir)
-    stored = spark.read.parquet(os.path.join(index_dir, "vectors")).schema.fieldNames()
-    quantize = "sq8" if "codes" in stored else None
+    # shared 3-way layout detector (float / sq8 / pq) — streamed
+    # deltas always match the base layout, codebooks included
+    quantize, books = detect_index_quantize(spark, index_dir)
 
     def handle(batch_df, batch_id: int) -> None:
         src = batch_df.select(F.col(id_col).alias("vec_id"), F.col(col).alias(col))
         _write_assigned_cells(
             src, cen, col, index_dir, "overwrite",
-            quantize=quantize, subdir=os.path.join("deltas", f"batch={batch_id}"),
+            quantize=quantize, books=books,
+            subdir=os.path.join("deltas", f"batch={batch_id}"),
         )
 
     q = (

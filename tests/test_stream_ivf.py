@@ -86,3 +86,39 @@ def test_stream_ivf_ingest_quantized_layout(spark, tmp_path, vecs):
     stored = read_index_vectors(spark, idx)
     assert set(stored.columns) == {"vec_id", "codes", "scale", "cell"}
     assert stored.count() == vecs.count()
+
+
+def test_stream_ivf_ingest_pq_layout(spark, tmp_path, vecs):
+    """Streamed deltas into a PQ index encode against the STORED
+    codebooks — byte-identical codes to the batch append path for the
+    same vectors (the shared detect_index_quantize contract)."""
+    import shutil
+
+    from json_remedy_spark.functions.similarity import (
+        PQ_M,
+        append_to_ivf_index,
+        read_index_vectors,
+        write_ivf_index,
+    )
+    from json_remedy_spark.streaming.stream_ivf_ingest import run_ivf_ingest_stream
+
+    idx = str(tmp_path / "ivf_pq")
+    base, wave = vecs.where("vec_id % 2 = 0"), vecs.where("vec_id % 2 = 1")
+    write_ivf_index(base, idx, cells=8, quantize="pq")
+    copy = str(tmp_path / "ivf_pq_copy")
+    shutil.copytree(idx, copy)
+
+    src = str(tmp_path / "src_pq")
+    wave.coalesce(1).write.parquet(src)
+    run_ivf_ingest_stream(spark, src, idx, str(tmp_path / "ckpt_pq"))
+
+    stored = read_index_vectors(spark, idx)
+    assert set(stored.columns) == {"vec_id", "codes", "cell"}
+    assert stored.count() == vecs.count()
+    assert all(len(r["codes"]) == PQ_M for r in stored.limit(5).collect())
+
+    # batch append on the copy produces the SAME codes and cells
+    append_to_ivf_index(spark, copy, wave)
+    got = sorted(map(tuple, read_index_vectors(spark, idx).collect()))
+    want = sorted(map(tuple, read_index_vectors(spark, copy).collect()))
+    assert got == want
