@@ -155,6 +155,14 @@ def build_parser() -> argparse.ArgumentParser:
         "(runs before global line dedup so chrome never wins a "
         "first-occurrence slot)",
     )
+    ap.add_argument(
+        "--report-out", default=None,
+        help="write the run's own dataset card: per-language rollup "
+        "(docs, tokens, mean/p50/p90 token lengths) of the FINAL "
+        "output as parquet at this path plus a human-readable "
+        "<path>_CARD.md — the grid-exact corpus_report operator, no "
+        "per-language sort",
+    )
     ap.add_argument("--checkpoint-root", default=None)
     ap.add_argument("--normalize", action="store_true")
     ap.add_argument(
@@ -636,6 +644,29 @@ def run(spark, args) -> str:
             )
     else:
         write_table(out_cols.drop("doc_id"), args.output, mode="overwrite")
+    # side artifact: the dataset card — every run ships its own
+    # per-language rollup (what a release README quotes), computed on
+    # the exact rows that landed in --output
+    if args.report_out:
+        from json_remedy_spark.functions.corpus import corpus_report
+
+        rep = corpus_report(out_cols, lang_col="lang_id")
+        rows = rep.collect()  # bounded: one row per language
+        spark.createDataFrame(rows, rep.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(args.report_out)
+        with open(args.report_out.rstrip("/") + "_CARD.md", "w") as f:
+            f.write(
+                "# Dataset card\n\n"
+                f"Input: `{args.input}`  \nOutput: `{args.output}`\n\n"
+                "| lang | docs | tokens | mean | p50 | p90 |\n"
+                "|---|---|---|---|---|---|\n"
+            )
+            for r in sorted(rows, key=lambda r: r["lang"] or ""):
+                f.write(
+                    f"| {r['lang']} | {r['n_docs']} | {r['total_tokens']} | "
+                    f"{r['mean_tokens']} | {r['p50_tokens']} | {r['p90_tokens']} |\n"
+                )
     # side artifact: train the next crawl's perplexity model on the
     # corpus we just built (CCNet: score crawl N+1 with an LM trained
     # on the cleaned output of crawl N)

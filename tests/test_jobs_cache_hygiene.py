@@ -40,16 +40,28 @@ def test_corpus_pipeline_job_frees_all_persists(spark, pages_parquet, tmp_path):
     assert _sql_cache_empty(spark)
 
     out1 = str(tmp_path / "out1")
+    rep_out = str(tmp_path / "report")
     msg = run(spark, build_parser().parse_args(
         ["--input", pages_parquet, "--output", out1,
          "--dup-span-window", "8", "--token-budget", "2000",
-         "--shard-tokens", "500"]
+         "--shard-tokens", "500", "--report-out", rep_out]
     ))
     assert " in -> " in msg
     assert _sql_cache_empty(spark), "corpus job leaked persisted DataFrames"
     import os
 
     assert any(d.startswith("shard=") for d in os.listdir(out1))
+
+    # --report-out: the run ships its own dataset card (parquet + md)
+    import duckdb
+
+    card = duckdb.sql(
+        f"SELECT lang, n_docs, total_tokens, mean_tokens, p50_tokens, p90_tokens "
+        f"FROM read_parquet('{rep_out}/*.parquet')"
+    ).fetchall()
+    assert card and all(r[1] > 0 and r[2] > 0 for r in card)
+    md = open(rep_out + "_CARD.md").read()
+    assert "| lang |" in md and "Dataset card" in md
 
     # plain run pair: the rerun gates against the first run's output
     # and exercises the incremental gate's bloom-probed persist
