@@ -250,14 +250,116 @@ def run_sq8(spark, n: int) -> dict:
     return out
 
 
+def _exact_mean_cos(spark, vectors, queries, pairs_df) -> float:
+    """Mean EXACT cosine of a returned (q_id, vec_id) set — the honest
+    ANN metric when true neighbors are near-ties: recall@k punishes
+    returning an equally-near tie, cosine regret does not."""
+    from pyspark.sql import functions as F
+
+    from json_remedy_spark.functions.similarity import make_dot_udf, with_unit_norm
+
+    v = with_unit_norm(vectors, "embedding").select("vec_id", F.col("unit").alias("vu"))
+    q = with_unit_norm(queries, "embedding").select("q_id", F.col("unit").alias("qu"))
+    dot = make_dot_udf()
+    j = pairs_df.select("q_id", "vec_id").join(v, "vec_id").join(F.broadcast(q), "q_id")
+    return j.select(dot(F.col("vu"), F.col("qu")).alias("c")).agg(F.avg("c")).first()[0]
+
+
+def run_pq(spark, n: int, pq_m: int = 16) -> dict:
+    """Product-quantized decade: ``pq_m`` one-byte codes per vector —
+    bytes per probed cell drop 16-32x vs float32 at rest (the deepest
+    scan-cost lever).  Recall@10 is PARTICULARLY stressed by this
+    synthetic corpus: true neighbors cluster as near-ties (~n/64
+    same-label members), so coarse codes scramble the within-cluster
+    ordering — much harsher than real embedding corpora (the sf0.01
+    embeddings table gives ADC 0.7 at m=8).  Two honest readings are
+    reported: recall@10 against the exact top-10, and MEAN EXACT
+    COSINE of what was returned vs the truth's (cosine regret — the
+    metric that does not punish returning an equally-near tie).  The
+    production recipe (FAISS) reranks an ADC shortlist with exact
+    scores (factor 50 = 500 rows/query, still a point lookup)."""
+    from pyspark.sql import functions as F
+
+    from json_remedy_spark.functions.similarity import (
+        cosine_topk,
+        ivf_topk_from_index,
+        write_ivf_index,
+    )
+
+    vpath, qpath = ensure_vectors(spark, n)
+    vectors = spark.read.parquet(vpath)
+    queries = spark.read.parquet(qpath).limit(POINT_QUERIES).cache()
+    cells = int(math.sqrt(n))
+    idx = os.path.join(TMP, f"ivf_pq{pq_m}_{n}")
+    shutil.rmtree(idx, ignore_errors=True)
+
+    t0 = time.time()
+    write_ivf_index(vectors, idx, cells=cells, quantize="pq", pq_m=pq_m)
+    t_build = round(time.time() - t0, 1)
+
+    t0 = time.time()
+    got = ivf_topk_from_index(spark, idx, queries, k=K, probes=POINT_NPROBE).cache()
+    rows = {(r["q_id"], r["vec_id"]) for r in got.collect()}
+    t_query = round(time.time() - t0, 1)
+
+    truth = cosine_topk(vectors, queries, k=K, id_col="vec_id").cache()
+    truth_rows = {(r["q_id"], r["vec_id"]) for r in truth.collect()}
+    recall = round(len(rows & truth_rows) / len(truth_rows), 4)
+    truth_cos = truth.agg(F.avg("cos")).first()[0]
+
+    t0 = time.time()
+    rgot = ivf_topk_from_index(
+        spark, idx, queries, k=K, probes=POINT_NPROBE,
+        rerank_from=vectors, rerank_factor=50,
+    ).cache()
+    rrows = {(r["q_id"], r["vec_id"]) for r in rgot.collect()}
+    t_rerank = round(time.time() - t0, 1)
+    rrecall = round(len(rrows & truth_rows) / len(truth_rows), 4)
+
+    out = {
+        "n": n,
+        "pq_m": pq_m,
+        "pq_build_sec": t_build,
+        "pq_point_query_sec": t_query,
+        "pq_adc_recall_at_10": recall,
+        "pq_rerank_query_sec": t_rerank,
+        "pq_rerank_recall_at_10": rrecall,
+        "truth_mean_cos": round(truth_cos, 6),
+        "pq_adc_mean_cos": round(_exact_mean_cos(spark, vectors, queries, got), 6),
+        "pq_rerank_mean_cos": round(_exact_mean_cos(spark, vectors, queries, rgot), 6),
+        "pq_index_mb": round(_du(os.path.join(idx, "vectors")) / 1e6, 1),
+    }
+    for h in (got, truth, rgot):
+        h.unpersist()
+    # byte compare only against a PRISTINE float index (run_append
+    # mutates ivf_<n> by +10%, which would inflate the ratio)
+    fdir = os.path.join(TMP, f"ivf_{n}", "vectors")
+    if os.path.exists(fdir):
+        out["float_index_mb_possibly_appended"] = round(_du(fdir) / 1e6, 1)
+    queries.unpersist()
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", type=int, default=200_000)
     ap.add_argument("--big", type=int, default=2_000_000)
     ap.add_argument("--md", action="store_true")
+    ap.add_argument(
+        "--pq-only", action="store_true",
+        help="run just the PQ decade at --big (vectors cached from a "
+        "prior full run)",
+    )
     args = ap.parse_args()
     os.makedirs(TMP, exist_ok=True)
     spark = get_spark()
+
+    if args.pq_only:
+        for n in (args.small, args.big):
+            for m in (8, 16):
+                print(json.dumps(run_pq(spark, n, pq_m=m)), flush=True)
+        spark.stop()
+        return
 
     out = {}
     for n in (args.small, args.big):
@@ -280,6 +382,9 @@ def main():
     # sq8 decade BEFORE the append mutates ivf_<big> (fair byte compare)
     sq8 = run_sq8(spark, args.big)
     print(json.dumps(sq8), flush=True)
+
+    pq = run_pq(spark, args.big)
+    print(json.dumps(pq), flush=True)
 
     app = run_append(spark, args.big)
     print(json.dumps(app), flush=True)
