@@ -887,14 +887,28 @@ def ivf_topk_from_index(
         )
         if rerank_from is None:
             return shortlist
-        # exact re-score of the tiny shortlist: fetch full vectors for
-        # the shortlisted ids only, unit-cos against the query, rerank
+        # exact re-score of the tiny shortlist as a TRUE point lookup:
+        # materialize the shortlist once (it is |Q| x rerank_factor x k
+        # rows), collect its id set driver-side (bounded, same contract
+        # as the probed-cells collect above) and push `vec_id IN (...)`
+        # into the full-precision scan — only the shortlisted row
+        # groups are read, and the unit-norm Arrow kernel runs on the
+        # shortlist rows alone, never the corpus (the naive
+        # shortlist-join-src form unit-normed ALL of rerank_from below
+        # the join).
+        shortlist = shortlist.persist()
+        short_ids = [
+            r["vec_id"] for r in shortlist.select("vec_id").distinct().collect()
+        ]
         src = with_unit_norm(
-            rerank_from.select(F.col("vec_id").cast("long").alias("vec_id"), col), col
+            rerank_from.select(F.col("vec_id").cast("long").alias("vec_id"), col)
+            .where(F.col("vec_id").isin(short_ids)),
+            col,
         ).select("vec_id", F.col("unit").alias("v_unit"))
-        qs = q.select("q_id", "q_unit").groupBy("q_id").agg(
-            F.first("q_unit").alias("q_unit")
-        )
+        # q_unit needs no cell routing — derive it from the raw queries
+        qs = with_unit_norm(
+            queries.select(F.col(q_id_col).alias("q_id"), col), col
+        ).select("q_id", F.col("unit").alias("q_unit"))
         dot = make_dot_udf()
         rescored = (
             shortlist.select("q_id", "vec_id")

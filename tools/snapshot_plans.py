@@ -553,6 +553,101 @@ def main():
         )
     )
 
+    with tempfile.TemporaryDirectory() as td:
+        idx = os.path.join(td, "ivf_pq")
+        write_ivf_index(emb, idx, cells=8, quantize="pq")
+        q = emb.where(F.col("vec_id") < 2).select(
+            F.col("vec_id").alias("q_id"), "embedding"
+        )
+        adc_only = ivf_topk_from_index(spark, idx, q, k=3, probes=2)
+        aplan = formatted(adc_only)
+        pq = ivf_topk_from_index(spark, idx, q, k=3, probes=2, rerank_from=emb)
+        pqplan = formatted(pq)
+        # formatted-explain renders a cached relation's stored plan twice
+        # (Final + Initial); live hops = total minus both copies
+        cached = tree_nodes(
+            pqplan.split("== Final Plan ==")[-1].split("== Initial Plan ==")[0],
+            "ArrowEvalPython",
+        )
+        live = tree_nodes(pqplan, "ArrowEvalPython") - 2 * cached
+        sections.append(
+            (
+                "ivf_topk_from_index (PQ codes, exact-integer ADC + exact rerank)",
+                f"ADC shortlist plan — scans with probed-cell PartitionFilters: "
+                f"{aplan.count('PartitionFilters: [cell')} (>=1 — only probed "
+                "cells are listed/read; at rest each vector is PQ_M one-byte "
+                "codes, 12-64x below float); ArrowEvalPython hops: "
+                f"{tree_nodes(aplan, 'ArrowEvalPython')} (budget <=3 — query "
+                "unit-norm, cell routing, ADC on exact integers; the ADC hop "
+                "is the ONLY corpus-sized one)\n"
+                f"rerank plan — shortlist cached once (InMemoryTableScan: "
+                f"{'InMemoryTableScan' in pqplan}); full-precision fetch is a "
+                f"TRUE point lookup (pushed In(vec_id,...) at the scan: "
+                f"{'In(vec_id' in pqplan}); live ArrowEvalPython hops above "
+                f"the cache: {live} (budget <=3 — unit-norm on the id-filtered "
+                f"shortlist rows, query unit-norm, exact dot; cached build "
+                f"adds {cached}, rendered twice by formatted explain)\n\n"
+                + pqplan[:2600],
+            )
+        )
+
+    from json_remedy_spark.functions.bpe import (
+        bpe_encode_bytes,
+        bpe_learn_bytes,
+        byte_vocab,
+    )
+
+    bmerges = bpe_learn_bytes(docs.limit(200), n_merges=8)
+    be = bpe_encode_bytes(docs.select("doc_id", "text"), bmerges, byte_vocab(bmerges))
+    beplan = formatted(be)
+    sections.append(
+        (
+            "bpe_encode_bytes (byte-level tokenizer application)",
+            f"Exchange tree nodes: {tree_nodes(beplan, 'Exchange')} (budget 0 — "
+            "pure map: JVM regexp_extract_all pre-tokenizes, the pre-token "
+            "array rides into ONE Arrow kernel with a per-batch word memo; "
+            "the id stream feeds pack_token_ids without reshuffling)\n"
+            f"JVM-side pre-tokenization in plan: "
+            f"{'regexp_extract_all' in beplan}\n\n" + beplan[:1200],
+        )
+    )
+
+    from json_remedy_spark.functions.search import (
+        bm25_topk_from_postings,
+        write_postings_table,
+    )
+    from json_remedy_spark.streaming.stream_postings_ingest import (
+        run_postings_ingest_stream,
+    )
+
+    with tempfile.TemporaryDirectory() as td:
+        pidx = os.path.join(td, "postings")
+        write_postings_table(
+            docs.where("doc_id % 2 = 0"), pidx, n_buckets=8, max_df_frac=1.0
+        )
+        src = os.path.join(td, "src")
+        docs.where("doc_id % 2 = 1").select("doc_id", "text").coalesce(
+            1
+        ).write.parquet(src)
+        run_postings_ingest_stream(spark, src, pidx, os.path.join(td, "ckpt"))
+        pb = bm25_topk_from_postings(spark, pidx, bq, k=5)
+        pbplan = formatted(pb)
+        sections.append(
+            (
+                "bm25_topk_from_postings (at-rest postings + streamed delta, term-bucket pruning)",
+                f"scans with probed-bucket PartitionFilters: "
+                f"{pbplan.count('PartitionFilters: [bucket')} (budget 2 — base "
+                "AND delta postings prune to the query terms' buckets; the "
+                "vocabulary-sized df tables keep bucket as a data column and "
+                "get the same In(bucket,...) as a row-group PushedFilter: "
+                f"{pbplan.count('PushedFilters: [In(bucket')} scans; merged df "
+                "re-applies the stopword cap at merged corpus size)\n"
+                f"union of base+delta present: {'Union' in pbplan}\n"
+                f"SortMergeJoin nodes: {tree_nodes(pbplan, 'SortMergeJoin')} "
+                "(budget 0 — query terms and idf broadcast)\n\n" + pbplan[:2500],
+            )
+        )
+
     out = ["# Physical plan evidence (generated by tools/snapshot_plans.py)\n"]
     for title, body in sections:
         out.append(f"\n## {title}\n\n```\n{body}\n```\n")
