@@ -71,7 +71,17 @@ def run_with_checkpoints(
         part = docs_b.where(F.col("part_bucket") == b)
         result = pipeline_fn(part)
         path = os.path.join(out_dir, f"part_bucket={b}")
-        result.drop("part_bucket").write.mode("overwrite").parquet(path)
+        # Bound the bucket's file count: without this, every bucket
+        # emits one file per SCAN partition (tasks x buckets tiny
+        # files — at 16 buckets over a 160-split corpus that is ~2.5k
+        # files, and the per-bucket commit + footer-count overhead
+        # stops scaling with cores).  The repartition shuffles only
+        # the bucket's OUTPUT rows (1/n_buckets of the corpus, post
+        # filter) after the compute ran at full scan parallelism.
+        n_out = docs_b.sparkSession.sparkContext.defaultParallelism
+        result.drop("part_bucket").repartition(n_out).write.mode(
+            "overwrite"
+        ).parquet(path)
         # manifest row count comes from the COMMITTED files (parquet
         # footer metadata — no data read), never result.count(), which
         # would re-execute the whole bucket pipeline a second time
