@@ -900,11 +900,19 @@ def ivf_topk_from_index(
         short_ids = [
             r["vec_id"] for r in shortlist.select("vec_id").distinct().collect()
         ]
-        src = with_unit_norm(
-            rerank_from.select(F.col("vec_id").cast("long").alias("vec_id"), col)
-            .where(F.col("vec_id").isin(short_ids)),
-            col,
-        ).select("vec_id", F.col("unit").alias("v_unit"))
+        fetch = rerank_from.select(F.col("vec_id").cast("long").alias("vec_id"), col)
+        if len(short_ids) <= 100_000:
+            # pushed In(vec_id, ...) — row-group pruning at the scan
+            fetch = fetch.where(F.col("vec_id").isin(short_ids))
+        else:
+            # huge query batches would inline too many literals into
+            # the plan; a broadcast semi-join filters JVM-side instead
+            # (still no Python below the join)
+            ids_df = shortlist.select("vec_id").distinct()
+            fetch = fetch.join(F.broadcast(ids_df), "vec_id", "left_semi")
+        src = with_unit_norm(fetch, col).select(
+            "vec_id", F.col("unit").alias("v_unit")
+        )
         # q_unit needs no cell routing — derive it from the raw queries
         qs = with_unit_norm(
             queries.select(F.col(q_id_col).alias("q_id"), col), col
