@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from json_remedy_spark.functions import corpus, dedup, langid, quality, scrub, search, textstats
+from json_remedy_spark.localdf import local_frame
 from json_remedy_spark.functions.dedup import MINHASH_K, LSH_BANDS
 from json_remedy_spark.functions.multimodal import N_FEATURES as _N_FEATURES, N_FRAMES as _N_FRAMES
 
@@ -259,7 +260,7 @@ def q_bm25_topk(spark, sf_dir):
     from json_remedy_spark.functions.search import bm25_topk
 
     d = _t(spark, sf_dir, "documents")
-    queries = spark.createDataFrame(BM25_QUERIES, "q_id long, query string")
+    queries = local_frame(spark, BM25_QUERIES, "q_id long, query string")
     # max_df_frac=1.0 HERE ONLY: the synthetic corpus draws from a
     # ~40-term vocabulary where every term tops the production 0.5
     # stopword cap; the cap's skew-guard behavior has its own unit test
@@ -294,7 +295,7 @@ def q_bm25_index_topk(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     shutil.rmtree(_BM25_INDEX, ignore_errors=True)
     write_postings_table(d, _BM25_INDEX, n_buckets=16, max_df_frac=1.0)
-    queries = spark.createDataFrame(BM25_QUERIES, "q_id long, query string")
+    queries = local_frame(spark, BM25_QUERIES, "q_id long, query string")
     return bm25_topk_from_postings(
         spark, _BM25_INDEX, queries, k=10, n_buckets=16
     ).select(
@@ -564,7 +565,8 @@ def _bpe_learned(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     merges = bpe_learn(d, BPE_N_MERGES)
-    df = spark.createDataFrame(
+    df = local_frame(
+        spark,
         [(i, a, b) for i, (a, b) in enumerate(merges)],
         "rank long, a string, b string",
     )
@@ -630,7 +632,8 @@ def _byte_bpe_learned(spark, sf_dir):
 
     d = _t(spark, sf_dir, "documents")
     merges = bpe_learn_bytes(d, BYTE_BPE_N_MERGES)
-    df = spark.createDataFrame(
+    df = local_frame(
+        spark,
         [(i, a, b) for i, (a, b) in enumerate(merges)],
         "rank long, a string, b string",
     )
@@ -1660,7 +1663,8 @@ def q_blocklist_filter(spark, sf_dir):
         k.cast("long").alias("doc_id"),
         F.concat(F.lit("https://"), host, F.lit("/p"), k.cast("string")).alias("url"),
     )
-    blocklist = spark.createDataFrame(
+    blocklist = local_frame(
+        spark,
         [
             ("shop4.example.com", "commerce"),
             ("shop7.example.com", "adult"),
@@ -2285,7 +2289,7 @@ def q_ann_recall(spark, sf_dir):
     hits = exported.join(truth, ["q_id", "vec_id"]).groupBy("method").agg(
         F.count("*").alias("h")
     )
-    methods = spark.createDataFrame([("lsh",), ("ivf",)], ["method"])
+    methods = local_frame(spark, [("lsh",), ("ivf",)], "method string")
     return (
         methods.join(hits, "method", "left")
         .select(

@@ -652,7 +652,9 @@ def run(spark, args) -> str:
 
         rep = corpus_report(out_cols, lang_col="lang_id")
         rows = rep.collect()  # bounded: one row per language
-        spark.createDataFrame(rows, rep.schema).coalesce(1).write.mode(
+        from json_remedy_spark.localdf import local_frame
+
+        local_frame(spark, rows, rep.schema).coalesce(1).write.mode(
             "overwrite"
         ).parquet(args.report_out)
         with open(args.report_out.rstrip("/") + "_CARD.md", "w") as f:

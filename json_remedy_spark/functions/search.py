@@ -34,6 +34,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from json_remedy_spark.localdf import local_frame
+
 TOKEN_SPLIT = "[^a-z0-9]+"
 
 
@@ -166,7 +168,10 @@ def write_postings_table(
     # build's avg bit-for-bit), and delta writers need the bucket
     # count the base was hashed with
     spark = docs.sparkSession
-    spark.createDataFrame(
+    # Arrow-backed local frame (localdf.py): the list form costs ~5 s
+    # of Python-worker round-trips per coalesce(1) write at local[32]
+    local_frame(
+        spark,
         [(
             int(stats["n"]), float(stats["avgdl"]), int(stats["sum_dl"]),
             int(n_buckets), float(max_df_frac),
@@ -360,7 +365,8 @@ def compact_postings_deltas(spark, out_dir: str) -> int:
         F.col("bucket")
     ).write.mode("overwrite").partitionBy("bucket").parquet(tmp_p)
     df_merged.select("term", "df", "bucket").write.mode("overwrite").parquet(tmp_d)
-    spark.createDataFrame(
+    local_frame(
+        spark,
         [(n, sum_dl / n, sum_dl, n_buckets, frac)],
         "n long, avgdl double, sum_dl long, n_buckets int, max_df_frac double",
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "stats_v2"))

@@ -30,6 +30,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
+from json_remedy_spark.localdf import local_frame
+
 
 def _np_unit(mat: np.ndarray) -> np.ndarray:
     """Unit-normalize rows; zero vectors stay zero (norm floored at
@@ -503,14 +505,28 @@ def train_pq_codebooks(
         if len(cen) < ksub:  # degenerate tiny sample: repeat last seed
             cen = np.vstack([cen, np.repeat(cen[-1:], ksub - len(cen), axis=0)])
         for _ in range(refine):
-            d = ((sub[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
-            assign = np.argmin(d, axis=1)
+            assign = _int_l2_argmin(sub, cen)
             for c in range(ksub):
                 mem = sub[assign == c]
                 if len(mem):
                     cen[c] = np.floor(mem.mean(axis=0) + 0.5).astype(np.int64)
         books[s] = cen
     return books
+
+
+def _int_l2_argmin(sub: np.ndarray, cen: np.ndarray) -> np.ndarray:
+    """argmin_c ||sub_i - cen_c||^2 over INTEGER rows, vectorized as
+    |a|^2 - 2ab + |b|^2 with the cross term a BLAS float64 matmul.
+    Every product and partial sum is an integer below 2^53 (grid
+    values <= 1e6, dsub <= 64), so the float64 arithmetic is exact and
+    the distances — hence argmin and its first-minimum tie-break —
+    are bit-identical to the (a-b)^2 broadcast form this replaces
+    (which allocated an (n, ksub, dsub) intermediate and dominated PQ
+    training time)."""
+    a2 = (sub * sub).sum(axis=1).astype(np.float64)
+    b2 = (cen * cen).sum(axis=1).astype(np.float64)
+    d = a2[:, None] - 2.0 * (sub.astype(np.float64) @ cen.T.astype(np.float64)) + b2[None, :]
+    return np.argmin(d, axis=1)
 
 
 def _make_pq_encode_udf(books: np.ndarray):
@@ -527,8 +543,8 @@ def _make_pq_encode_udf(books: np.ndarray):
         codes = np.empty((len(Q), m), dtype=np.uint8)
         for s in range(m):
             sub = Q[:, s * dsub : (s + 1) * dsub]
-            d = ((sub[:, None, :] - bk[s][None, :, :]) ** 2).sum(axis=2)
-            codes[:, s] = np.argmin(d, axis=1)  # first min = smallest code
+            # first min = smallest code; exact-integer matmul form
+            codes[:, s] = _int_l2_argmin(sub, bk[s])
         return pd.Series([c.tobytes() for c in codes])
 
     return encode_udf
@@ -578,17 +594,15 @@ def _make_pq_adc_udf(books: np.ndarray):
 def read_pq_codebooks(spark, out_dir: str) -> np.ndarray:
     import os
 
-    rows = (
-        spark.read.parquet(os.path.join(out_dir, "codebooks"))
-        .orderBy("sub", "code", "pos")
-        .collect()
-    )
-    m = max(r["sub"] for r in rows) + 1
-    ksub = max(r["code"] for r in rows) + 1
-    dsub = max(r["pos"] for r in rows) + 1
+    # Arrow toPandas + vectorized scatter: the row-collect form paid
+    # ~0.5 s of Row materialization for the m*ksub*dsub table
+    pdf = spark.read.parquet(os.path.join(out_dir, "codebooks")).toPandas()
+    sub = pdf["sub"].to_numpy(dtype=np.int64)
+    code = pdf["code"].to_numpy(dtype=np.int64)
+    pos = pdf["pos"].to_numpy(dtype=np.int64)
+    m, ksub, dsub = sub.max() + 1, code.max() + 1, pos.max() + 1
     books = np.zeros((m, ksub, dsub), dtype=np.int64)
-    for r in rows:
-        books[r["sub"], r["code"], r["pos"]] = r["val"]
+    books[sub, code, pos] = pdf["val"].to_numpy(dtype=np.int64)
     return books
 
 
@@ -692,7 +706,10 @@ def write_ivf_index(
         else _ivf_centroids(src, col, cells, refine=refine)
     )
     spark = vectors.sparkSession
-    spark.createDataFrame(
+    # Arrow-backed local frames (localdf.py): the list form costs ~5 s
+    # of Python-worker round-trips per coalesce(1) write at local[32]
+    local_frame(
+        spark,
         [(i, [float(x) for x in cen[i]]) for i in range(len(cen))],
         "cell int, centroid array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(os.path.join(out_dir, "centroids"))
@@ -700,7 +717,8 @@ def write_ivf_index(
     if quantize == "pq":
         books = train_pq_codebooks(src, m=pq_m, ksub=pq_ksub, col=col)
         m, ksub, dsub = books.shape
-        spark.createDataFrame(
+        local_frame(
+            spark,
             [
                 (s, c, p, int(books[s, c, p]))
                 for s in range(m)
@@ -859,7 +877,25 @@ def ivf_topk_from_index(
         F.col(col).alias("q_emb"),
         F.explode("ivf_cells").alias("cell"),
     )
-    probed = sorted(r["cell"] for r in q.select("cell").distinct().collect())
+    # Materialize the routed query frame ONCE, driver-side (bounded:
+    # |Q| x probes rows — the same bound the probed-cells collect
+    # already relies on) and re-inject it as an Arrow local frame: the
+    # original plan evaluated the probe pandas UDF twice (once for the
+    # probed-cells collect, once inside the broadcast build) and kept
+    # a Python hop under the corpus join; now the corpus-side plan is
+    # pure JVM below the scoring kernel.  Values are bit-identical
+    # (IEEE doubles cross Arrow unchanged).
+    q_id_type = q.schema["q_id"].dataType.simpleString()
+    q_pdf = q.toPandas()
+    probed = sorted({int(c) for c in q_pdf["cell"]})
+    q = local_frame(
+        spark,
+        [
+            (r.q_id, list(r.q_unit), list(r.q_emb), int(r.cell))
+            for r in q_pdf.itertuples()
+        ],
+        f"q_id {q_id_type}, q_unit array<double>, q_emb array<double>, cell int",
+    )
     # -> PartitionFilters at the scan (cell is a partition column in
     # the base layout AND the second level of every streamed delta)
     v = read_index_vectors(spark, out_dir).where(F.col("cell").isin(probed))

@@ -42,6 +42,8 @@ import os
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from json_remedy_spark.localdf import local_frame
+
 DOC_SCHEMA = "doc_id long, text string"
 
 
@@ -92,7 +94,8 @@ def run_postings_ingest_stream(
             .agg(F.count("*").alias("n"), F.sum("dl").alias("sum_dl"))
             .first()
         )
-        spark.createDataFrame(
+        local_frame(
+            spark,
             [(int(stats["n"] or 0), int(stats["sum_dl"] or 0))],
             "n long, sum_dl long",
         ).coalesce(1).write.mode("overwrite").parquet(
