@@ -656,12 +656,25 @@ def simhash_near_dup(
     )
 
 
+# Below this many pairs the component labeling runs as ONE driver-side
+# union-find over the collected edge list (~16 MB of Arrow at the cap)
+# instead of the iterative distributed loop: near-dup pair graphs are a
+# vanishing fraction of the corpus (hub-cap bounds them linearly), and
+# at suite scale the loop's per-round localCheckpoint + convergence-agg
+# jobs dominate wall time.  Identical output by construction — min
+# reachable id per component is exactly what min-label converges to
+# (parity pytest-pinned); larger graphs and algorithm="star" keep the
+# distributed iteration unchanged.
+SMALL_GRAPH_COLLECT_PAIRS = 1 << 20
+
+
 def components_from_pairs(
     all_ids: DataFrame,
     pairs: DataFrame,
     max_iters: int = 20,
     algorithm: str = "min_label",
     stats_out: dict | None = None,
+    collect_max_pairs: int = SMALL_GRAPH_COLLECT_PAIRS,
 ) -> DataFrame:
     """Connected components over a near-dup pair graph: every doc gets
     ``rep_id`` = the smallest doc_id reachable through pairs (its
@@ -700,6 +713,11 @@ def components_from_pairs(
     # at 250 pairs a 64-partition loop spends ~1.5 s/round scheduling
     # empty tasks; at 10^9 pairs this grows back to a real fan-out
     n_pairs = p.count()
+    if algorithm == "min_label" and n_pairs <= collect_max_pairs:
+        if stats_out is not None:
+            stats_out["rounds"] = 0
+            stats_out["driver_union_find"] = True
+        return _rejoin_singletons(all_ids, _driver_union_find(p, n_pairs))
     parts = max(1, min(2048, n_pairs // 500_000 + 1))
     if algorithm == "star":
         return _rejoin_singletons(
@@ -755,6 +773,46 @@ def components_from_pairs(
         prev_sum = new_sum
     edges.unpersist()
     raise ValueError(f"components_from_pairs did not converge in {max_iters} rounds")
+
+
+def _driver_union_find(p: DataFrame, n_pairs: int) -> DataFrame:
+    """Connected components of a SMALL pair graph (columns u, v;
+    caller-bounded row count) as one driver-side union-find over the
+    Arrow-collected edge list.  Union-by-min with path compression, so
+    every root is its component's minimum id — exactly the fixpoint
+    min-label propagation converges to (parity pytest-pinned).
+    Returns (doc_id, rep_id) for every node appearing in a pair."""
+    import pandas as pd
+
+    spark = p.sparkSession
+    id_type = p.schema["u"].dataType.simpleString()
+    schema = f"doc_id {id_type}, rep_id {id_type}"
+    pdf = p.toPandas()
+    if pdf.empty:
+        return spark.createDataFrame([], schema)
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in zip(pdf["u"], pdf["v"]):
+        if u not in parent:
+            parent[u] = u
+        if v not in parent:
+            parent[v] = v
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if rv < ru:  # attach the larger root under the smaller
+                ru, rv = rv, ru
+            parent[rv] = ru
+    nodes = list(parent)
+    labels = pd.DataFrame({"doc_id": nodes, "rep_id": [find(x) for x in nodes]})
+    return spark.createDataFrame(labels, schema)
 
 
 def _rejoin_singletons(all_ids: DataFrame, labels: DataFrame) -> DataFrame:
@@ -1078,13 +1136,19 @@ def jaccard_verify_candidates(
     # pair before the two intersection joins — at 10^12 docs the
     # candidate set is a tiny fraction of the corpus and this semi-join
     # is what keeps the verify stage from shuffling the full shingle
-    # table twice
-    cand_docs = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .union(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
+    # table twice.  No distinct on the key union: a left-semi join
+    # needs no unique build keys, and the distinct was a full extra
+    # exchange.  The semi output is materialized ONCE (eager
+    # localCheckpoint) because THREE consumers read it (sizes, the
+    # a-side and the b-side of the intersection join) and Catalyst
+    # does not dedupe common subtrees — unmaterialized, the semi-join
+    # and its candidate-id scan re-ran per consumer (measured 3x the
+    # stage cost at r07; same lineage-truncation tradeoff as the
+    # components loop, which already localCheckpoints each round).
+    cand_docs = cand.select(F.col("doc_a").alias("doc_id")).union(
+        cand.select(F.col("doc_b").alias("doc_id"))
     )
-    sh = sh_all.join(cand_docs, "doc_id", "left_semi")
+    sh = sh_all.join(cand_docs, "doc_id", "left_semi").localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a_sh = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b_sh = sh.select(F.col("doc_id").alias("doc_b"), "shingle")

@@ -1121,14 +1121,49 @@ def test_components_transitive_closure(spark):
 
 def test_components_long_chain_converges(spark):
     """A 12-node path graph needs ~diameter rounds — must converge, not
-    hit the max_iters guard."""
+    hit the max_iters guard.  collect_max_pairs=0 forces the
+    DISTRIBUTED loop (the r07 small-graph fast path would otherwise
+    absorb a graph this size)."""
     from json_remedy_spark.functions.dedup import components_from_pairs
 
     n = 12
     ids = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
     pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["doc_a", "doc_b"])
-    rows = components_from_pairs(ids, pairs, max_iters=n + 2).collect()
+    rows = components_from_pairs(
+        ids, pairs, max_iters=n + 2, collect_max_pairs=0
+    ).collect()
     assert all(r["rep_id"] == 0 for r in rows) and len(rows) == n
+
+
+def test_components_driver_fast_path_parity_and_routing(spark):
+    """r07: small pair graphs label via ONE driver union-find; output
+    must equal the distributed min-label loop exactly, the stats hook
+    must say which path ran, and collect_max_pairs must route."""
+    import random
+
+    from json_remedy_spark.functions.dedup import components_from_pairs
+
+    rng = random.Random(41)
+    n = 40
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(25)]
+    edges = [(a, b) for a, b in edges if a != b]
+    ids = spark.createDataFrame([(i,) for i in range(n)], ["doc_id"])
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+
+    fast_stats, loop_stats = {}, {}
+    fast = sorted(
+        tuple(r)
+        for r in components_from_pairs(ids, pairs, stats_out=fast_stats).collect()
+    )
+    loop = sorted(
+        tuple(r)
+        for r in components_from_pairs(
+            ids, pairs, stats_out=loop_stats, collect_max_pairs=0
+        ).collect()
+    )
+    assert fast == loop
+    assert fast_stats.get("driver_union_find") and fast_stats["rounds"] == 0
+    assert "driver_union_find" not in loop_stats and loop_stats["rounds"] >= 1
 
 
 def test_star_components_match_min_label(spark):
