@@ -204,24 +204,45 @@ def bpe_encode(
     id_type = src.schema["doc_id"].dataType.simpleString()
 
     def gen(batches):
-        memo: dict[str, list] = {}
+        import numpy as np
 
-        def ids(w: str) -> list:
-            if w not in memo:
-                memo[w] = [vb.get(tok, 0) for tok in apply_merges(w, ms)]
-            return memo[w]
+        memo: dict[str, np.ndarray] = {}
 
+        def ids(w: str) -> np.ndarray:
+            a = memo.get(w)
+            if a is None:
+                a = np.array(
+                    [vb.get(tok, 0) for tok in apply_merges(w, ms)], dtype=np.int64
+                )
+                memo[w] = a
+            return a
+
+        # vectorized emission (VERDICT r6 #4) — see bpe_encode_bytes
         for pdf in batches:
-            d_out, p_out, t_out = [], [], []
+            per_doc, dids, counts = [], [], []
             for did, t in zip(pdf["doc_id"], pdf["t"].fillna("")):
-                pos = 0
-                for w in _WORD_CRE.findall(t.lower()):
-                    for tid in ids(w):
-                        d_out.append(did)
-                        p_out.append(pos)
-                        t_out.append(tid)
-                        pos += 1
-            yield pd.DataFrame({"doc_id": d_out, "pos": p_out, "token_id": t_out})
+                words = _WORD_CRE.findall(t.lower())
+                if not words:
+                    continue
+                tok = np.concatenate([ids(w) for w in words])
+                per_doc.append(tok)
+                dids.append(did)
+                counts.append(len(tok))
+            if not per_doc:
+                yield pd.DataFrame({"doc_id": [], "pos": [], "token_id": []})
+                continue
+            counts = np.array(counts, dtype=np.int64)
+            token_id = np.concatenate(per_doc)
+            pos = np.arange(counts.sum(), dtype=np.int64) - np.repeat(
+                np.cumsum(counts) - counts, counts
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(np.asarray(dids), counts),
+                    "pos": pos,
+                    "token_id": token_id,
+                }
+            )
 
     return src.mapInPandas(
         gen, schema=f"doc_id {id_type}, pos long, token_id long"
@@ -383,26 +404,48 @@ def bpe_encode_bytes(
     id_type = src.schema["doc_id"].dataType.simpleString()
 
     def gen(batches):
-        memo: dict[str, list] = {}
+        import numpy as np
 
-        def ids(pt: str) -> list:
-            if pt not in memo:
-                memo[pt] = [
-                    vb[tok] for tok in apply_merges_tokens(_hex_tokens(pt), ms)
-                ]
-            return memo[pt]
+        memo: dict[str, np.ndarray] = {}
 
+        def ids(pt: str) -> np.ndarray:
+            a = memo.get(pt)
+            if a is None:
+                a = np.array(
+                    [vb[tok] for tok in apply_merges_tokens(_hex_tokens(pt), ms)],
+                    dtype=np.int64,
+                )
+                memo[pt] = a
+            return a
+
+        # emission is vectorized (VERDICT r6 #4): segmentation still
+        # memoizes per DISTINCT pre-token, but ids land as numpy
+        # arrays concatenated per batch, with positions via one arange
+        # minus per-doc offsets — no per-token Python appends
         for pdf in batches:
-            d_out, p_out, t_out = [], [], []
+            per_doc, dids, counts = [], [], []
             for did, pts in zip(pdf["doc_id"], pdf["pts"]):
-                pos = 0
-                for pt in pts if pts is not None else []:
-                    for tid in ids(pt):
-                        d_out.append(did)
-                        p_out.append(pos)
-                        t_out.append(tid)
-                        pos += 1
-            yield pd.DataFrame({"doc_id": d_out, "pos": p_out, "token_id": t_out})
+                if pts is None or len(pts) == 0:
+                    continue
+                tok = np.concatenate([ids(pt) for pt in pts])
+                per_doc.append(tok)
+                dids.append(did)
+                counts.append(len(tok))
+            if not per_doc:
+                yield pd.DataFrame({"doc_id": [], "pos": [], "token_id": []})
+                continue
+            counts = np.array(counts, dtype=np.int64)
+            token_id = np.concatenate(per_doc)
+            pos = np.arange(counts.sum(), dtype=np.int64) - np.repeat(
+                np.cumsum(counts) - counts, counts
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(np.asarray(dids), counts),
+                    "pos": pos,
+                    "token_id": token_id,
+                }
+            )
 
     return src.mapInPandas(
         gen, schema=f"doc_id {id_type}, pos long, token_id long"
