@@ -237,10 +237,18 @@ def q_incremental_fuzzy_dedup(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism)
     seen = d.where("doc_id % 3 <> 0")
     new = d.where("doc_id % 3 = 0")
-    seen_banded = dedup.banded_signatures(dedup.minhash_signatures(seen))
-    seen_comp = dedup.near_dup_components(seen, threshold=0.5)
+    # One seen-side kernel pass for the whole query (r07): the prior
+    # components run persists the seen shingle table (handles), the
+    # at-rest banded signatures derive from THAT materialization, and
+    # the incremental join reads matched old shingles from it too —
+    # same rows as re-shingling (pure per-doc function; parity
+    # pytest-pinned), one materialization instead of three.
+    handles: list = []
+    seen_comp = dedup.near_dup_components(seen, threshold=0.5, handles=handles)
+    sh_seen = handles[0]  # persisted exploded (doc_id, shingle) of seen
+    seen_banded = dedup.banded_signatures(dedup.minhash_from_shingles(sh_seen))
     out = dedup.incremental_near_dup_components(
-        new, seen_banded, seen, seen_comp, threshold=0.5
+        new, seen_banded, seen, seen_comp, threshold=0.5, seen_shingles=sh_seen
     )
     return out.select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -456,7 +464,8 @@ def q_url_features(spark, sf_dir):
     constructed urls (same orders-derived construction on both sides)."""
     from json_remedy_spark.functions import webgraph
 
-    o = _t(spark, sf_dir, "orders")
+    # single-file scan plans 1 partition; spread the JVM regex/explode work (r07)
+    o = _t(spark, sf_dir, "orders").repartition(spark.sparkContext.defaultParallelism)
     k, c = F.col("o_orderkey"), F.col("o_custkey")
     url = F.concat(
         F.lit("https://sub"), (c % 3).cast("string"),
@@ -1602,7 +1611,8 @@ def q_outlink_stats(spark, sf_dir):
     orders in BOTH engines."""
     from json_remedy_spark.functions import webgraph
 
-    o = _t(spark, sf_dir, "orders")
+    # single-file scan plans 1 partition; spread the JVM regex/explode work (r07)
+    o = _t(spark, sf_dir, "orders").repartition(spark.sparkContext.defaultParallelism)
     k1 = (F.col("o_orderkey") % 7).cast("string")
     k2 = (F.col("o_custkey") % 5).cast("string")
     html_text = F.concat(
@@ -1651,7 +1661,8 @@ def q_blocklist_filter(spark, sf_dir):
     is known by construction."""
     from json_remedy_spark.functions import webgraph
 
-    o = _t(spark, sf_dir, "orders")
+    # single-file scan plans 1 partition; spread the JVM regex/explode work (r07)
+    o = _t(spark, sf_dir, "orders").repartition(spark.sparkContext.defaultParallelism)
     k = F.col("o_orderkey")
     host = F.concat(
         F.when(F.pmod(k, 5) == 0, F.lit("cdn.")).otherwise(F.lit("")),
@@ -1732,7 +1743,8 @@ def q_anchor_texts(spark, sf_dir):
     extra attributes between href and the text."""
     from json_remedy_spark.functions import webgraph
 
-    o = _t(spark, sf_dir, "orders")
+    # single-file scan plans 1 partition; spread the JVM regex/explode work (r07)
+    o = _t(spark, sf_dir, "orders").repartition(spark.sparkContext.defaultParallelism)
     n = F.col("o_orderkey").cast("string")
     html_text = F.concat(
         F.lit('<p><a href="https://a'), (F.col("o_orderkey") % 9).cast("string"),
@@ -1753,7 +1765,8 @@ def q_page_meta(spark, sf_dir):
     upper-case tags are synthesized from orders in BOTH engines."""
     from json_remedy_spark.functions import webgraph
 
-    o = _t(spark, sf_dir, "orders")
+    # single-file scan plans 1 partition; spread the JVM regex/explode work (r07)
+    o = _t(spark, sf_dir, "orders").repartition(spark.sparkContext.defaultParallelism)
     n = F.col("o_orderkey").cast("string")
     v = F.pmod(F.col("o_orderkey"), F.lit(4))
     html_text = (
@@ -1920,9 +1933,13 @@ def q_corpus_funnel(spark, sf_dir):
         F.lit(" marker "), F.pmod(F.col("doc_id"), 97).cast("string"),
         F.lit("\ncopyright footer "), variant.cast("string"),
     )
+    dp = spark.sparkContext.defaultParallelism
+    # single-file parquet scans plan ONE input partition and AQE
+    # coalesces the tiny stage shuffles to ~one — repartition ahead of
+    # the regex/shingle kernels so they use the full core count (r07)
     pages = corp.select(
         F.col("doc_id").cast("long").alias("doc_id"), url.alias("url"), text.alias("text")
-    ).persist()
+    ).repartition(dp).persist()
 
     # stage 1: URL quality gate — url bytes only, before everything
     s0 = (
@@ -1975,6 +1992,7 @@ def q_corpus_funnel(spark, sf_dir):
         line_dedup(s2)
         .where(F.length(F.trim("text")) > 0)
         .select("doc_id", "text")
+        .repartition(dp)
         .persist()
     )
 
@@ -1982,7 +2000,7 @@ def q_corpus_funnel(spark, sf_dir):
     comp = dedup.near_dup_components(s3, threshold=0.5)
     s4 = s3.join(
         comp.where(F.col("is_canonical")).select("doc_id"), "doc_id"
-    ).persist()
+    ).repartition(dp).persist()
 
     # stage 6: benchmark decontamination vs the src0 eval split
     s5 = decontaminate(s4, ev).where(~F.col("contaminated")).select("doc_id")

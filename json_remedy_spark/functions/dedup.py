@@ -416,6 +416,7 @@ def incremental_near_dup_components(
     n_hubs: int = 2,
     algorithm: str = "min_label",
     handles: list | None = None,
+    seen_shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental fuzzy dedup of a NEW dump against the accumulated
     corpus — provably equal (parity-tested; exact when ``hub_cap`` is
@@ -436,7 +437,15 @@ def incremental_near_dup_components(
       so the old corpus is never re-shingled wholesale.
 
     ``threshold`` must match the one the prior components were built
-    with (caller contract, like the ids-globally-unique contract)."""
+    with (caller contract, like the ids-globally-unique contract).
+
+    ``seen_shingles``: an already-materialized exploded
+    (doc_id, shingle) table covering the seen docs (e.g. the persisted
+    handle a prior ``near_dup_components(seen, handles=...)`` run
+    exposes).  When given, candidate-matched old docs read their
+    shingle rows from it instead of re-running the shingle kernel over
+    their text — identical rows (shingling is a pure per-doc
+    function; parity pytest-pinned)."""
     from pyspark import StorageLevel
 
     new = new_docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
@@ -454,8 +463,14 @@ def incremental_near_dup_components(
     )
     # semi-join the DOC rows (not the exploded shingles) so only
     # candidate-matched old docs ever reach the shingle kernel
-    old_matched = old.join(cand_ids, "doc_id", "left_semi")
-    sh = shingles(new.unionByName(old_matched)).persist(StorageLevel.MEMORY_AND_DISK)
+    if seen_shingles is not None:
+        old_sh = seen_shingles.join(cand_ids, "doc_id", "left_semi")
+        sh = shingles(new).unionByName(old_sh).persist(StorageLevel.MEMORY_AND_DISK)
+    else:
+        old_matched = old.join(cand_ids, "doc_id", "left_semi")
+        sh = shingles(new.unionByName(old_matched)).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     verified = jaccard_verify_candidates(sh, cand, threshold=threshold)
     prior = seen_components.select("doc_id", "rep_id")
     prior_edges = prior.where(F.col("doc_id") != F.col("rep_id")).select(

@@ -1338,6 +1338,21 @@ def test_incremental_near_dup_components_parity_and_bridge(spark):
     assert {got[i][0] for i in (0, 1, 10, 11, 30, 32)} == {0}
     assert got[20] == (20, True) and got[31] == (31, True)
 
+    # r07: the seen_shingles reuse path (matched old docs read their
+    # rows from an already-materialized shingle table instead of
+    # re-running the kernel) is row-identical
+    from json_remedy_spark.functions.dedup import shingles
+
+    sh_seen = shingles(old).persist()
+    got_reuse = {
+        r["doc_id"]: (r["rep_id"], r["is_canonical"])
+        for r in incremental_near_dup_components(
+            new, seen_banded, old, seen_comp, threshold=0.5, seen_shingles=sh_seen
+        ).collect()
+    }
+    sh_seen.unpersist()
+    assert got_reuse == want
+
 
 def test_stateful_stream_lsh_near_dup(spark, tmp_path):
     """Streaming minhash-LSH: band-bucket state emits candidate pairs
