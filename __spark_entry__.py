@@ -448,7 +448,10 @@ def q_pack_token_ids(spark, sf_dir):
     merges, _ = _bpe_learned(spark, sf_dir)
     d = _t(spark, sf_dir, "documents")
     vocab = bpe_vocab(merges, corpus_alphabet(d))
-    enc = bpe_encode(d, merges, vocab)
+    # the packer reads its input twice (per-doc counts + the token
+    # join) and Catalyst does not dedupe the encode kernel — persist
+    # so the corpus encodes ONCE (r07)
+    enc = bpe_encode(d, merges, vocab).persist()
     return pack_token_ids(enc, 128).select(
         "seq_id",
         "pos_in_seq",
@@ -689,7 +692,8 @@ def q_pack_byte_token_ids(spark, sf_dir):
 
     merges, _ = _byte_bpe_learned(spark, sf_dir)
     d = _t(spark, sf_dir, "documents")
-    enc = bpe_encode_bytes(d, merges, byte_vocab(merges))
+    # encode once; the packer reads it twice (see pack_token_ids note)
+    enc = bpe_encode_bytes(d, merges, byte_vocab(merges)).persist()
     return pack_token_ids(enc, 256).select(
         "seq_id",
         "pos_in_seq",

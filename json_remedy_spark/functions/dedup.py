@@ -507,7 +507,11 @@ def jaccard_pairs(
     the standard stop-shingle guard: a boilerplate phrase shared by 1M
     docs would otherwise produce a 10^12-row join block.
     """
-    sh = shingles(docs, id_col, text_col)
+    # materialize the shingle kernel ONCE: sizes and BOTH sides of the
+    # self-join read it, and Catalyst does not dedupe common subtrees —
+    # unmaterialized, the Python kernel ran three times (r07; same
+    # lineage-truncation tradeoff as jaccard_verify_candidates)
+    sh = shingles(docs, id_col, text_col).localCheckpoint()
     if max_shingle_df is not None:
         hot = (
             sh.groupBy("shingle")

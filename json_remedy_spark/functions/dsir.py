@@ -105,7 +105,14 @@ def dsir_log_ratio(
             v[r["bucket"]] = r["cnt"]
         return v
 
-    p, q = dense(target_counts), dense(raw_counts)
+    # the two histogram jobs are independent — submit both so the
+    # second's tasks back-fill the first's tail (guide §2.6); the
+    # collected vectors are unchanged
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as ex:
+        fp, fq = ex.submit(dense, target_counts), ex.submit(dense, raw_counts)
+        p, q = fp.result(), fq.result()
     lp = np.log(p + k) - np.log(p.sum() + k * n_buckets)
     lq = np.log(q + k) - np.log(q.sum() + k * n_buckets)
     return lp - lq
