@@ -853,6 +853,7 @@ def ivf_topk_from_index(
     probes: int = N_IVF_PROBES,
     rerank_from: DataFrame | None = None,
     rerank_factor: int = 4,
+    handles: list | None = None,
 ) -> DataFrame:
     """Query the AT-REST IVF index: probe cells come from the stored
     centroids, and the corpus scan filters on the PARTITION column —
@@ -867,7 +868,12 @@ def ivf_topk_from_index(
     vectors from the given source table for an exact cosine re-score
     (the shortlist is |Q| x rerank_factor x k rows — a broadcast-able
     point-lookup join, never corpus-sized).  Recovers near-full recall
-    while the corpus-wide scan still reads 64x fewer bytes."""
+    while the corpus-wide scan still reads 64x fewer bytes.
+
+    ``handles``: long-lived sessions pass a list to receive the
+    persisted rerank shortlist for caller-controlled unpersist (the
+    bm25_topk / lsh_verified_pairs contract); without it the cached
+    frame lives until clearCache/GC."""
     import os
 
     cen = read_ivf_centroids(spark, out_dir)
@@ -933,13 +939,16 @@ def ivf_topk_from_index(
         # shortlist-join-src form unit-normed ALL of rerank_from below
         # the join).
         shortlist = shortlist.persist()
-        short_ids = [
-            r["vec_id"] for r in shortlist.select("vec_id").distinct().collect()
-        ]
+        if handles is not None:
+            handles.append(shortlist)
+        # decide the branch from a LIMITed collect so the huge-batch
+        # case never pulls the full id list to the driver only to
+        # discard it (ADVICE r6)
+        id_rows = shortlist.select("vec_id").distinct().limit(100_001).collect()
         fetch = rerank_from.select(F.col("vec_id").cast("long").alias("vec_id"), col)
-        if len(short_ids) <= 100_000:
+        if len(id_rows) <= 100_000:
             # pushed In(vec_id, ...) — row-group pruning at the scan
-            fetch = fetch.where(F.col("vec_id").isin(short_ids))
+            fetch = fetch.where(F.col("vec_id").isin([r["vec_id"] for r in id_rows]))
         else:
             # huge query batches would inline too many literals into
             # the plan; a broadcast semi-join filters JVM-side instead
@@ -949,9 +958,13 @@ def ivf_topk_from_index(
         src = with_unit_norm(fetch, col).select(
             "vec_id", F.col("unit").alias("v_unit")
         )
-        # q_unit needs no cell routing — derive it from the raw queries
+        # q_unit needs no cell routing — derive it from the raw
+        # queries; dropDuplicates restores robustness to duplicate
+        # q_id rows (the rescored join would otherwise fan out and the
+        # rank window could repeat vec_ids — ADVICE r6)
         qs = with_unit_norm(
-            queries.select(F.col(q_id_col).alias("q_id"), col), col
+            queries.select(F.col(q_id_col).alias("q_id"), col).dropDuplicates(["q_id"]),
+            col,
         ).select("q_id", F.col("unit").alias("q_unit"))
         dot = make_dot_udf()
         rescored = (

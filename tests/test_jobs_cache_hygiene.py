@@ -727,3 +727,36 @@ def test_soft_dedup_pack_sequences_weight_side_table(spark, tmp_path):
     w_ids = {r["doc_id"] for r in weights.collect()}
     assert pd_ids <= w_ids
     assert weights.where(weights.weight < 0.999).count() >= 2
+
+
+def test_ivf_rerank_shortlist_handle_unpersists(spark, tmp_path):
+    """r07 (ADVICE r6): ivf_topk_from_index(rerank_from=...) persists
+    its ADC shortlist; the new handles= contract exposes it so callers
+    can leave the SQL cache empty after consuming the result."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from json_remedy_spark.functions.similarity import (
+        ivf_topk_from_index,
+        write_ivf_index,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.randn(16)]) for i in range(300)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = str(tmp_path / "pq_idx")
+    write_ivf_index(vecs, idx, cells=4, quantize="pq", pq_m=4, pq_ksub=16)
+
+    queries = vecs.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    spark.catalog.clearCache()
+    handles: list = []
+    out = ivf_topk_from_index(
+        spark, idx, queries, k=3, probes=2, rerank_from=vecs, handles=handles
+    )
+    rows_out = out.collect()
+    assert rows_out and handles, "rerank path must expose its persisted shortlist"
+    for h in handles:
+        h.unpersist()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
