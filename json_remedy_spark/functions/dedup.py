@@ -496,6 +496,7 @@ def jaccard_pairs(
     text_col: str = "text",
     threshold: float = 0.8,
     max_shingle_df: int | None = None,
+    handles: list | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over all shingle-sharing pairs.
 
@@ -509,9 +510,15 @@ def jaccard_pairs(
     """
     # materialize the shingle kernel ONCE: sizes and BOTH sides of the
     # self-join read it, and Catalyst does not dedupe common subtrees —
-    # unmaterialized, the Python kernel ran three times (r07; same
-    # lineage-truncation tradeoff as jaccard_verify_candidates)
-    sh = shingles(docs, id_col, text_col).localCheckpoint()
+    # unmaterialized, the Python kernel ran three times (r07).  persist
+    # (not localCheckpoint): lazy, and the CacheManager dedupes the
+    # plan so repeated invocations in one session share one
+    # materialization; long-lived sessions pass ``handles`` for the
+    # unpersist, or clearCache between jobs (the lsh_candidate_pairs
+    # contract)
+    sh = shingles(docs, id_col, text_col).persist()
+    if handles is not None:
+        handles.append(sh)
     if max_shingle_df is not None:
         hot = (
             sh.groupBy("shingle")
