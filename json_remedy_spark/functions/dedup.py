@@ -733,7 +733,12 @@ def components_from_pairs(
     # materialize the pair list ONCE before mirroring: the union's two
     # branches each scan `pairs`, and when pairs is an expensive DAG
     # (the LSH->jaccard verifier) an unmaterialized union runs it twice
-    p = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).localCheckpoint()
+    # persist (lazy, CacheManager-deduped — a repeated identical run
+    # reuses the materialization) rather than an eager localCheckpoint
+    # here; the fast path consumes it driver-side and unpersists, and
+    # the iterative paths take ONE localCheckpoint off it below for
+    # lineage truncation before releasing the cache entry (r07)
+    p = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).persist()
     # the pair graph is a vanishing fraction of the corpus — size the
     # propagation shuffle to IT, not to spark.sql.shuffle.partitions:
     # at 250 pairs a 64-partition loop spends ~1.5 s/round scheduling
@@ -743,7 +748,12 @@ def components_from_pairs(
         if stats_out is not None:
             stats_out["rounds"] = 0
             stats_out["driver_union_find"] = True
-        return _rejoin_singletons(all_ids, _driver_union_find(p, n_pairs))
+        labels = _driver_union_find(p, n_pairs)
+        p.unpersist()
+        return _rejoin_singletons(all_ids, labels)
+    p_ck = p.localCheckpoint()
+    p.unpersist()
+    p = p_ck
     parts = max(1, min(2048, n_pairs // 500_000 + 1))
     if algorithm == "star":
         return _rejoin_singletons(
