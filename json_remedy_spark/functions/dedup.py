@@ -471,7 +471,7 @@ def incremental_near_dup_components(
         sh = shingles(new.unionByName(old_matched)).persist(
             StorageLevel.MEMORY_AND_DISK
         )
-    verified = jaccard_verify_candidates(sh, cand, threshold=threshold)
+    verified = jaccard_verify_candidates(sh, cand, threshold=threshold, handles=handles)
     prior = seen_components.select("doc_id", "rep_id")
     prior_edges = prior.where(F.col("doc_id") != F.col("rep_id")).select(
         F.col("rep_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
@@ -1080,7 +1080,7 @@ def lsh_verified_pairs(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     if handles is not None:
         handles.extend([sh_all, cand])
-    return jaccard_verify_candidates(sh_all, cand, threshold)
+    return jaccard_verify_candidates(sh_all, cand, threshold, handles=handles)
 
 
 def fuzzy_decontaminate(
@@ -1161,7 +1161,9 @@ def fuzzy_decontaminate(
 
 
 def jaccard_verify_candidates(
-    sh_all: DataFrame, cand: DataFrame, threshold: float = 0.8
+    sh_all: DataFrame, cand: DataFrame, threshold: float = 0.8,
+    handles: list | None = None,  # accepted for API symmetry; the semi
+    # output is localCheckpointed (not persisted), so nothing to hand out
 ) -> DataFrame:
     """Exact n-gram Jaccard over SUPPLIED candidate pairs from a
     SUPPLIED exploded (doc_id, shingle) table — the verify stage of the
@@ -1179,8 +1181,13 @@ def jaccard_verify_candidates(
     # a-side and the b-side of the intersection join) and Catalyst
     # does not dedupe common subtrees — unmaterialized, the semi-join
     # and its candidate-id scan re-ran per consumer (measured 3x the
-    # stage cost at r07; same lineage-truncation tradeoff as the
-    # components loop, which already localCheckpoints each round).
+    # stage cost at r07).  localCheckpoint, NOT persist: the
+    # truncation is ALSO what keeps downstream plan strings bounded —
+    # a lazy persist re-embeds the whole upstream tree under each of
+    # the three consumers, and in the composed corpus job that
+    # plan-string blowup OOMed the 4g driver at generateTreeString
+    # (observed r07; the CLAUDE.md iterative-loop gotcha, same
+    # mechanism).
     cand_docs = cand.select(F.col("doc_a").alias("doc_id")).union(
         cand.select(F.col("doc_b").alias("doc_id"))
     )
