@@ -2301,12 +2301,23 @@ def q_ann_recall(spark, sf_dir):
         .unionByName(ivf.select(F.lit("ivf").alias("method"), "q_id", "vec_id"))
         .select("method", F.col("q_id").cast("long"), F.col("vec_id").cast("long"))
     )
-    cand.write.mode("overwrite").parquet(_ANN_EXPORT)
+    # the export write and the exact-truth count are independent jobs —
+    # overlap them so the second back-fills the first's tail (guide
+    # §2.6 / the dsir_log_ratio precedent); the read of the export
+    # happens strictly after the write thread joins
+    from concurrent.futures import ThreadPoolExecutor
+
+    truth = cosine_topk(e, qs, k=5).select("q_id", "vec_id")
+    with ThreadPoolExecutor(2) as ex:
+        fw = ex.submit(
+            lambda: cand.write.mode("overwrite").parquet(_ANN_EXPORT)
+        )
+        fc = ex.submit(truth.count)
+        fw.result()
+        n_truth = fc.result()
 
     # score the EXPORTED bytes (what DuckDB will read), not the lineage
     exported = spark.read.parquet(_ANN_EXPORT).distinct()
-    truth = cosine_topk(e, qs, k=5).select("q_id", "vec_id")
-    n_truth = truth.count()
 
     hits = exported.join(truth, ["q_id", "vec_id"]).groupBy("method").agg(
         F.count("*").alias("h")
