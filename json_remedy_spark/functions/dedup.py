@@ -1160,16 +1160,84 @@ def fuzzy_decontaminate(
     )
 
 
+SMALL_VERIFY_COLLECT_PAIRS = 1 << 16
+SMALL_VERIFY_COLLECT_SHINGLE_ROWS = 1 << 21
+
+
 def jaccard_verify_candidates(
     sh_all: DataFrame, cand: DataFrame, threshold: float = 0.8,
     handles: list | None = None,  # accepted for API symmetry; the semi
     # output is localCheckpointed (not persisted), so nothing to hand out
+    collect_max_pairs: int = SMALL_VERIFY_COLLECT_PAIRS,
 ) -> DataFrame:
     """Exact n-gram Jaccard over SUPPLIED candidate pairs from a
     SUPPLIED exploded (doc_id, shingle) table — the verify stage of the
     fused recipe, factored so candidates can also come from the
     AT-REST signature table (``lsh_candidate_pairs_from_table``).
-    Callers should persist both inputs; each feeds two joins."""
+    Callers should persist both inputs; each feeds two joins.
+
+    Small candidate sets (<= ``collect_max_pairs`` pairs AND <= 2^21
+    candidate-doc shingle rows — both Arrow-collect-bounded, the
+    ``components_from_pairs`` SMALL_GRAPH_COLLECT_PAIRS precedent)
+    route to a DRIVER fast path: the bounded pair list and the
+    candidate docs' shingle rows (broadcast-semi-pruned, NO shuffle)
+    collect once, set intersections run in Python on exact integers,
+    and the jaccard itself is computed by the SAME Spark
+    ``round(n_common / (n_a + n_b - n_common), 6)`` expression over a
+    LocalTableScan of those integers — bit-identical to the join
+    form (integer counts are association-free; the division/rounding
+    expression is literally the same).  This replaces the verify
+    DAG's ~10 exchange-bounded stages (semi + sizes agg + two
+    intersection joins + two size joins) with two shuffle-free jobs —
+    per-stage fixed cost dominates these stages at bounded candidate
+    volume.  Hub-capped production graphs (candidates ~256 per doc)
+    exceed the cap at corpus scale and keep the distributed path
+    below, which is unchanged."""
+    n_cand = cand.count()
+    if n_cand <= collect_max_pairs:
+        from json_remedy_spark.localdf import local_frame
+
+        spark = sh_all.sparkSession
+        pairs_pdf = cand.select("doc_a", "doc_b").toPandas()
+        ids = sorted({*pairs_pdf["doc_a"].tolist(), *pairs_pdf["doc_b"].tolist()})
+        ids_f = local_frame(spark, [(int(i),) for i in ids], "doc_id long")
+        sh_pdf = (
+            sh_all.join(F.broadcast(ids_f), "doc_id", "left_semi")
+            .select("doc_id", "shingle")
+            .limit(SMALL_VERIFY_COLLECT_SHINGLE_ROWS + 1)
+            .toPandas()
+        )
+        if len(sh_pdf) <= SMALL_VERIFY_COLLECT_SHINGLE_ROWS:
+            sets: dict = {}
+            for did, s in zip(sh_pdf["doc_id"].tolist(), sh_pdf["shingle"].tolist()):
+                sets.setdefault(did, set()).add(s)
+            rows = []
+            for a, b in zip(pairs_pdf["doc_a"].tolist(), pairs_pdf["doc_b"].tolist()):
+                sa = sets.get(a)
+                sb = sets.get(b)
+                if not sa or not sb:
+                    continue  # mirrors the inner sizes join
+                n_common = len(sa & sb)
+                if n_common == 0:
+                    continue  # mirrors the inner intersection join
+                rows.append((int(a), int(b), n_common, len(sa), len(sb)))
+            stats = local_frame(
+                spark, rows, "doc_a long, doc_b long, n_common long, n_a long, n_b long"
+            )
+            return (
+                stats.withColumn(
+                    "jaccard",
+                    F.round(
+                        F.col("n_common")
+                        / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                        6,
+                    ),
+                )
+                .where(F.col("jaccard") >= threshold)
+                .select("doc_a", "doc_b", "jaccard")
+            )
+        # over the shingle-row bound: fall through to the distributed
+        # path (the aborted probe read at most the bound + 1 rows)
     # shrink the shingle table to docs that appear in ANY candidate
     # pair before the two intersection joins — at 10^12 docs the
     # candidate set is a tiny fraction of the corpus and this semi-join

@@ -1104,6 +1104,42 @@ def test_dedup_job_stored_path_matches_in_memory(spark, tmp_path):
     assert stored == mem and any(not c for _, _, c in stored)  # some dups exist
 
 
+def test_jaccard_verify_driver_fast_path_parity(spark):
+    """r07: the small-candidate-set driver fast path (bounded Arrow
+    collect + Python set intersections + the SAME Spark round/division
+    expression over a LocalTableScan) must be row- and value-identical
+    to the distributed join form, including schema, the
+    no-common-shingle drop, and the threshold filter."""
+    from json_remedy_spark.functions.dedup import (
+        banded_signatures,
+        candidate_pairs_from_banded,
+        jaccard_verify_candidates,
+        minhash_from_shingles,
+        shingles,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    sh = shingles(docs).persist()
+    cand = candidate_pairs_from_banded(
+        banded_signatures(minhash_from_shingles(sh))
+    ).persist()
+    fast_df = jaccard_verify_candidates(sh, cand, threshold=0.5)
+    slow_df = jaccard_verify_candidates(sh, cand, threshold=0.5, collect_max_pairs=0)
+    assert [f.name for f in fast_df.schema.fields] == [
+        f.name for f in slow_df.schema.fields
+    ]
+    assert [f.dataType for f in fast_df.schema.fields] == [
+        f.dataType for f in slow_df.schema.fields
+    ]
+    fast = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in fast_df.collect()}
+    slow = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in slow_df.collect()}
+    assert fast == slow and fast  # exact values incl. rounding, non-empty
+    sh.unpersist()
+    cand.unpersist()
+
+
 def test_components_transitive_closure(spark):
     """a~b and b~c put a,b,c in ONE component even when a!~c directly;
     singletons keep themselves; min doc_id is canonical."""
