@@ -1093,6 +1093,7 @@ def fuzzy_decontaminate(
     eval_text_col: str = "text",
     broadcast_eval: bool = True,
     handles: list | None = None,
+    collect_max_pairs: int | None = None,
 ) -> DataFrame:
     """FUZZY benchmark decontamination — the GPT-3 / Pile move: drop
     training docs that NEAR-duplicate an eval document, not only docs
@@ -1134,6 +1135,77 @@ def fuzzy_decontaminate(
     )
     if handles is not None:
         handles.append(cand)
+    # small candidate sets route to the same driver fast path as
+    # jaccard_verify_candidates (bounded Arrow collects, Python set
+    # intersections on exact integers, the SAME Spark round/division
+    # expression over a LocalTableScan — bit-identical); the
+    # distributed bipartite joins below are the >cap path
+    cap = SMALL_VERIFY_COLLECT_PAIRS if collect_max_pairs is None else collect_max_pairs
+    n_cand = cand.count()
+    if n_cand <= cap:
+        from json_remedy_spark.localdf import local_frame
+
+        spark = docs.sparkSession
+        pairs_pdf = cand.select("doc_id", "eval_id").toPandas()
+        c_ids = sorted(set(pairs_pdf["doc_id"].tolist()))
+        e_ids = sorted(set(pairs_pdf["eval_id"].tolist()))
+        lim = SMALL_VERIFY_COLLECT_SHINGLE_ROWS
+        c_pdf = (
+            corp_sh.join(
+                F.broadcast(local_frame(spark, [(int(i),) for i in c_ids], "doc_id long")),
+                "doc_id",
+                "left_semi",
+            )
+            .select("doc_id", "shingle")
+            .limit(lim + 1)
+            .toPandas()
+        )
+        e_pdf = (
+            eval_sh.join(
+                F.broadcast(local_frame(spark, [(int(i),) for i in e_ids], "doc_id long")),
+                "doc_id",
+                "left_semi",
+            )
+            .select("doc_id", "shingle")
+            .limit(lim + 1)
+            .toPandas()
+        )
+        if len(c_pdf) <= lim and len(e_pdf) <= lim:
+            c_sets: dict = {}
+            for did, s in zip(c_pdf["doc_id"].tolist(), c_pdf["shingle"].tolist()):
+                c_sets.setdefault(did, set()).add(s)
+            e_sets: dict = {}
+            for did, s in zip(e_pdf["doc_id"].tolist(), e_pdf["shingle"].tolist()):
+                e_sets.setdefault(did, set()).add(s)
+            rows = []
+            for d, e in zip(pairs_pdf["doc_id"].tolist(), pairs_pdf["eval_id"].tolist()):
+                sd = c_sets.get(d)
+                se = e_sets.get(e)
+                if not sd or not se:
+                    continue  # mirrors the inner sizes joins
+                n_common = len(sd & se)
+                if n_common == 0:
+                    continue  # mirrors the inner intersection join
+                rows.append((int(d), int(e), n_common, len(sd), len(se)))
+            stats = local_frame(
+                spark,
+                rows,
+                "doc_id long, eval_id long, n_common long, n_c long, n_e long",
+            )
+            return (
+                stats.withColumn(
+                    "jaccard",
+                    F.round(
+                        F.col("n_common")
+                        / (F.col("n_c") + F.col("n_e") - F.col("n_common")),
+                        6,
+                    ),
+                )
+                .where(F.col("jaccard") >= threshold)
+                .select("doc_id", "eval_id", "jaccard")
+            )
+        # over the shingle-row bound: fall through to the joins
+
     sh = corp_sh.join(cand.select("doc_id").distinct(), "doc_id", "left_semi")
     sizes_c = sh.groupBy("doc_id").agg(F.count("*").alias("n_c"))
     sizes_e = eval_sh.groupBy("doc_id").agg(F.count("*").alias("n_e")).select(

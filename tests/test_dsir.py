@@ -136,10 +136,20 @@ def test_fuzzy_decontaminate_eval_side_broadcasts(spark):
     )
     ev = spark.createDataFrame([(0, "some words number 0")], "doc_id long, text string")
     handles = []
-    pairs = fuzzy_decontaminate(corpus, ev, threshold=0.0, handles=handles)
+    # scale path (forced past the r07 driver fast path): the eval side
+    # must broadcast into the bipartite joins
+    pairs = fuzzy_decontaminate(
+        corpus, ev, threshold=0.0, handles=handles, collect_max_pairs=0
+    )
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
-    for h in handles:
+    # bounded-candidate default routes driver-side: a LocalTableScan,
+    # no join in the result plan (r07)
+    handles2 = []
+    fast = fuzzy_decontaminate(corpus, ev, threshold=0.0, handles=handles2)
+    fast_plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in fast_plan, fast_plan
+    for h in handles + handles2:
         h.unpersist()
 
 

@@ -1140,6 +1140,27 @@ def test_jaccard_verify_driver_fast_path_parity(spark):
     cand.unpersist()
 
 
+def test_fuzzy_decontaminate_driver_fast_path_parity(spark):
+    """r07: fuzzy_decontaminate's bounded-candidate driver fast path
+    must equal the distributed bipartite join form exactly (schema,
+    values, rounding)."""
+    from json_remedy_spark.functions.dedup import fuzzy_decontaminate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    corp = docs.where("doc_id % 20 <> 0")
+    ev = docs.where("doc_id % 20 = 0")
+    fast_df = fuzzy_decontaminate(corp, ev, threshold=0.5)
+    slow_df = fuzzy_decontaminate(corp, ev, threshold=0.5, collect_max_pairs=0)
+    assert [(f.name, f.dataType) for f in fast_df.schema.fields] == [
+        (f.name, f.dataType) for f in slow_df.schema.fields
+    ]
+    fast = {(r["doc_id"], r["eval_id"]): r["jaccard"] for r in fast_df.collect()}
+    slow = {(r["doc_id"], r["eval_id"]): r["jaccard"] for r in slow_df.collect()}
+    assert fast == slow and fast  # exact values incl. rounding, non-empty
+
+
 def test_components_transitive_closure(spark):
     """a~b and b~c put a,b,c in ONE component even when a!~c directly;
     singletons keep themselves; min doc_id is canonical."""
