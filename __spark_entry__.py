@@ -508,7 +508,24 @@ def q_dedup_cluster_sizes(spark, sf_dir):
     corpus-health metric an operator reads first (how much of the
     crawl is duplicated, and how big the blobs are)."""
     d = _t(spark, sf_dir, "documents").repartition(spark.sparkContext.defaultParallelism)
-    comp = dedup.near_dup_components(d, threshold=0.5)
+    stats: dict = {}
+    comp = dedup.near_dup_components(d, threshold=0.5, stats_out=stats)
+    if "label_sizes" in stats:
+        # driver union-find ran: every component's size is already on
+        # the driver (labeled clusters, all >= 2); singletons = docs
+        # outside the pair graph, each a size-1 cluster.  Same
+        # integers as the double groupBy, zero shuffles (r07).
+        from collections import Counter
+
+        hist = Counter(stats["label_sizes"].values())
+        n_singletons = d.count() - sum(stats["label_sizes"].values())
+        if n_singletons > 0:
+            hist[1] += n_singletons
+        return local_frame(
+            spark,
+            sorted((int(s), int(n)) for s, n in hist.items()),
+            "cluster_size long, n_clusters long",
+        )
     sizes = comp.groupBy("rep_id").agg(F.count("*").alias("cluster_size"))
     return sizes.groupBy("cluster_size").agg(
         F.count("*").cast("long").alias("n_clusters")

@@ -745,10 +745,15 @@ def components_from_pairs(
     # empty tasks; at 10^9 pairs this grows back to a real fan-out
     n_pairs = p.count()
     if algorithm == "min_label" and n_pairs <= collect_max_pairs:
+        sizes: dict = {}
+        labels = _driver_union_find(p, n_pairs, sizes_out=sizes)
         if stats_out is not None:
             stats_out["rounds"] = 0
             stats_out["driver_union_find"] = True
-        labels = _driver_union_find(p, n_pairs)
+            # exact component sizes among pair-graph nodes (all >= 2);
+            # docs outside the graph are singletons of size 1 — size
+            # consumers can skip the corpus-wide groupBy + join-back
+            stats_out["label_sizes"] = sizes
         p.unpersist()
         return _rejoin_singletons(all_ids, labels)
     p_ck = p.localCheckpoint()
@@ -811,13 +816,20 @@ def components_from_pairs(
     raise ValueError(f"components_from_pairs did not converge in {max_iters} rounds")
 
 
-def _driver_union_find(p: DataFrame, n_pairs: int) -> DataFrame:
+def _driver_union_find(
+    p: DataFrame, n_pairs: int, sizes_out: dict | None = None
+) -> DataFrame:
     """Connected components of a SMALL pair graph (columns u, v;
     caller-bounded row count) as one driver-side union-find over the
     Arrow-collected edge list.  Union-by-min with path compression, so
     every root is its component's minimum id — exactly the fixpoint
     min-label propagation converges to (parity pytest-pinned).
-    Returns (doc_id, rep_id) for every node appearing in a pair."""
+    Returns (doc_id, rep_id) for every node appearing in a pair.
+    ``sizes_out`` (optional dict) receives {rep_id: n_labeled_docs} —
+    the component sizes among pair-graph nodes, already exact on the
+    driver, so downstream size consumers can skip the corpus-wide
+    groupBy + join-back (every labeled component has size >= 2; docs
+    outside the graph are singletons of size 1)."""
     import pandas as pd
 
     spark = p.sparkSession
@@ -847,7 +859,12 @@ def _driver_union_find(p: DataFrame, n_pairs: int) -> DataFrame:
                 ru, rv = rv, ru
             parent[rv] = ru
     nodes = list(parent)
-    labels = pd.DataFrame({"doc_id": nodes, "rep_id": [find(x) for x in nodes]})
+    reps = [find(x) for x in nodes]
+    if sizes_out is not None:
+        from collections import Counter
+
+        sizes_out.update(Counter(reps))
+    labels = pd.DataFrame({"doc_id": nodes, "rep_id": reps})
     return spark.createDataFrame(labels, schema)
 
 
@@ -969,6 +986,7 @@ def near_dup_components(
     algorithm: str = "min_label",
     hub_cap: int | None = None,
     n_hubs: int = 2,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """The last mile of fuzzy dedup: verified near-dup pairs
     (``lsh_verified_pairs``) clustered into components, one canonical
@@ -976,13 +994,16 @@ def near_dup_components(
     keep set — filtering on it yields the deduplicated corpus.
     ``hub_cap`` bounds intra-bucket candidate generation (see
     ``candidate_pairs_from_banded``); None keeps the exact all-pairs
-    default every library oracle uses."""
+    default every library oracle uses.  ``stats_out`` passes through
+    to ``components_from_pairs`` (rounds / driver routing /
+    label_sizes)."""
     pairs = lsh_verified_pairs(
         docs, threshold, id_col, text_col, handles=handles,
         hub_cap=hub_cap, n_hubs=n_hubs,
     )
     return components_from_pairs(
-        docs.select(F.col(id_col).alias("doc_id")), pairs, algorithm=algorithm
+        docs.select(F.col(id_col).alias("doc_id")), pairs, algorithm=algorithm,
+        stats_out=stats_out,
     )
 
 
@@ -1015,12 +1036,34 @@ def soft_dedup_weights(
     split the join-back's hot rep_id — a window over rep_id would pin
     the whole family into one task with no runtime remedy.  No driver
     state, no broadcast of the O(#clusters) size table."""
+    stats: dict = {}
     comp = near_dup_components(
         docs, threshold, id_col, text_col, handles=handles,
-        algorithm=algorithm, hub_cap=hub_cap, n_hubs=n_hubs,
+        algorithm=algorithm, hub_cap=hub_cap, n_hubs=n_hubs, stats_out=stats,
     )
-    sizes = comp.groupBy("rep_id").agg(F.count("*").cast("long").alias("cluster_size"))
-    return comp.join(sizes, "rep_id").select(
+    if "label_sizes" in stats:
+        # the driver union-find already knows every component's size
+        # (bounded by the pair graph, <= 2 * collect_max_pairs rows):
+        # broadcast the local size table instead of the corpus-wide
+        # groupBy + join-back — same integers, two exchanges fewer,
+        # and no shuffle keyed on a skewable rep_id at all (r07)
+        from json_remedy_spark.localdf import local_frame
+
+        id_type = comp.schema["rep_id"].dataType.simpleString()
+        sz = local_frame(
+            docs.sparkSession,
+            sorted((rep, int(n)) for rep, n in stats["label_sizes"].items()),
+            f"rep_id {id_type}, cluster_size long",
+        )
+        sized = comp.join(F.broadcast(sz), "rep_id", "left").withColumn(
+            "cluster_size", F.coalesce("cluster_size", F.lit(1).cast("long"))
+        )
+    else:
+        sizes = comp.groupBy("rep_id").agg(
+            F.count("*").cast("long").alias("cluster_size")
+        )
+        sized = comp.join(sizes, "rep_id")
+    return sized.select(
         "doc_id",
         "rep_id",
         "cluster_size",

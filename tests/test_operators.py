@@ -1140,6 +1140,30 @@ def test_jaccard_verify_driver_fast_path_parity(spark):
     cand.unpersist()
 
 
+def test_soft_dedup_sizes_from_driver_labels_parity(spark):
+    """r07: when the components fast path runs, soft_dedup_weights
+    joins a broadcast LOCAL size table built from the union-find's
+    driver labels instead of the corpus-wide groupBy + join-back.
+    Same rows as the star-algorithm run (which keeps the groupBy
+    path), including singleton weight 1.0."""
+    from json_remedy_spark.functions.dedup import soft_dedup_weights
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    fast = {
+        (r["doc_id"], r["rep_id"], r["cluster_size"], r["weight"])
+        for r in soft_dedup_weights(docs, threshold=0.5).collect()
+    }
+    slow = {
+        (r["doc_id"], r["rep_id"], r["cluster_size"], r["weight"])
+        for r in soft_dedup_weights(docs, threshold=0.5, algorithm="star").collect()
+    }
+    assert fast == slow and fast
+    assert any(sz > 1 for _, _, sz, _ in fast)  # real clusters present
+    assert any(sz == 1 for _, _, sz, _ in fast)  # singletons present
+
+
 def test_fuzzy_decontaminate_driver_fast_path_parity(spark):
     """r07: fuzzy_decontaminate's bounded-candidate driver fast path
     must equal the distributed bipartite join form exactly (schema,
